@@ -1,0 +1,346 @@
+"""The nine-function HLL sketch algebra, PySpark-native.
+
+Re-expresses the reference's product surface (reference
+alchemy/.../hll/HLLFunctionRegistration.scala:8-18, DSL
+hll/HLLFunctions.scala:676-792) on top of Spark >=3.5's built-in
+Datasketches HLL expressions, keeping 100% of aggregation inside
+codegen'd Catalyst operators:
+
+  ===========================  =====================================
+  reference SQL name           engine implementation
+  ===========================  =====================================
+  hll_init                     Arrow pandas-UDF sketch-byte writer
+                               (no shuffle; sketch_codec.py) over the
+                               JVM cardinality hash
+  hll_init_collection          same, per collection element
+  hll_init_agg                 hll_sketch_agg  (+ null-algebra guard)
+  hll_init_collection_agg      hll_union_agg over per-row collection
+                               sketches
+  hll_merge                    hll_union_agg   (+ null-algebra guard)
+  hll_row_merge                hll_union folded with null-skip
+  hll_cardinality              hll_sketch_estimate
+  hll_intersect_cardinality    inclusion-exclusion composition
+  hll_convert                  pure-Python byte transcoder (agkn.py)
+  ===========================  =====================================
+
+Null algebra reproduced from the reference:
+* aggregates skip null inputs; an empty / all-null group yields a NULL
+  sketch, not an empty one (HLLFunctions.scala:135-142, :158-159);
+* scalar init of NULL -> NULL (nullable = child.nullable, :192-218);
+* row-merge skips null sketches, all-null row -> NULL (:486-499);
+* intersection: both NULL -> NULL, one NULL -> 0 (:604-611).
+
+All value inputs are first normalized to a 64-bit "cardinality hash"
+(see ``hashing.py``) so that every Spark type — including arrays, maps
+and structs, which Spark's built-in sketch functions reject — sketches
+consistently across the scalar (Python) and aggregate (JVM) paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..conf import (
+    DEFAULT_RELATIVE_SD,
+    precision_from_error,
+)
+from .hashing import cardinality_hash, element_hashes
+
+__all__ = [
+    "hll_init",
+    "hll_init_collection",
+    "hll_init_agg",
+    "hll_init_collection_agg",
+    "hll_merge",
+    "hll_row_merge",
+    "hll_cardinality",
+    "hll_intersect_cardinality",
+    "hll_convert",
+    "BoundHLL",
+    "bound_hll",
+    "register",
+]
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _lg_k(relative_sd: float | None) -> int:
+    return precision_from_error(
+        DEFAULT_RELATIVE_SD if relative_sd is None else relative_sd
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-row scalar init (Arrow-batched sketch-byte writer; zero shuffle)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _init_udf(lg_k: int):
+    """pandas UDF: nullable int64 hash -> serialized single-value sketch."""
+    from .sketch_codec import coupons_for_longs, serialize_coupons
+
+    @F.pandas_udf(T.BinaryType())
+    def init(hashes: pd.Series) -> pd.Series:
+        mask = hashes.notna()
+        out = pd.Series([None] * len(hashes), dtype=object)
+        if mask.any():
+            vals = hashes[mask].to_numpy(dtype=np.int64)
+            coupons = coupons_for_longs(vals)
+            out[mask] = [serialize_coupons((int(c),), lg_k) for c in coupons]
+        return out
+
+    return init
+
+
+@functools.lru_cache(maxsize=None)
+def _init_collection_udf(lg_k: int):
+    """pandas UDF: array<int64> of element hashes -> multi-value sketch."""
+    from .sketch_codec import coupons_for_longs, serialize_coupons
+
+    @F.pandas_udf(T.BinaryType())
+    def init_collection(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in hash_arrays:
+            if arr is None:
+                out.append(None)
+            elif len(arr) == 0:
+                out.append(serialize_coupons((), lg_k))
+            else:
+                coupons = coupons_for_longs(np.asarray(arr, dtype=np.int64))
+                out.append(serialize_coupons(coupons.tolist(), lg_k))
+        return pd.Series(out, dtype=object)
+
+    return init_collection
+
+
+def hll_init(col, relative_sd: float | None = None, dtype: T.DataType | None = None) -> Column:
+    """Per-row sketch of one value; NULL in -> NULL out.
+
+    reference: HyperLogLogInitSimple, HLLFunctions.scala:192-218.
+    ``dtype`` is required only for array/map/struct inputs.
+    """
+    c = _col(col)
+    lg_k = _lg_k(relative_sd)
+    h = cardinality_hash(c, dtype)
+    return F.when(h.isNull(), F.lit(None).cast("binary")).otherwise(
+        _init_udf(lg_k)(F.coalesce(h, F.lit(0).cast("long")))
+    )
+
+
+def hll_init_collection(
+    col, relative_sd: float | None = None, dtype: T.DataType | None = None
+) -> Column:
+    """Per-row sketch of a collection's *elements* (map: k->v entries).
+
+    Null elements are skipped, an empty collection yields a cardinality-0
+    sketch, a NULL collection yields NULL.
+    reference: HyperLogLogInitCollection, HLLFunctions.scala:294-321,
+    offer logic :103-124.
+    """
+    c = _col(col)
+    lg_k = _lg_k(relative_sd)
+    hashes = element_hashes(c, dtype)
+    return F.when(c.isNull(), F.lit(None).cast("binary")).otherwise(
+        _init_collection_udf(lg_k)(F.coalesce(hashes, F.array().cast("array<bigint>")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (pure JVM: Datasketches TypedImperativeAggregate + codegen)
+# ---------------------------------------------------------------------------
+
+
+def hll_init_agg(
+    col, relative_sd: float | None = None, dtype: T.DataType | None = None
+) -> Column:
+    """One sketch per group from raw values; empty/all-null group -> NULL.
+
+    reference: HyperLogLogInitSimpleAgg, HLLFunctions.scala:240-273.
+    """
+    c = _col(col)
+    lg_k = _lg_k(relative_sd)
+    h = cardinality_hash(c, dtype)
+    return F.when(
+        F.count(h) > 0, F.hll_sketch_agg(h, F.lit(lg_k))
+    ).otherwise(F.lit(None).cast("binary"))
+
+
+def hll_init_collection_agg(
+    col, relative_sd: float | None = None, dtype: T.DataType | None = None
+) -> Column:
+    """One sketch per group from all elements of all collections.
+
+    reference: HyperLogLogInitCollectionAgg, HLLFunctions.scala:343-377.
+    Composition: per-row collection sketches unioned by the JVM
+    aggregate.  NULL collections are skipped; a group of only NULLs (or
+    no rows) -> NULL; empty collections contribute empty sketches, so a
+    group of them -> cardinality-0 sketch (matching the reference's
+    offer semantics).
+    """
+    sk = hll_init_collection(col, relative_sd, dtype)
+    return hll_merge(sk)
+
+
+def hll_merge(col) -> Column:
+    """Union many sketches into one (the reaggregation operator).
+
+    Skips NULL sketches; no non-null input -> NULL.
+    reference: HyperLogLogMerge, HLLFunctions.scala:396-439.
+    """
+    c = _col(col)
+    return F.when(
+        F.count(c) > 0, F.hll_union_agg(c, F.lit(True))
+    ).otherwise(F.lit(None).cast("binary"))
+
+
+def hll_row_merge(*cols) -> Column:
+    """Variadic scalar union of N sketch columns within one row.
+
+    NULL sketches are skipped; all-NULL -> NULL.
+    reference: HyperLogLogRowMerge, HLLFunctions.scala:458-505.
+    """
+    if not cols:
+        raise ValueError("hll_row_merge requires at least one column")
+    acc = _col(cols[0])
+    for nxt in cols[1:]:
+        n = _col(nxt)
+        acc = (
+            F.when(acc.isNull(), n)
+            .when(n.isNull(), acc)
+            .otherwise(F.hll_union(acc, n, True))
+        )
+    return acc
+
+
+def hll_cardinality(col) -> Column:
+    """Sketch -> estimated distinct count; NULL -> NULL.
+
+    reference: HyperLogLogCardinality, HLLFunctions.scala:523-544.
+    """
+    return F.hll_sketch_estimate(_col(col))
+
+
+def hll_intersect_cardinality(left, right) -> Column:
+    """Inclusion-exclusion intersection estimate.
+
+    ``max(|A| + |B| - |A u B|, 0)``; both NULL -> NULL, one NULL -> 0.
+    reference: HyperLogLogIntersectionCardinality,
+    HLLFunctions.scala:573-618 (:604-611 for the null rules).
+    """
+    a, b = _col(left), _col(right)
+    est = F.greatest(
+        F.hll_sketch_estimate(a)
+        + F.hll_sketch_estimate(b)
+        - F.hll_sketch_estimate(F.hll_union(a, b, True)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        F.when(a.isNull() & b.isNull(), F.lit(None).cast("long"))
+        .when(a.isNull() | b.isNull(), F.lit(0).cast("long"))
+        .otherwise(est)
+    )
+
+
+def hll_convert(col, impl_from: str = "DS", impl_to: str = "AGKN") -> Column:
+    """Convert sketch bytes between backend formats.
+
+    Supported: DS -> AGKN (postgresql-hll compatible), the analogue of
+    the reference's one-way STRM -> AGKN conversion
+    (HLLFunctions.scala:641-670; codec hll/package.scala:15-61).
+    """
+    f, t = impl_from.upper(), impl_to.upper()
+    if (f, t) != ("DS", "AGKN"):
+        raise ValueError(
+            f"Conversion from {impl_from!r} to {impl_to!r} is not supported "
+            "(only DS -> AGKN, mirroring the reference's STRM -> AGKN)."
+        )
+    from .agkn import ds_to_agkn_udf
+
+    return ds_to_agkn_udf()(_col(col))
+
+
+# ---------------------------------------------------------------------------
+# BoundHLL: fix the error rate once (reference hll/BoundHLL.scala:12-58)
+# ---------------------------------------------------------------------------
+
+
+class BoundHLL:
+    """All ``hll_init*`` variants with the error bound fixed up front."""
+
+    def __init__(self, relative_sd: float):
+        precision_from_error(relative_sd)  # eager validation, like the reference
+        self.relative_sd = relative_sd
+
+    def hll_init(self, col, dtype=None) -> Column:
+        return hll_init(col, self.relative_sd, dtype)
+
+    def hll_init_collection(self, col, dtype=None) -> Column:
+        return hll_init_collection(col, self.relative_sd, dtype)
+
+    def hll_init_agg(self, col, dtype=None) -> Column:
+        return hll_init_agg(col, self.relative_sd, dtype)
+
+    def hll_init_collection_agg(self, col, dtype=None) -> Column:
+        return hll_init_collection_agg(col, self.relative_sd, dtype)
+
+    # error-independent functions pass through for convenience
+    hll_merge = staticmethod(hll_merge)
+    hll_row_merge = staticmethod(hll_row_merge)
+    hll_cardinality = staticmethod(hll_cardinality)
+    hll_intersect_cardinality = staticmethod(hll_intersect_cardinality)
+
+
+def bound_hll(relative_sd: float) -> BoundHLL:
+    return BoundHLL(relative_sd)
+
+
+# ---------------------------------------------------------------------------
+# SQL registration
+# ---------------------------------------------------------------------------
+
+
+def register(spark) -> None:
+    """Register the SQL-facing surface on a session.
+
+    Scalar functions become Spark SQL UDFs (``CREATE FUNCTION ... RETURN``,
+    fully Catalyst-inlined); the aggregate forms have no SQL-UDAF analogue
+    in OSS Spark, so SQL users compose the built-ins directly, e.g.
+    ``hll_union_agg(sk, true)`` — documented in README.  The reference's
+    JVM route is NativeFunctionRegistration
+    (expressions/NativeFunctionRegistration.scala:13-85); a PySpark-native
+    engine registers at the session instead.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality(sk BINARY) "
+        "RETURNS BIGINT RETURN hll_sketch_estimate(sk)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hll_intersect_cardinality("
+        "a BINARY, b BINARY) RETURNS BIGINT RETURN "
+        "CASE WHEN a IS NULL AND b IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN a IS NULL OR b IS NULL THEN 0L "
+        "ELSE greatest(hll_sketch_estimate(a) + hll_sketch_estimate(b) "
+        "- hll_sketch_estimate(hll_union(a, b, true)), 0L) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hll_row_merge(a BINARY, b BINARY) "
+        "RETURNS BINARY RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a "
+        "ELSE hll_union(a, b, true) END"
+    )
+    # Scalar per-row init over a pre-hashed BIGINT (pair with
+    # alchemy_hash(...) below for arbitrary primitives).
+    spark.udf.register("hll_init_hashed", _init_udf(_lg_k(None)))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION alchemy_hash(x BIGINT) "
+        "RETURNS BIGINT RETURN CASE WHEN x IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64(x) END"
+    )
