@@ -1,0 +1,154 @@
+"""Temporal operators: as-of join, range pair join, sessionization.
+
+The reference delegates all joins to stock Spark (SURVEY.md §2.2);
+these add the time-series operators Spark lacks as built-ins,
+expressed so Catalyst keeps them shuffle-minimal:
+
+* ``as_of_join`` — one shuffle on the join key via the union+window
+  trick (no per-row range explosion, no broadcast of the big side).
+* ``range_pair_join`` — equi-join on the key plus range predicates;
+  Catalyst plans a shuffled hash/sort-merge join on the key and the
+  band condition stays a cheap post-join filter.
+* ``sessionize`` — lag + cumulative-sum gap sessionization, one
+  window shuffle per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row picks the most
+    recent right row with ``right_ts <= left_ts`` for the same ``on`` key.
+
+    Implementation: tag both inputs, union them on a shared timeline,
+    and carry the latest right payload forward with
+    ``last(..., ignorenulls=True)`` over a per-key window — a single
+    shuffle on ``on`` regardless of how many right rows precede each
+    left row.  At equal timestamps right rows sort before left rows
+    (inclusive semantics); ties among right rows resolve to the largest
+    ``tie_break`` value.
+
+    Left rows with no preceding right row keep a NULL payload
+    (drop with ``.filter(...isNotNull())`` for inner semantics).
+    ``tolerance`` (an interval Column) discards matches older than
+    ``left_ts - tolerance``.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+
+    order_cols = [F.col("__t"), F.col("__src")]
+    if tie_break:
+        order_cols.append(F.col("__tie").asc_nulls_first())
+        r = right.select(
+            F.col(on).alias(on),
+            F.col(right_ts).alias("__t"),
+            F.lit(0).alias("__src"),
+            F.col(tie_break).alias("__tie"),
+            payload.alias("__payload"),
+        )
+        l = left.select(
+            "*",
+            F.col(left_ts).alias("__t"),
+            F.lit(1).alias("__src"),
+            F.lit(None).alias("__tie"),
+            F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        )
+    else:
+        r = right.select(
+            F.col(on).alias(on),
+            F.col(right_ts).alias("__t"),
+            F.lit(0).alias("__src"),
+            payload.alias("__payload"),
+        )
+        l = left.select(
+            "*",
+            F.col(left_ts).alias("__t"),
+            F.lit(1).alias("__src"),
+            F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        )
+
+    # Align schemas: union by name with missing left columns nulled on right.
+    lcols = [c for c in l.columns]
+    r_full = r.select(
+        *[
+            F.col(c) if c in r.columns else F.lit(None).cast(l.schema[c].dataType).alias(c)
+            for c in lcols
+        ]
+    )
+    u = l.unionByName(r_full)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = picked.filter(F.col("__src") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts") >= F.col("__t") - tolerance, F.col("__match")
+            ),
+        )
+    keep = [c for c in left.columns]
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.select(*keep, *right_cols)
+
+
+def range_pair_join(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    max_gap: Column,
+    id_col: str,
+) -> DataFrame:
+    """Ordered pairs of rows sharing ``key`` with
+    ``ts_a < ts_b <= ts_a + max_gap``.
+
+    Equi-join on ``key`` (one shuffle, sort-merge/shuffled-hash) with
+    the band predicate applied as a join condition — no cartesian.
+    Returns columns ``<id_col>_a``, ``<id_col>_b``, ``key``.
+    """
+    a = df.select(F.col(key), F.col(ts).alias("__ta"), F.col(id_col).alias(f"{id_col}_a"))
+    b = df.select(F.col(key), F.col(ts).alias("__tb"), F.col(id_col).alias(f"{id_col}_b"))
+    joined = a.join(b, on=key).filter(
+        (F.col("__tb") > F.col("__ta")) & (F.col("__tb") <= F.col("__ta") + max_gap)
+    )
+    return joined.select(key, f"{id_col}_a", f"{id_col}_b")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key (new session when the gap
+    from the previous event exceeds ``gap_seconds``).
+
+    Batch analogue of Structured Streaming's ``session_window``
+    (streaming variant in ``spark_alchemy_spark.streaming``): lag +
+    cumulative sum over one per-key window shuffle.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev) > gap_seconds)
+    ).cast("long")
+    return df.withColumn(session_col, F.sum(new_session).over(w))

@@ -1,0 +1,462 @@
+"""The engine's query battery: every operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions) expressed as a (spark, sf_dir) -> DataFrame
+callable with, where SQL-expressible, an equivalent ANSI-SQL oracle that
+DuckDB runs on the same parquet tables.
+
+Conventions keeping the DuckDB value-hash comparison deterministic:
+* every computed column is aliased identically in Spark and SQL;
+* floating-point aggregates are rounded (2dp for money sums, 4dp for
+  ratios) — double rounding is bit-stable across both engines;
+* HLL estimates are compared against exact COUNT(DISTINCT) only where
+  the sketch is provably exact: Datasketches stays in its exact
+  coupon-list/set modes below ~3/4·2^lgK couponspace, and at
+  relative_sd=0.0015 (lgConfigK=20) estimates are exact for the
+  cardinalities in this schema (verified <= 15k distinct);
+* top-k queries carry a total tiebreak so LIMIT frontiers are stable;
+* timestamps are emitted as formatted strings (driver-side nanosecond
+  timestamps don't round-trip identically in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import hll
+from .operators.temporal import as_of_join, range_pair_join, sessionize
+from .sources import load_tables
+
+# relative_sd -> lgConfigK 20: exact estimates for every distinct count
+# in this battery (max ~2k per group at sf0.01).
+_EXACT_SD = 0.0015
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch algebra (reference surface, SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_init_agg_cardinality",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_init_agg_cardinality(spark, sf_dir):
+    """hll_init_agg + hll_cardinality: grouped distinct-user estimate."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_init_agg("user_id", _EXACT_SD)).alias(
+            "approx_users"
+        )
+    )
+
+
+@query(
+    "hll_merge_reaggregate",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_merge_reaggregate(spark, sf_dir):
+    """The headline pipeline: fine-grained sketches (event_type x day),
+    re-aggregated later by hll_merge — same answer as one-shot distinct.
+    reference: PostgresInteropTest.scala:73-98."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(hll.hll_init_agg("user_id", _EXACT_SD).alias("users_hll"))
+    return daily.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("users_hll")).alias("approx_users")
+    )
+
+
+@query(
+    "hll_row_merge_union",
+    """
+    SELECT l_returnflag, count(DISTINCT v) AS merged_distinct FROM (
+      SELECT l_returnflag, l_suppkey AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, l_partkey AS v FROM lineitem
+    ) t GROUP BY l_returnflag
+    """,
+)
+def hll_row_merge_union(spark, sf_dir):
+    """hll_row_merge: within-row union of two sketch columns."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    sk = lineitem.groupBy("l_returnflag").agg(
+        hll.hll_init_agg("l_suppkey", _EXACT_SD).alias("s1"),
+        hll.hll_init_agg("l_partkey", _EXACT_SD).alias("s2"),
+    )
+    return sk.select(
+        "l_returnflag",
+        hll.hll_cardinality(hll.hll_row_merge("s1", "s2")).alias("merged_distinct"),
+    )
+
+
+@query(
+    "hll_intersect_brands",
+    """
+    SELECT count(*) AS common_suppliers FROM (
+      SELECT DISTINCT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+      INTERSECT
+      SELECT DISTINCT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#2'
+    ) t
+    """,
+)
+def hll_intersect_brands(spark, sf_dir):
+    """hll_intersect_cardinality via inclusion-exclusion on two brand
+    sketches (small dim side broadcast into the fact scan)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    sk = joined.agg(
+        hll.hll_init_agg(
+            F.when(F.col("p_brand") == "Brand#4", F.col("l_suppkey")), _EXACT_SD
+        ).alias("a"),
+        hll.hll_init_agg(
+            F.when(F.col("p_brand") == "Brand#2", F.col("l_suppkey")), _EXACT_SD
+        ).alias("b"),
+    )
+    return sk.select(
+        hll.hll_intersect_cardinality("a", "b").alias("common_suppliers")
+    )
+
+
+@query(
+    "hll_init_collection_words",
+    """
+    SELECT doc_id, count(DISTINCT w) AS distinct_words FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) t WHERE w <> '' GROUP BY doc_id
+    """,
+)
+def hll_init_collection_words(spark, sf_dir):
+    """hll_init_collection: per-row sketch over a document's tokens."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("ws"),
+    )
+    return toks.select(
+        "doc_id",
+        hll.hll_cardinality(
+            hll.hll_init_collection("ws", _EXACT_SD, dtype=toks.schema["ws"].dataType)
+        ).alias("distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (delegated to stock Spark in the reference, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with partial aggregation."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_unshipped_orders",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_unshipped_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter, two joins, top-k."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """Multi-join star query; nation/region broadcast."""
+    customer, nation, region, orders, lineitem = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders", "lineitem"
+    )
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).filter(
+            F.col("r_name") == "ASIA"
+        )
+    )
+    return (
+        customer.join(dims, customer.c_nationkey == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t WHERE rnk <= 3
+    """,
+)
+def window_top_orders_per_customer(spark, sf_dir):
+    """Ranking window function with deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) incl. grand total."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "setop_customers_no_urgent",
+    """
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_customers_no_urgent(spark, sf_dir):
+    """Set operation (EXCEPT): customers with orders but none urgent."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("c_custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return all_cust.subtract(urgent)
+
+
+@query(
+    "asof_last_click_before_error",
+    """
+    SELECT event_id, prev_click_id FROM (
+      SELECT e.event_id, c.event_id AS prev_click_id,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events e JOIN events c
+        ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      WHERE e.event_type = 'error') t
+    WHERE rn = 1
+    """,
+)
+def asof_last_click_before_error(spark, sf_dir):
+    """As-of (backward, inclusive) join via union+window — one shuffle,
+    no range explosion (operators/temporal.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("prev_click_id")
+    )
+    joined = as_of_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["prev_click_id"],
+        tie_break="prev_click_id",
+    )
+    return joined.filter(F.col("prev_click_id").isNotNull()).select(
+        "event_id", "prev_click_id"
+    )
+
+
+@query(
+    "range_join_close_events",
+    """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def range_join_close_events(spark, sf_dir):
+    """Banded self-join on an equi-key (range predicate post-filter)."""
+    (events,) = _t(spark, sf_dir, "events")
+    pairs = range_pair_join(
+        events, key="user_id", ts="ts", max_gap=F.expr("INTERVAL 10 MINUTE"), id_col="event_id"
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "sessionize_users",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged) t
+    GROUP BY user_id
+    """,
+)
+def sessionize_users(spark, sf_dir):
+    """Gap-based sessionization (30 min), batch form of session_window."""
+    (events,) = _t(spark, sf_dir, "events")
+    s = sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions")
+    )
+
+
+@query(
+    "tumbling_hourly_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_counts(spark, sf_dir):
+    """Tumbling time-window aggregate (batch twin of the streaming path)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "heavy_hitters_topk",
+    """
+    SELECT user_id, count(*) AS n FROM events
+    GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def heavy_hitters_topk(spark, sf_dir):
+    """Top-k heavy hitters with stable tiebreak."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(10)
+    )
