@@ -6,6 +6,35 @@ chosen for 100 TB behavior (single shuffle on the natural key, no
 driver-side collection, broadcast where one side is small).
 """
 
+from .dedup import (
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dedup_keep_min,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from .similarity import brute_force_topk, brute_force_topk_np, ivf_topk, lsh_topk
 from .temporal import as_of_join, range_pair_join, sessionize
 
-__all__ = ["as_of_join", "range_pair_join", "sessionize"]
+__all__ = [
+    "as_of_join",
+    "range_pair_join",
+    "sessionize",
+    "exact_dedup",
+    "exact_dedup_keep_min",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "cosine_similarity",
+    "embedding_near_dup_pairs",
+    "brute_force_topk",
+    "brute_force_topk_np",
+    "ivf_topk",
+    "lsh_topk",
+]

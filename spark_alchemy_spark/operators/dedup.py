@@ -1,0 +1,378 @@
+"""Deduplication operators for training-data pipelines, each designed
+for the 100 TB regime:
+
+* exact          — group on a 128-bit content hash (shuffles 16-byte
+                   keys, never the documents themselves)
+* n-gram Jaccard — exact set-similarity pairs via shingle inverted
+                   index, integer-threshold filtered
+* MinHash + LSH  — near-dup candidate generation in O(n·bands) with
+                   banded signature buckets, candidates verified on the
+                   signature estimate
+* SimHash        — 64-bit fingerprints, banded by 16-bit chunks,
+                   verified by Hamming distance (bit_count of XOR)
+* embedding      — cosine near-dup via random-hyperplane LSH buckets,
+                   verified by exact cosine
+
+Everything below is built-in Column expressions + joins: hashing,
+signatures and band keys are all codegen'd JVM work; the only shuffles
+are the groupBy/join on compact keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_key(col) -> Column:
+    """128-bit content hash (md5 hex) — collision-safe grouping key that
+    keeps the shuffle narrow at petabyte scale."""
+    return F.md5(col if isinstance(col, Column) else F.col(col))
+
+
+def exact_dedup_keep_min(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest ``id_col`` per distinct ``content_col``.
+
+    One shuffle on the 128-bit content key; min-by aggregation (no sort,
+    no window over full partitions).
+    """
+    return (
+        df.groupBy(content_key(content_col).alias("__ck"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__ck")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Return ``df`` with exact duplicates removed (smallest id wins).
+    Left-semi join against the survivor set — the full rows never
+    shuffle twice."""
+    survivors = exact_dedup_keep_min(df, content_col, id_col)
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the oracle-checkable similarity baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """All pairs (a < b) with word-``n``-gram Jaccard >=
+    ``threshold_num/threshold_den``, computed exactly.
+
+    Inverted index on distinct shingles -> per-pair intersection counts
+    -> integer cross-multiplied threshold (no floating point).  Returns
+    (id_a, id_b, inter, uni).
+
+    Scale note: pair blow-up concentrates on high-frequency shingles;
+    for web-scale corpora drop shingles above a document-frequency cap
+    before the self-join (the candidates they generate are recovered by
+    the remaining rarer shingles of any truly similar pair).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__s"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+    )
+    return out.select("id_a", "id_b", "inter", "uni")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    ``xxhash64(i, shingle)``.  ``num_perm`` codegen'd array_min passes;
+    empty shingle set -> NULL signature."""
+    mins = [
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_perm)
+    ]
+    sig = F.array(*mins)
+    return F.when(F.size(shingle_col) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash similarity >= ``threshold``.
+
+    Banded LSH generates candidates (``bands`` buckets per doc, rows =
+    num_perm/bands); a pair collides in some band with probability
+    1-(1-j^r)^b.  Candidates are verified on the full signatures
+    (estimated Jaccard = matching positions / num_perm) — exact shingle
+    sets are never re-joined, so verification is a signature-only
+    comparison.  Returns (id_a, id_b, est_jaccard).
+    """
+    rows = num_perm // bands
+    sigd = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(
+            F.array_distinct(word_shingles(text_col, n)), num_perm
+        ).alias("__sig"),
+    ).filter(F.col("__sig").isNotNull())
+
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(bi), *[F.element_at("__sig", bi * rows + j + 1) for j in range(rows)]
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sigd.select(
+        "__id", "__sig", F.posexplode(band_keys).alias("__band", "__bkey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bkey") == F.col("b.__bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("__siga"),
+            F.col("b.__sig").alias("__sigb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("__siga", "__sigb", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = matches / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(token_col: Column) -> Column:
+    """64-bit SimHash over a token array: bit j of the fingerprint is 1
+    iff the sum over tokens of ±1 (sign of bit j of xxhash64(token)) is
+    positive.  Pure aggregate/zip_with expression tree; shift counts are
+    unrolled as literals (Spark's shiftright takes no Column bit count)
+    and the vote array is referenced exactly once."""
+
+    def _bits(t):
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long"))
+                for j in range(64)
+            ]
+        )
+
+    bit_votes = F.aggregate(
+        token_col,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, _bits(t), lambda a, v: a + v),
+    )
+    powers = F.array(
+        *[F.lit(1 << j if j < 63 else -(2**63)).cast("long") for j in range(64)]
+    )
+    masked = F.zip_with(
+        bit_votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(masked, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Banded by the four 16-bit chunks (pigeonhole: any pair within
+    Hamming 3 shares a chunk; larger radii trade recall) — candidates
+    verified with ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
+    """
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash64(tokens(text_col)).alias("__fp")
+    )
+    chunks = F.array(
+        *[
+            F.shiftright("__fp", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
+            for i in range(4)
+        ]
+    )
+    banded = fp.select("__id", "__fp", F.posexplode(chunks).alias("__band", "__ckey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__ckey") == F.col("b.__ckey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def _as_double(vec) -> Column:
+    return F.transform(vec if isinstance(vec, Column) else F.col(vec), lambda x: x.cast("double"))
+
+
+def cosine_similarity(a, b) -> Column:
+    """Exact cosine between two array<numeric> columns (JVM fold)."""
+    av, bv = _as_double(a), _as_double(b)
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(av, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    planes: int = 16,
+    bands: int = 4,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Pairs with cosine similarity >= ``threshold``.
+
+    Default path: random-hyperplane LSH — ``planes`` sign bits from
+    seeded xxhash64-derived pseudo-random hyperplanes, banded into
+    ``bands`` bucket keys; candidates sharing a band verify by exact
+    cosine.  ``brute_force=True`` skips bucketing (exact recall; the
+    oracle path for modest n).  Returns (id_a, id_b, cos) with cos
+    rounded to 4dp.
+    """
+    v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    if brute_force:
+        a, b = v.alias("a"), v.alias("b")
+        cand = a.join(b, F.col("a.__id") < F.col("b.__id")).select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+    else:
+        dim_idx = F.sequence(F.lit(1), F.size("__v"))
+        # plane p component d = a deterministic pseudo-random unit in
+        # [-1, 1): xxhash64(p, d) scaled — seeded, engine-independent.
+        def plane_dot(p):
+            comps = F.zip_with(
+                F.col("__v"),
+                dim_idx,
+                lambda x, d: x
+                * (
+                    (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63)))
+                ),
+            )
+            return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
+
+        sign_bits = F.array(
+            *[F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(planes)]
+        )
+        rows = planes // bands
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(bi),
+                    *[F.element_at(sign_bits, bi * rows + j + 1) for j in range(rows)],
+                )
+                for bi in range(bands)
+            ]
+        )
+        hashed = v.select(
+            "__id", "__v", F.posexplode(band_keys).alias("__band", "__bkey")
+        )
+        a, b = hashed.alias("a"), hashed.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__bkey") == F.col("b.__bkey"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("a.__v").alias("__va"),
+                F.col("b.__v").alias("__vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        cand.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,242 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading recall for scale:
+
+* ``brute_force_topk`` — exact top-k per query via broadcast of the
+  (small) query set against the corpus; one scan, no shuffle of the
+  corpus, per-partition partial top-k then a final k-merge.
+* ``lsh_topk``        — random-hyperplane bucket candidates, exact
+  re-rank; corpus touched only in matching buckets.
+* ``ivf_topk``        — inverted-file: corpus pre-assigned to nearest
+  of K deterministic centroids (one shuffle at build), queries probe
+  the ``nprobe`` closest lists.
+
+The JVM fold ``cosine_similarity`` keeps the oracle-checked paths free
+of Python; ``brute_force_topk_np`` is the Arrow/numpy fast path for the
+same semantics (mapInPandas, BLAS-backed matmul per batch) when Python
+throughput beats codegen on wide vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _as_double, cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for every query vector.
+
+    Broadcast the query set; rank with a window partitioned by query —
+    ties broken by corpus id for determinism.  Returns
+    (query_id, neighbor_id, rank, cos)."""
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), _as_double(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Same semantics as :func:`brute_force_topk`, numpy matmul per
+    Arrow batch (mapInPandas).  The query matrix rides inside the
+    closure (broadcast by the task serializer); each partition emits
+    its local top-k so the final shuffle carries k rows per
+    (partition, query) only."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # corpus x queries
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_idx = np.argsort(-col[mask])[:k]
+                cids = ids[mask][cand_idx]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cids,
+                        "cos": np.round(col[mask][cand_idx], 4),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplane_bits(vec_col, planes: int):
+    dim_idx = F.sequence(F.lit(1), F.size(vec_col))
+
+    def plane_dot(p):
+        comps = F.zip_with(
+            vec_col,
+            dim_idx,
+            lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
+        )
+        return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.array(
+        *[F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(planes)]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share a random-hyperplane band with
+    the query, exact cosine re-rank.  Recall grows with ``bands``
+    (multi-probe); corpus rows outside matching buckets are never
+    scored.  Returns (query_id, neighbor_id, rank, cos)."""
+    rows = planes // bands
+
+    def banded(df, ident):
+        bits = _hyperplane_bits(F.col("__v"), planes)
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(bi), *[F.element_at(bits, bi * rows + j + 1) for j in range(rows)]
+                )
+                for bi in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(ident).alias(ident),
+            F.col("__v"),
+            F.posexplode(band_keys).alias("__band", "__bkey"),
+        )
+
+    c = banded(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")),
+        "neighbor_id",
+    )
+    q = banded(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__v")),
+        "query_id",
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (c["__band"] == q["__band"]) & (c["__bkey"] == q["__bkey"]),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", c["__v"].alias("__cv"), q["__v"].alias("__qv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (the ``n_centroids``
+    lowest-id vectors — swap in k-means output in production), corpus
+    assigned to nearest centroid once (the "inverted file"), queries
+    probe the ``nprobe`` nearest lists only.
+
+    At scale the assignment is a one-off build (writes a bucketed
+    table); queries then touch ~nprobe/n_centroids of the corpus.
+    Returns (query_id, neighbor_id, rank, cos)."""
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cent_id"), _as_double(vec_col).alias("__cent"))
+    )
+
+    def assign(df, ident, n_lists):
+        scored = df.crossJoin(cents).withColumn(
+            "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
+        )
+        w = Window.partitionBy(ident).orderBy(F.col("__csim").desc(), F.col("__cent_id"))
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n_lists)
+            .select(ident, "__v", F.col("__cent_id").alias("__list"))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")),
+        "neighbor_id",
+        1,
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__v")),
+        "query_id",
+        nprobe,
+    )
+    cand = (
+        c.join(F.broadcast(q), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", c["__v"].alias("__cv"), q["__v"].alias("__qv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -460,3 +460,268 @@ def heavy_hitters_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (LLM-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_fingerprint",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS f
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, count(*) AS n_members
+    FROM fp GROUP BY f
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Exact dedup on an order-insensitive content fingerprint; smallest
+    doc_id survives (operators/dedup.py exact path + text fingerprint)."""
+    from .functions.text import doc_fingerprint
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select("doc_id", doc_fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members"))
+        .drop("f")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, na.n + nb.n - inter AS uni
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE inter * 10 >= (na.n + nb.n - inter) * 6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.6), integer
+    threshold arithmetic — the oracle-checkable similarity baseline."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+    )
+
+
+@query("dedup_minhash_lsh")  # hash-implementation-specific: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidates, signature-verified
+    (est_jaccard >= 0.5).  Scale path of dedup_ngram_jaccard."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        documents, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # hash-implementation-specific: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs within Hamming distance 8, banded by
+    16-bit chunks."""
+    from .operators.dedup import simhash_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return simhash_pairs(documents, "doc_id", "text", max_hamming=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs by exact cosine (brute-force verify
+    path of the hyperplane-LSH operator)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.45, brute_force=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_brute_force_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t WHERE rnk <= 10
+    """,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors (broadcast queries,
+    windowed partial top-k)."""
+    from .operators.similarity import brute_force_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    return brute_force_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
+
+
+@query("ann_lsh_topk")  # approximate: rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-10 (approximate recall)."""
+    from .operators.similarity import lsh_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    return lsh_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
+
+
+@query("ann_ivf_topk")  # approximate: rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: 16 deterministic centroid lists, 4 probed."""
+    from .operators.similarity import ivf_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    return ivf_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, n_chars, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents)
+    SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+           len(list_distinct(ws))::BIGINT AS n_distinct,
+           n_chars
+    FROM toks
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    from .functions.text import distinct_token_count, token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents)
+    SELECT doc_id,
+           round(list_aggregate(list_transform(ws, w -> len(w)), 'sum') * 1.0
+                 / len(ws), 4) AS mean_token_len,
+           round(len(list_filter(ws, w -> list_contains(
+             ['the','and','of','to','in','is','that','with','for','was'], w))) * 1.0
+                 / len(ws), 4) AS stopword_ratio,
+           (len(ws) >= 20 AND list_aggregate(list_transform(ws, w -> len(w)), 'sum') * 1.0
+                 / len(ws) <= 12.0) AS keep
+    FROM toks WHERE len(ws) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: mean token length, stopword ratio, keep flag."""
+    from .functions.text import mean_token_length, quality_flags, stopword_ratio
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        mean_token_length("text").alias("mean_token_len"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_flags("text").alias("keep"),
+    ).filter(F.col("mean_token_len").isNotNull())
+
+
+@query(
+    "text_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    scores AS (
+      SELECT doc_id,
+        len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','that','with','for','was'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['el','los','las','es','una','en','por','con','para','como'], w))) AS s_es
+      FROM toks)
+    SELECT doc_id,
+      CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'und' END AS lang_pred
+    FROM scores
+    """,
+)
+def text_langid(spark, sf_dir):
+    """N-gram/stopword-profile language ID heuristic."""
+    from .functions.text import lang_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (sorted distinct token set -> md5)."""
+    from .functions.text import doc_fingerprint
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select("doc_id", doc_fingerprint("text").alias("fp"))

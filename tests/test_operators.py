@@ -1,0 +1,129 @@
+"""Unit tests for dedup / similarity / temporal operators on small
+hand-checkable fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark.operators import (
+    as_of_join,
+    brute_force_topk,
+    brute_force_topk_np,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    sessionize,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),            # exact dup of 1
+        (3, "a b c d e f g x"),            # near dup of 1 (7/9 trigram-ish)
+        (4, "q r s t u v w z"),            # unrelated
+        (5, "h g f e d c b a"),            # reversed: same fingerprint as 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs_golden(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=2)
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"]) for r in out.collect()}
+    # docs 1,2 identical: 6 shingles each, inter=6, uni=6
+    assert got[(1, 2)] == (6, 6)
+    # docs 1,3 share the first 5 trigrams ("a b c".."e f g"), uni = 7
+    assert got[(1, 3)] == (5, 7)
+    assert (1, 4) not in got
+    # reversed doc shares no trigram with the original
+    assert (1, 5) not in got
+
+
+def test_minhash_identical_docs(docs):
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0  # identical signatures
+    assert got[(1, 3)] >= 0.5  # near dup survives
+
+
+def test_simhash_identical_distance_zero(docs):
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [-2.0, 0.5, 1.0, 3.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine_similarity("a", "b").alias("c")).head()["c"]
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).astype(float).tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_topk_np_matches_jvm(vecs):
+    q = vecs.filter(F.col("vec_id") < 3)
+    jvm = brute_force_topk(vecs, q, "vec_id", "embedding", k=5)
+    np_ = brute_force_topk_np(vecs, q, "vec_id", "embedding", k=5)
+    j = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in jvm.collect()}
+    n = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in np_.collect()}
+    assert j == n
+
+
+def test_embedding_near_dup_lsh_finds_clone(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    rows = [(0, base.tolist()), (1, (base + rng.normal(scale=0.01, size=16)).tolist())]
+    rows += [(i, rng.normal(size=16).tolist()) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, i) for i in [0, 10, 2000, 2010, 5000]] + [(2, 0)]
+    df = spark.createDataFrame(rows, "u int, sec int").select(
+        "u", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = sessionize(df, key="u", ts="ts", gap_seconds=600)
+    per_user = (
+        out.groupBy("u").agg(F.countDistinct("session_id").alias("n")).collect()
+    )
+    got = {r["u"]: r["n"] for r in per_user}
+    assert got == {1: 3, 2: 1}
+
+
+def test_as_of_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, "old")], "k int, t int, v string")
+    hit = as_of_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"])
+    assert hit.head()["v"] == "old"
+    miss = as_of_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"],
+        tolerance=F.lit(50),
+    )
+    assert miss.head()["v"] is None
