@@ -1,0 +1,118 @@
+"""Structured Streaming operators: the streaming twins of the batch
+battery (the reference has no streaming surface at all — SURVEY.md
+§2.2 — so this is pure extension territory).
+
+Each helper takes/returns streaming DataFrames; batch-equivalence is
+asserted in tests by replaying the events parquet with the
+``availableNow`` trigger into a memory sink and comparing against the
+batch operator on the same data.
+
+Scale notes: every aggregation below is keyed so state partitions by
+the natural key; watermarks bound state (late data beyond the
+watermark is dropped, exactly the documented contract); sketch state
+in ``windowed_hll_users`` is a constant-size HLL per (window, key) —
+the streaming version of the precompute-then-merge pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hll
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay the events parquet as a file-source stream."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    # file streams take a directory: stream the sf dir, globbed to events
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event type with a watermark bounding
+    state and late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def windowed_hll_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    relative_sd: float = 0.0015,
+) -> DataFrame:
+    """Streaming sketch rollup: one HLL of user_id per (window,
+    event_type).  Persisted sketches stay re-mergeable downstream —
+    the streaming half of the reference's precompute/merge pipeline."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(hll.hll_init_agg("user_id", relative_sd).alias("users_hll"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "users_hll",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization via session_window (the batch
+    twin is operators.temporal.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drain a stream with the availableNow trigger into a memory sink;
+    returns the materialized result (test/bench harness).  Use
+    ``output_mode='complete'`` for aggregations (append would hold back
+    windows still inside the watermark at end-of-replay)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,116 @@
+"""Streaming operators (batch-equivalence via availableNow replay) and
+multimodal column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark import streaming as stx
+from spark_alchemy_spark.functions import hll
+from spark_alchemy_spark.multimodal import (
+    image_features,
+    sample_frames,
+    sniff_mime,
+    synth_image_bytes,
+    synth_image_udf,
+    with_media_metadata,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_windowed_counts_equals_batch(spark):
+    stream = stx.read_events_stream(spark, SF)
+    got = stx.run_to_memory(
+        stx.windowed_counts(stream), "t_wc", output_mode="complete"
+    ).collect()
+    from spark_alchemy_spark.queries import QUERIES
+
+    exp = QUERIES["tumbling_hourly_counts"](spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_streaming_hll_rollup_matches_exact(spark):
+    stream = stx.read_events_stream(spark, SF)
+    sketches = stx.run_to_memory(
+        stx.windowed_hll_users(stream), "t_hll", output_mode="complete"
+    )
+    merged = sketches.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("users_hll")).alias("n")
+    )
+    got = {r["event_type"]: r["n"] for r in merged.collect()}
+    from spark_alchemy_spark.sources import load_tables
+
+    events = load_tables(spark, SF, ("events",))["events"]
+    exp = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_streaming_dedup(spark):
+    stream = stx.read_events_stream(spark, SF)
+    doubled = stream.union(stream)
+    got = stx.run_to_memory(stx.deduped_stream(doubled), "t_dd").count()
+    exact = stx.read_events_stream(spark, SF)
+    base = stx.run_to_memory(exact, "t_base").count()
+    assert got == base
+
+
+def test_synth_media_metadata(spark):
+    df = spark.range(4).select(
+        F.col("id").alias("media_id"),
+        F.lit(16).alias("w"),
+        F.lit(9).alias("h"),
+    )
+    imgs = df.withColumn("data", synth_image_udf()(F.col("media_id"), "w", "h"))
+    meta = with_media_metadata(imgs, "data").select("media_id", "media_meta.*")
+    row = meta.orderBy("media_id").head()
+    assert row["mime"] == "image/synth"
+    assert (row["width"], row["height"], row["channels"]) == (16, 9, 3)
+    assert row["n_bytes"] == 9 + 16 * 9 * 3
+
+
+def test_sniff_png_and_unknown(spark):
+    png_header = (
+        b"\x89PNG\r\n\x1a\x0a" + b"\x00\x00\x00\x0dIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    )
+    df = spark.createDataFrame(
+        [(bytearray(png_header),), (bytearray(b"garbage-bytes"),)], "data binary"
+    )
+    out = with_media_metadata(df, "data").select("media_meta.*").collect()
+    png, unk = out
+    assert png["mime"] == "image/png" and (png["width"], png["height"]) == (640, 480)
+    assert unk["mime"] == "application/octet-stream" and unk["width"] is None
+
+
+def test_image_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_image_bytes(1, 32, 32)))], "media_id long, data binary"
+    )
+    row = image_features(df, "data", "media_id", thumb=4).head()
+    assert (row["width"], row["height"], row["channels"]) == (32, 32, 3)
+    assert len(row["embedding"]) == 16
+    import numpy as np
+
+    img = np.frombuffer(synth_image_bytes(1, 32, 32)[9:], dtype=np.uint8).reshape(32, 32, 3)
+    exp_mean = img.reshape(-1, 3).mean(axis=0).round(4).tolist()
+    assert row["channel_mean"] == pytest.approx(exp_mean)
+
+
+def test_sample_frames_expansion(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(synth_image_bytes(0, 8, 10)))], "media_id long, data binary"
+    )
+    out = sample_frames(df, "data", "media_id", every_n=2)
+    assert out.count() == 5  # frames 0,2,4,6,8 of 10
+
+
+def test_decode_unsupported_format_raises(spark):
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = spark.createDataFrame([(1, bytearray(jpeg_ish))], "media_id long, data binary")
+    with pytest.raises(Exception, match="(?i)pil|notimplemented|synth"):
+        image_features(df, "data", "media_id").collect()
