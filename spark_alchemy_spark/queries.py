@@ -725,3 +725,8 @@ def text_fingerprint(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     return documents.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+# Battery extension (relational matrix, scalar functions, streaming,
+# multimodal, interop) registers itself into QUERIES/ORACLES on import.
+from . import queries_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,596 @@
+"""Battery extension: sketch interop/persistence, the full relational
+operator matrix (semi/anti joins, cube/grouping sets, decorrelated
+subqueries, percentiles, pivot), the scalar function library
+(string/date/math/json/array), Structured Streaming twins with batch
+oracles, and multimodal metadata with formula oracles.
+
+Registered into the same QUERIES/ORACLES dicts as ``queries.py`` (this
+module is imported at its bottom).  Same determinism conventions: shared
+aliases, rounded floats, stable tiebreaks.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .functions import hll
+from .queries import _EXACT_SD, _t, query
+
+_STREAM_SEQ = itertools.count()
+
+
+def _sink_name(prefix: str) -> str:
+    return f"{prefix}_{os.getpid()}_{next(_STREAM_SEQ)}"
+
+
+# ---------------------------------------------------------------------------
+# HLL surface: per-row scalar init, persistence, SQL registration, interop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_init_scalar_merge",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_init_scalar_merge(spark, sf_dir):
+    """Per-row scalar hll_init (Arrow sketch-byte writer, no shuffle)
+    merged per group — the zero-aggregation init path.
+    reference: HyperLogLogInitSimple, HLLFunctions.scala:192-218."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_row = events.select(
+        "event_type", hll.hll_init("user_id", _EXACT_SD).alias("sk")
+    )
+    return per_row.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("sk")).alias("approx_users")
+    )
+
+
+@query(
+    "hll_persist_roundtrip",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_persist_roundtrip(spark, sf_dir):
+    """The reference's headline data design (PostgresInteropTest.scala:
+    73-88): persist fine-grained sketches as binary parquet columns, read
+    them back later, and re-aggregate — distinct counts without rescanning
+    raw data."""
+    (events,) = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(), f"hll_persist_{os.getpid()}_{next(_STREAM_SEQ)}"
+    )
+    events.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        hll.hll_init_agg("user_id", _EXACT_SD).alias("users_hll")
+    ).write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    return persisted.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("users_hll")).alias("approx_users")
+    )
+
+
+@query(
+    "hll_sql_surface",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sql_surface(spark, sf_dir):
+    """The SQL-registration surface (reference registers all 9 functions
+    into the session FunctionRegistry, NativeFunctionRegistration.scala:
+    20-26): pure SQL text over registered hll_* names + built-ins."""
+    (events,) = _t(spark, sf_dir, "events")
+    hll.register(spark)
+    view = _sink_name("events_v")
+    events.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               hll_cardinality(hll_sketch_agg(xxhash64(user_id), 20)) AS approx_users
+        FROM {view} GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "hll_convert_agkn",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_convert_agkn(spark, sf_dir):
+    """hll_convert: DS sketches re-encoded to the postgresql-hll v1 byte
+    layout; the AgKn-side estimator must see the same cardinalities.
+    reference: HyperLogLogConvert, HLLFunctions.scala:641-670."""
+    from .functions.agkn import agkn_cardinality_udf
+
+    (events,) = _t(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        hll.hll_init_agg("user_id", _EXACT_SD).alias("sk")
+    )
+    return sk.select(
+        "event_type",
+        agkn_cardinality_udf()(hll.hll_convert("sk", "DS", "AGKN")).alias(
+            "approx_users"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_returned_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_join_returned_orders(spark, sf_dir):
+    """EXISTS as a left-semi join (TPC-H Q4 shape)."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "anti_join_no_urgent_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_no_urgent_customers(spark, sf_dir):
+    """NOT EXISTS as a left-anti join (TPC-H Q22 shape): customers with
+    no urgent orders."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE: all 2^2 grouping combinations in one pass."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "subquery_small_quantity_revenue",
+    """
+    SELECT p.p_brand, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def subquery_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape), decorrelated into a
+    per-key aggregate + join — the plan Catalyst would rewrite to, stated
+    directly so the shuffle count is explicit."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    half_avg = lineitem.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        lineitem.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_quantity(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  The approx_percentile scale path is benchmarked
+    separately (sketch-based, not oracle-comparable)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "pivot_revenue_by_flag",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS "A",
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS "N",
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS "R"
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_revenue_by_flag(spark, sf_dir):
+    """Pivot with an explicit value list (no extra distinct-values job)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (string / date / math / json / array)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions_parts",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS up_brand,
+           lower(p_type) AS lo_type,
+           substr(p_name, 1, 5) AS name5,
+           length(p_name) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def string_functions_parts(spark, sf_dir):
+    """String function battery (JVM-side, codegen)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("up_brand"),
+        F.lower("p_type").alias("lo_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "datemath_functions_orders",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS oy,
+           month(o_orderdate) AS om,
+           quarter(o_orderdate) AS oq,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+           round(sqrt(o_totalprice), 4) AS sqrt_price,
+           round(ln(o_totalprice), 4) AS ln_price,
+           o_orderkey % 7 AS key_mod7,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+           abs(o_totalprice - 100000.0) > 50000.0 AS far_from_100k
+    FROM orders
+    """,
+)
+def datemath_functions_orders(spark, sf_dir):
+    """Date + math function battery."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("oy"),
+        F.month("o_orderdate").alias("om"),
+        F.quarter("o_orderdate").alias("oq"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_99"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log("o_totalprice"), 4).alias("ln_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k_floor"),
+        (F.abs(F.col("o_totalprice") - 100000.0) > 50000.0).alias("far_from_100k"),
+    )
+
+
+@query(
+    "json_functions_events",
+    """
+    SELECT event_type,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_functions_events(spark, sf_dir):
+    """JSON path extraction over a string column, aggregated."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.countDistinct(k).alias("n_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "array_functions_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_slice(ws, 1, 3), ' ') AS first3,
+           len(ws) AS n_tok,
+           list_contains(ws, 'the') AS has_the,
+           len(list_filter(ws, w -> len(w) > 4)) AS n_long
+    FROM toks
+    """,
+)
+def array_functions_documents(spark, sf_dir):
+    """Array/lambda function battery (higher-order functions, codegen)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    return toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("ws", 1, 3)).alias("first3"),
+        F.size("ws").cast("bigint").alias("n_tok"),
+        F.array_contains("ws", "the").alias("has_the"),
+        F.size(F.filter("ws", lambda w: F.length(w) > 4)).cast("bigint").alias("n_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twins (availableNow replay == batch oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Streaming tumbling-window aggregate replayed with availableNow;
+    must equal the batch tumbling query exactly."""
+    from .streaming import read_events_stream, run_to_memory, windowed_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        windowed_counts(stream), _sink_name("win_counts"), output_mode="complete"
+    )
+
+
+@query(
+    "stream_windowed_hll_users",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_hll_users(spark, sf_dir):
+    """Streaming HLL sketch rollup: constant-size distinct-user state per
+    (window, type); estimates equal exact counts at these cardinalities."""
+    from .streaming import read_events_stream, run_to_memory, windowed_hll_users
+
+    stream = read_events_stream(spark, sf_dir)
+    sketches = run_to_memory(
+        windowed_hll_users(stream, relative_sd=_EXACT_SD),
+        _sink_name("win_hll"),
+        output_mode="complete",
+    )
+    return sketches.select(
+        "hour",
+        "event_type",
+        hll.hll_cardinality("users_hll").alias("approx_users"),
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Streaming exact dedup: the replay unioned with itself collapses
+    back to one row per event_id inside the watermark."""
+    from .streaming import deduped_stream, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = deduped_stream(doubled, watermark="10 days")
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_to_memory(counts, _sink_name("dedup"), output_mode="complete")
+
+
+@query(
+    "stream_sessionized_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def stream_sessionized_counts(spark, sf_dir):
+    """Native streaming sessionization (session_window, 30-min gap);
+    session count per user equals the gap-rule oracle (session_window
+    starts a new session when the gap is >= the timeout)."""
+    from .streaming import read_events_stream, run_to_memory, sessionized_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = run_to_memory(
+        sessionized_counts(stream), _sink_name("sessions"), output_mode="complete"
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: synth media with formula oracles
+# ---------------------------------------------------------------------------
+
+_MEDIA_W = "CAST(16 + doc_id % 17 AS INTEGER)"
+_MEDIA_H = "CAST(8 + doc_id % 11 AS INTEGER)"
+_MEDIA_C = "CAST(1 + doc_id % 3 AS INTEGER)"
+
+
+def _synth_media(spark, sf_dir):
+    """documents -> deterministic SYNTH image bytes (seed = doc_id)."""
+    from .multimodal import synth_image_udf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    make = synth_image_udf()
+    return documents.select(
+        "doc_id",
+        make(
+            F.col("doc_id"),
+            (16 + F.col("doc_id") % 17).cast("int"),
+            (8 + F.col("doc_id") % 11).cast("int"),
+        ).alias("media"),
+    )
+
+
+@query(
+    "media_metadata_synth",
+    f"""
+    SELECT doc_id, 'image/synth' AS mime,
+           {_MEDIA_W} AS width, {_MEDIA_H} AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(9 + (16 + doc_id % 17) * (8 + doc_id % 11) * 3 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def media_metadata_synth(spark, sf_dir):
+    """Binary media metadata extracted JVM-side from the actual bytes
+    (header sniff + big-endian field reads); the oracle recomputes every
+    field from the synthesis formula — a true end-to-end byte check."""
+    from .multimodal import with_media_metadata
+
+    media = _synth_media(spark, sf_dir)
+    with_meta = with_media_metadata(media, "media")
+    return with_meta.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.channels").alias("channels"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "media_frame_sample_counts",
+    f"""
+    SELECT doc_id, CAST(ceil((8 + doc_id % 11) / 2.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def media_frame_sample_counts(spark, sf_dir):
+    """1->N frame sampling through mapInPandas (every 2nd frame); the
+    sampled-frame count per document matches the formula oracle."""
+    from .multimodal import sample_frames
+
+    media = _synth_media(spark, sf_dir)
+    frames = sample_frames(media, "media", "doc_id", every_n=2)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query("media_image_features")  # embedding values are engine-defined: rows-only
+def media_image_features(spark, sf_dir):
+    """Decode -> thumbnail -> per-channel stats + embedding, one Arrow
+    batch at a time (the CLIP-featurizer plumbing with a numpy body)."""
+    from .multimodal import image_features
+
+    media = _synth_media(spark, sf_dir)
+    return image_features(media, "media", "doc_id", thumb=8)
