@@ -35,6 +35,7 @@ def main():
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr)
         except Exception as e:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -83,9 +83,10 @@ def ngram_jaccard_pairs(
     before the self-join (the candidates they generate are recovered by
     the remaining rarer shingles of any truly similar pair).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__s"),
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition("__id")  # parallelize shingle construction across cores
+        .select("__id", F.explode(F.array_distinct(word_shingles("__t", n))).alias("__s"))
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -141,11 +142,21 @@ def minhash_lsh_pairs(
     comparison.  Returns (id_a, id_b, est_jaccard).
     """
     rows = num_perm // bands
-    sigd = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(
-            F.array_distinct(word_shingles(text_col, n)), num_perm
-        ).alias("__sig"),
+    # Stage the pipeline around two explicit exchanges:
+    # 1. repartition raw (id, shingles) rows so the 64-permutation
+    #    signature computes in parallel (a single parquet split would
+    #    otherwise serialize it into one task), with the shingle array
+    #    materialized once as a column (not re-evaluated per permutation);
+    # 2. repartition banded rows on the join keys so the self-join reuses
+    #    ONE exchange (identical canonical subplans) instead of computing
+    #    signatures once per side and re-shuffling.
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition("__id")
+        .select("__id", F.array_distinct(word_shingles("__t", n)).alias("__sh"))
+    )
+    sigd = shingled.select(
+        "__id", minhash_signature(F.col("__sh"), num_perm).alias("__sig")
     ).filter(F.col("__sig").isNotNull())
 
     band_keys = F.array(
@@ -158,7 +169,7 @@ def minhash_lsh_pairs(
     )
     banded = sigd.select(
         "__id", "__sig", F.posexplode(band_keys).alias("__band", "__bkey")
-    )
+    ).repartition("__band", "__bkey")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -238,8 +249,10 @@ def simhash_pairs(
     Hamming 3 shares a chunk; larger radii trade recall) — candidates
     verified with ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
     """
-    fp = df.select(
-        F.col(id_col).alias("__id"), simhash64(tokens(text_col)).alias("__fp")
+    fp = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition("__id")  # parallelize the 64-bit vote aggregation
+        .select("__id", simhash64(tokens("__t")).alias("__fp"))
     )
     chunks = F.array(
         *[
@@ -247,7 +260,9 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    banded = fp.select("__id", "__fp", F.posexplode(chunks).alias("__band", "__ckey"))
+    banded = fp.select(
+        "__id", "__fp", F.posexplode(chunks).alias("__band", "__ckey")
+    ).repartition("__band", "__ckey")  # one reused exchange for the self-join
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -314,7 +329,21 @@ def embedding_near_dup_pairs(
     oracle path for modest n).  Returns (id_a, id_b, cos) with cos
     rounded to 4dp.
     """
-    v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    # Norms are computed once per row (pre-join) so each of the O(n^2)
+    # candidate pairs evaluates a single dot-product fold; the arithmetic
+    # (dot / (na * nb)) is identical to cosine_similarity term for term.
+    v = (
+        df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .repartition("__id")  # spread vector math across cores
+        .withColumn(
+            "__n",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("__v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+            ),
+        )
+    )
     if brute_force:
         a, b = v.alias("a"), v.alias("b")
         cand = a.join(b, F.col("a.__id") < F.col("b.__id")).select(
@@ -322,6 +351,8 @@ def embedding_near_dup_pairs(
             F.col("b.__id").alias("id_b"),
             F.col("a.__v").alias("__va"),
             F.col("b.__v").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
     else:
         dim_idx = F.sequence(F.lit(1), F.size("__v"))
@@ -352,8 +383,8 @@ def embedding_near_dup_pairs(
             ]
         )
         hashed = v.select(
-            "__id", "__v", F.posexplode(band_keys).alias("__band", "__bkey")
-        )
+            "__id", "__v", "__n", F.posexplode(band_keys).alias("__band", "__bkey")
+        ).repartition("__band", "__bkey")  # one reused exchange for the self-join
         a, b = hashed.alias("a"), hashed.alias("b")
         cand = (
             a.join(
@@ -367,10 +398,17 @@ def embedding_near_dup_pairs(
                 F.col("b.__id").alias("id_b"),
                 F.col("a.__v").alias("__va"),
                 F.col("b.__v").alias("__vb"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__n").alias("__nb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("__na") * F.col("__nb"))
     return (
         cand.withColumn("cos", F.round(cos, 4))
         .filter(F.col("cos") >= threshold)

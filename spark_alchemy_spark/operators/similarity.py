@@ -42,7 +42,9 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(qid).alias("query_id"), _as_double(vec_col).alias("__qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    ).repartition("neighbor_id")  # spread the scoring scan across cores
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -154,7 +156,9 @@ def lsh_topk(
         )
 
     c = banded(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+        ).repartition("neighbor_id"),  # parallelize hyperplane projections
         "neighbor_id",
     )
     q = banded(
@@ -216,7 +220,9 @@ def ivf_topk(
         )
 
     c = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+        ).repartition("neighbor_id"),  # parallelize centroid assignment
         "neighbor_id",
         1,
     )
