@@ -126,6 +126,85 @@ def hll_convert_agkn(spark, sf_dir):
     )
 
 
+@query(
+    "hll_init_collection_agg_words",
+    """
+    SELECT lang, count(DISTINCT w) AS distinct_words FROM (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ) t WHERE w <> '' GROUP BY lang
+    """,
+)
+def hll_init_collection_agg_words(spark, sf_dir):
+    """hll_init_collection_agg: one sketch per group from all elements
+    of all collections (reference HyperLogLogInitCollectionAgg,
+    HLLFunctions.scala:343-377)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "lang", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    return toks.groupBy("lang").agg(
+        hll.hll_cardinality(
+            hll.hll_init_collection_agg(
+                "ws", _EXACT_SD, dtype=toks.schema["ws"].dataType
+            )
+        ).alias("distinct_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks: loss-free format round trips
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT r.r_name, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV sink+source round trip (header + explicit schema), then a
+    broadcast join over the re-read tables."""
+    from .sources.io import roundtrip
+
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    base = os.path.join(tempfile.gettempdir(), f"csv_rt_{os.getpid()}_{next(_STREAM_SEQ)}")
+    nation2 = roundtrip(nation, base + "/nation", "csv")
+    region2 = roundtrip(region, base + "/region", "csv")
+    return (
+        nation2.join(
+            F.broadcast(region2), nation2.n_regionkey == region2.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink+source round trip with the writer's schema."""
+    from .sources.io import roundtrip
+
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    path = os.path.join(
+        tempfile.gettempdir(), f"json_rt_{os.getpid()}_{next(_STREAM_SEQ)}"
+    )
+    supplier2 = roundtrip(supplier, path, "json")
+    return supplier2.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational operator matrix
 # ---------------------------------------------------------------------------
@@ -296,6 +375,82 @@ def pivot_revenue_by_flag(spark, sf_dir):
     )
 
 
+@query(
+    "left_outer_order_counts",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_outer_order_counts(spark, sf_dir):
+    """Left outer join preserving zero-order customers."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "window_moving_average",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg,
+           round(value - lag(value, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), 4) AS delta,
+           CAST(sum(1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS INTEGER) AS seq
+    FROM events
+    """,
+)
+def window_moving_average(spark, sf_dir):
+    """Analytic window frames: moving average, lag delta, running index."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@query(
+    "setop_intersect_segments",
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) t
+    """,
+)
+def setop_intersect_segments(spark, sf_dir):
+    """INTERSECT (distinct semantics): customers with both an urgent
+    order and a finished order."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return urgent.intersect(finished)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function library (string / date / math / json / array)
 # ---------------------------------------------------------------------------
@@ -380,11 +535,15 @@ def datemath_functions_orders(spark, sf_dir):
 def json_functions_events(spark, sf_dir):
     """JSON path extraction over a string column, aggregated."""
     (events,) = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return events.groupBy("event_type").agg(
-        F.countDistinct(k).alias("n_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+    # project the parsed field once so the JSON parse runs once per row,
+    # not once per aggregate expression
+    parsed = events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.countDistinct("k").alias("n_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
     )
 
 
@@ -531,7 +690,9 @@ def _synth_media(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     make = synth_image_udf()
-    return documents.select(
+    # repartition before the Python synth/decode stages: a single parquet
+    # split would otherwise run every Arrow batch in one task
+    return documents.select("doc_id").repartition("doc_id").select(
         "doc_id",
         make(
             F.col("doc_id"),
