@@ -1,0 +1,66 @@
+"""Plan-quality guardrails: the properties the operators are designed
+around must be visible in the physical plan (pushdown, pruning,
+broadcast, codegen, exchange reuse, Arrow batching).  Plan-only — no
+jobs run."""
+
+from __future__ import annotations
+
+from spark_alchemy_spark import plans
+from spark_alchemy_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dim_filter_pushed_to_scan(spark):
+    df = QUERIES["q3_top_unshipped_orders"](spark, SF)
+    plans.assert_filter_pushed(df, "c_mktsegment")
+
+
+def test_q1_column_pruning(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    plans.assert_columns_pruned(
+        df,
+        required={"l_returnflag", "l_quantity"},
+        banned={"l_tax", "l_partkey", "l_suppkey", "l_orderkey"},
+    )
+
+
+def test_q5_broadcasts_dims(spark):
+    df = QUERIES["q5_region_revenue"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_hll_aggregate_path_is_pure_jvm(spark):
+    """The sketch algebra's aggregate path must never cross into Python
+    (SURVEY.md §7.1: 100% codegen'd Catalyst)."""
+    for name in ("hll_init_agg_cardinality", "hll_merge_reaggregate"):
+        df = QUERIES[name](spark, SF)
+        assert plans.python_eval_ops(df) == [], name
+        # codegen spans only materialize in the AQE final plan
+        df.collect()
+        assert plans.codegen_stage_count(df) >= 1, name
+
+
+def test_hll_scalar_init_is_arrow_batched(spark):
+    """The per-row init path is Python by design, but must be the
+    Arrow-vectorized operator, never row-at-a-time pickling."""
+    df = QUERIES["hll_init_scalar_merge"](spark, SF)
+    ops = plans.python_eval_ops(df)
+    assert "ArrowEvalPython" in ops
+    assert "BatchEvalPython" not in ops
+
+
+def test_minhash_reuses_signature_exchange(spark):
+    """The LSH self-join must consume ONE signature exchange (computed
+    once), not recompute per side."""
+    df = QUERIES["dedup_minhash_lsh"](spark, SF)
+    # AQE materializes exchange reuse at runtime
+    df.collect()
+    assert plans.num_reused_exchanges(df) >= 1
+
+
+def test_asof_join_single_shuffle_no_join_op(spark):
+    """The as-of join is union+window: no physical join operator, and
+    the only wide ops are the window shuffle."""
+    df = QUERIES["asof_last_click_before_error"](spark, SF)
+    assert plans.join_strategies(df) == []
