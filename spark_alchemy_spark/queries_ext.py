@@ -747,6 +747,66 @@ def media_frame_sample_counts(spark, sf_dir):
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation (composed pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_corpus_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, text, ws, len(ws)::BIGINT AS n_tokens,
+        (SELECT CASE
+           WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'und' END
+         FROM (SELECT
+           len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','that','with','for','was'], w))) AS s_en,
+           len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], w))) AS s_de,
+           len(list_filter(ws, w -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], w))) AS s_fr,
+           len(list_filter(ws, w -> list_contains(['el','los','las','es','una','en','por','con','para','como'], w))) AS s_es)
+        ) AS lang_pred
+      FROM toks
+      WHERE len(ws) >= 20
+        AND list_aggregate(list_transform(ws, w -> len(w)), 'sum') * 1.0 / len(ws) <= 12.0),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(
+          list_sort(list_distinct(ws)), ' '))) AS min_id
+        FROM flagged) t
+      WHERE doc_id = min_id)
+    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+    FROM deduped GROUP BY lang_pred
+    """,
+)
+def curate_corpus_report(spark, sf_dir):
+    """Composed curation pipeline (quality -> language-ID -> exact
+    fingerprint dedup) with per-language token accounting; the oracle
+    replays every stage in SQL."""
+    from .operators.curate import curate_corpus, curation_report
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(documents, near_dup_threshold=None)
+    return curation_report(documents, curated)
+
+
+@query("curate_corpus_near_dedup")  # minhash stage: rows-only check
+def curate_corpus_near_dedup(spark, sf_dir):
+    """Full curation incl. MinHash-LSH near-dedup (greedy min-id
+    union-find over the candidate pairs)."""
+    from .operators.curate import curate_corpus
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(documents, near_dup_threshold=0.5)
+    return curated.select("doc_id", "lang_pred", "n_tokens")
+
+
 @query("media_image_features")  # embedding values are engine-defined: rows-only
 def media_image_features(spark, sf_dir):
     """Decode -> thumbnail -> per-channel stats + embedding, one Arrow
