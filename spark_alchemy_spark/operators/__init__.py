@@ -17,6 +17,7 @@ from .dedup import (
     simhash64,
     simhash_pairs,
 )
+from .curate import curate_corpus, curation_report
 from .similarity import brute_force_topk, brute_force_topk_np, ivf_topk, lsh_topk
 from .temporal import as_of_join, range_pair_join, sessionize
 
@@ -37,4 +38,6 @@ __all__ = [
     "brute_force_topk_np",
     "ivf_topk",
     "lsh_topk",
+    "curate_corpus",
+    "curation_report",
 ]

@@ -675,6 +675,28 @@ def stream_sessionized_counts(spark, sf_dir):
     )
 
 
+@query(
+    "stream_stateful_user_counters",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_counters(spark, sf_dir):
+    """Arbitrary-state streaming operator (applyInPandasWithState):
+    per-user running counters; a single availableNow batch's emission
+    equals the batch aggregate."""
+    from .streaming import read_events_stream, run_to_memory
+    from .streaming.stateful import stateful_user_counters
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        stateful_user_counters(stream),
+        _sink_name("stateful"),
+        output_mode="update",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: synth media with formula oracles
 # ---------------------------------------------------------------------------
