@@ -73,6 +73,19 @@ def _col(c) -> Column:
 
 
 def _lg_k(relative_sd: float | None) -> int:
+    """Error resolution with the reference's precedence: explicit arg >
+    session conf (``spark.alchemy.hll.relativeSD``) > 0.05 default
+    (reference HLLFunctions.scala:24-61)."""
+    if relative_sd is None:
+        from pyspark.sql import SparkSession
+
+        from ..conf import DEFAULT_ERROR_CONF_KEY
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            conf_sd = spark.conf.get(DEFAULT_ERROR_CONF_KEY, None)
+            if conf_sd is not None:
+                relative_sd = float(conf_sd)
     return precision_from_error(
         DEFAULT_RELATIVE_SD if relative_sd is None else relative_sd
     )

@@ -19,6 +19,7 @@ from .dedup import (
 )
 from .curate import curate_corpus, curation_report
 from .similarity import brute_force_topk, brute_force_topk_np, ivf_topk, lsh_topk
+from .skew import hot_keys, salted_join
 from .temporal import as_of_join, range_pair_join, sessionize
 
 __all__ = [
@@ -40,4 +41,6 @@ __all__ = [
     "lsh_topk",
     "curate_corpus",
     "curation_report",
+    "hot_keys",
+    "salted_join",
 ]

@@ -1,0 +1,21 @@
+"""Error-rate resolution precedence: explicit arg > session conf >
+default (reference HLLFunctions.scala:24-61)."""
+
+from __future__ import annotations
+
+from spark_alchemy_spark.conf import DEFAULT_ERROR_CONF_KEY
+from spark_alchemy_spark.functions.hll import _lg_k
+
+
+def test_error_precedence_chain(spark):
+    try:
+        spark.conf.unset(DEFAULT_ERROR_CONF_KEY)
+    except Exception:
+        pass
+    assert _lg_k(None) == 9  # 0.05 default
+    spark.conf.set(DEFAULT_ERROR_CONF_KEY, "0.01")
+    try:
+        assert _lg_k(None) == 14  # conf honored
+        assert _lg_k(0.05) == 9  # explicit arg wins
+    finally:
+        spark.conf.unset(DEFAULT_ERROR_CONF_KEY)
