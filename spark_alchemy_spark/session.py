@@ -10,6 +10,7 @@ for the pandas-UDF paths, and shuffle partitioning sized by the caller
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,16 @@ def build_session(
         # rejects unless read as long (converted back in sources/tpch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # keep managed-table state (bucketed tables) and the derby
+        # metastore out of the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_alchemy_warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={tempfile.gettempdir()}",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

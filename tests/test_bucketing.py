@@ -1,0 +1,67 @@
+"""Bucketed co-located joins: the join on the bucket key must plan with
+zero shuffle exchanges (the write amortized them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark import plans
+from spark_alchemy_spark.sources.bucketing import read_bucketed, write_bucketed
+from spark_alchemy_spark.sources.tpch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    write_bucketed(load_table(spark, SF, "orders"), "b_orders", "o_custkey", 8)
+    write_bucketed(
+        load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        8,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_customer"), "o_custkey"
+        )
+        assert plans.num_exchanges(j) == 0
+        assert "SortMergeJoin" in plans.join_strategies(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed):
+    agg = (
+        read_bucketed(spark, "b_orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plans.num_exchanges(agg) == 0
+
+
+def test_bucketed_join_results_match_plain(spark, bucketed):
+    plain = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy("o_custkey")
+        .collect()
+    )
+    bucked = (
+        read_bucketed(spark, "b_orders")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy("o_custkey")
+        .collect()
+    )
+    assert plain == bucked
