@@ -837,3 +837,8 @@ def media_image_features(spark, sf_dir):
 
     media = _synth_media(spark, sf_dir)
     return image_features(media, "media", "doc_id", thumb=8)
+
+
+# Sketch-family extension (theta set algebra, KLL quantiles) registers
+# itself into the same QUERIES/ORACLES dicts on import.
+from . import queries_sketches  # noqa: E402,F401  (registration side effect)
