@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "formatted_plan",
     "pushed_filters",
+    "partition_filters",
     "read_schema_columns",
     "join_strategies",
     "num_exchanges",
@@ -56,6 +57,18 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
         body = m.group(1)
         cols.append({f.split(":")[0].strip() for f in body.split(",") if f.strip()})
     return cols
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates applied at each file scan (these
+    eliminate whole directories before any file is opened — at 100 TB
+    the difference between scanning one partition and all of them)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
 
 
 def join_strategies(df: DataFrame) -> list[str]:

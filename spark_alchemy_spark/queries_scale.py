@@ -1,0 +1,258 @@
+"""Battery extension: scale-layout sources and the analytical query
+shapes a 100 TB deployment leans on.
+
+* **Partitioned table layout** — hive-style ``col=value/`` directories
+  written by ``sources/io.py::write_partitioned``; the pruning entry's
+  plan is asserted in tests/test_plans.py (PartitionFilters present,
+  excluded directories never opened).
+* **ORC round trip** — the remaining self-describing columnar format.
+* **Statistical aggregates** — corr/covariance/stddev/regression, all
+  single-pass JVM aggregates.
+* **TPC-H-shaped analytics** (Q6/Q10/Q14/Q19 adapted to the synthetic
+  schema) — the selective-scan, top-k-join, conditional-ratio and
+  OR-of-ANDs pushdown patterns.
+
+Same determinism conventions as queries.py (shared aliases, rounded
+floats, stable tiebreaks, timestamps as strings).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+from .queries_ext import _sink_name
+
+
+@query(
+    "source_partitioned_pruning",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY month
+    """,
+)
+def source_partitioned_pruning(spark, sf_dir):
+    """Write orders as a hive-partitioned table (partitioned by
+    priority), then answer a one-priority query: planning-time partition
+    pruning reads 1/5th of the data without opening excluded files."""
+    from .sources.io import write_partitioned
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("orders_part"))
+    write_partitioned(orders, path, ["o_orderpriority"])
+    part = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return part.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC sink+source round trip (self-describing, like parquet)."""
+    from .sources.io import roundtrip
+
+    (part,) = _t(spark, sf_dir, "part")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("orc_rt"))
+    part2 = roundtrip(part, path, "orc")
+    return part2.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "stats_functions_lineitem",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(var_pop(l_discount), 6) AS disc_var,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_base
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_functions_lineitem(spark, sf_dir):
+    """Statistical aggregate library: correlation, covariance, variance
+    and least-squares regression — one pass, partial+final mergeable
+    moments (the same reaggregation property as the sketches)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_base"
+        ),
+    )
+
+
+@query(
+    "q6_selective_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_revenue(spark, sf_dir):
+    """TPC-H Q6: a highly selective scan-aggregate — every predicate
+    pushes to the parquet scan (asserted in tests/test_plans.py); the
+    canonical 'filter early, read little' pattern."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14: conditional-ratio aggregate over a broadcast join
+    (part is the small dimension — at any SF it stays broadcastable
+    relative to lineitem)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q19_or_of_ands_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_or_of_ands_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunction of conjunctive predicates across both join
+    sides — Catalyst splits the single-side conjuncts out of the OR and
+    pushes them below the join, the rest evaluates post-join."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q10_returned_revenue_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_customers(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-item revenue — fact-fact
+    join shuffled on the join key, dimensions broadcast, stable top-k
+    tiebreak."""
+    customer, nation, orders, lineitem = _t(
+        spark, sf_dir, "customer", "nation", "orders", "lineitem"
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    joined = (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -157,3 +157,8 @@ def kll_merge_periods(spark, sf_dir):
         S.kll_quantile("sk", 0.90).alias("q90"),
         S.kll_count("sk").alias("n"),
     )
+
+
+# Scale-layout sources + analytical query shapes register themselves
+# into the same QUERIES/ORACLES dicts on import.
+from . import queries_scale  # noqa: E402,F401  (registration side effect)

@@ -39,6 +39,16 @@ def read_table(
     return reader.load(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout (``col=value/`` directories) — the
+    100 TB table design: queries filtering on a partition column prune
+    whole directories at planning time (PartitionFilters in the scan),
+    never opening a single excluded file."""
+    df.write.format(fmt).mode("overwrite").partitionBy(*partition_cols).save(path)
+
+
 def roundtrip(df: DataFrame, path: str, fmt: str, **options) -> DataFrame:
     """Write ``df`` to ``path`` as ``fmt`` and read it back with the
     original schema — the loss-free source/sink contract the battery

@@ -64,3 +64,37 @@ def test_asof_join_single_shuffle_no_join_op(spark):
     the only wide ops are the window shuffle."""
     df = QUERIES["asof_last_click_before_error"](spark, SF)
     assert plans.join_strategies(df) == []
+
+
+def test_partitioned_layout_prunes_at_plan_time(spark):
+    """The hive-partitioned layout must show a PartitionFilter on the
+    scan (directories pruned before any file opens) and no residual
+    data filter for the partition column."""
+    df = QUERIES["source_partitioned_pruning"](spark, SF)
+    pf = plans.partition_filters(df)
+    assert any("o_orderpriority" in p for p in pf), pf
+    assert not any("o_orderpriority" in p for p in plans.pushed_filters(df))
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = QUERIES["q6_selective_revenue"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q19_single_side_conjuncts_pushed_below_join(spark):
+    """Catalyst must extract the per-side disjuncts of the OR-of-ANDs
+    and push them into both scans."""
+    df = QUERIES["q19_or_of_ands_revenue"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+    assert set(plans.join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_sketch_aggregates_pure_jvm(spark):
+    """Theta/KLL sketch entries stay fully JVM-side like the HLL path."""
+    for name in ("theta_reaggregate_users", "kll_quantiles_quantity"):
+        df = QUERIES[name](spark, SF)
+        assert plans.python_eval_ops(df) == [], name
