@@ -256,3 +256,31 @@ def q10_returned_revenue_customers(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    """
+    SELECT p.user_id, count(*) AS n_pairs
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.user_id
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (clicks within the hour before each
+    purchase), watermarked on both sides so join state expires; the
+    availableNow replay must equal the batch interval join."""
+    from .streaming import interval_join, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    pairs = run_to_memory(
+        interval_join(clicks, purchases),
+        _sink_name("ssjoin"),
+        output_mode="append",
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -116,3 +116,33 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: each ``right``
+    row matches ``left`` rows of the same key whose timestamp falls in
+    [right.ts - max_lag, right.ts].
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can expire join state (without the
+    bound, stream-stream join state grows forever — the scale
+    constraint that shapes this API)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"), F.col("ts").alias("l_ts")
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"), F.col("ts").alias("r_ts")
+    )
+    return r.join(
+        l,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("l_ts") <= F.col("r_ts")),
+        "inner",
+    ).select(F.col("r_key").alias(key), "l_ts", "r_ts")
