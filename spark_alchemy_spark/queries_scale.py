@@ -284,3 +284,79 @@ def stream_stream_interval_join(spark, sf_dir):
         output_mode="append",
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "source_python_datasource",
+    """
+    WITH synth AS (
+      SELECT i AS event_id,
+             (i * 2654435761) % 500 AS user_id,
+             ['click','view','purchase','signup','error'][1 + (i * 40503) % 5]
+               AS event_type,
+             ((i * 37) % 1000) / 10.0 AS value
+      FROM generate_series(0, 19999) t(i))
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+           round(sum(value), 2) AS sum_value
+    FROM synth GROUP BY event_type
+    """,
+)
+def source_python_datasource(spark, sf_dir):
+    """Custom Python data source (Spark 4 DataSource API): a partitioned
+    deterministic generator planned like any other scan; the closed-form
+    row formula is reproduced exactly by the DuckDB oracle."""
+    from .sources import pyds
+
+    pyds.register(spark)
+    synth = (
+        spark.read.format("synth_events")
+        .option("n", 20000)
+        .option("n_users", 500)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return synth.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "udtf_tokenize_documents",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    exploded AS (SELECT source, unnest(toks) AS token FROM per_doc)
+    SELECT e.source, count(*) AS n_tokens,
+           count(DISTINCT token) AS distinct_tokens,
+           m.max_pos
+    FROM exploded e
+    JOIN (SELECT source, max(len(toks) - 1) AS max_pos
+          FROM per_doc WHERE len(toks) > 0 GROUP BY source) m
+      ON e.source = m.source
+    GROUP BY e.source, m.max_pos
+    """,
+)
+def udtf_tokenize_documents(spark, sf_dir):
+    """Python UDTF in the FROM clause via LATERAL: per-row 1→N token
+    expansion at the SQL level (the Python-native table-function
+    surface; bulk tokenization stays JVM-side in functions/text.py)."""
+    from .functions import udtfs
+    from .queries_ext import _sink_name
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    udtfs.register(spark)
+    view = _sink_name("docs_udtf")
+    documents.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.source, count(*) AS n_tokens,
+               count(DISTINCT t.token) AS distinct_tokens,
+               max(t.pos) AS max_pos
+        FROM {view} d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY d.source
+        """
+    )

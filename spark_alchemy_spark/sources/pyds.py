@@ -1,0 +1,90 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-events generator.
+
+The reference's only custom I/O is JDBC through stock Spark
+(hll/PostgresInteropTest.scala:21-35); this engine additionally shows
+the modern extension seam — a first-class ``spark.read.format(...)``
+source implemented in Python, planned and parallelized by Spark like
+any other scan.
+
+Scale design: the generator is *partitioned* — ``partitions()`` returns
+``numPartitions`` independent slices, each producing its rows from a
+closed-form row formula (no shared RNG state), so a 1000-executor
+cluster generates 1000 slices concurrently with zero coordination.  The
+same closed form makes the source oracle-checkable: DuckDB reproduces
+it exactly with ``generate_series``.
+
+Row formula (i = global row index, Knuth multiplicative hashing):
+    event_id   = i
+    user_id    = (i * 2654435761) % n_users
+    event_type = TYPES[(i * 40503) % 5]
+    value      = ((i * 37) % 1000) / 10.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.read.format("synth_events").option("n", ...).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def reader(self, schema) -> "SynthEventsReader":
+        return SynthEventsReader(
+            n=int(self.options.get("n", 1000)),
+            n_users=int(self.options.get("n_users", 100)),
+            num_partitions=int(self.options.get("numpartitions", 8)),
+        )
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, n: int, n_users: int, num_partitions: int):
+        self.n, self.n_users, self.num_partitions = n, n_users, num_partitions
+
+    def partitions(self):
+        per = -(-self.n // self.num_partitions)  # ceil
+        return [
+            _Slice(lo, min(lo + per, self.n))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _Slice):
+        n_users = self.n_users
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                (i * 2654435761) % n_users,
+                TYPES[(i * 40503) % 5],
+                ((i * 37) % 1000) / 10.0,
+            )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SynthEventsDataSource)
+
+
+def oracle_sql(n: int, n_users: int) -> str:
+    """DuckDB SQL producing the identical relation via the closed-form
+    row formula."""
+    types = ", ".join(f"'{t}'" for t in TYPES)
+    return f"""
+    SELECT i AS event_id,
+           (i * 2654435761) % {n_users} AS user_id,
+           [{types}][1 + (i * 40503) % 5] AS event_type,
+           ((i * 37) % 1000) / 10.0 AS value
+    FROM generate_series(0, {n - 1}) t(i)
+    """

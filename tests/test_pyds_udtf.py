@@ -1,0 +1,56 @@
+"""Custom Python data source + UDTF surfaces: partitioning, determinism,
+null handling."""
+
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark.functions import udtfs
+from spark_alchemy_spark.sources import pyds
+
+
+def test_synth_source_partitions_and_rows(spark):
+    pyds.register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n", 1000)
+        .option("n_users", 50)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert len({r["event_id"] for r in rows}) == 1000  # slices don't overlap
+    # spot-check the closed form at i=7
+    r7 = next(r for r in rows if r["event_id"] == 7)
+    assert r7["user_id"] == (7 * 2654435761) % 50
+    assert r7["event_type"] == pyds.TYPES[(7 * 40503) % 5]
+    assert r7["value"] == ((7 * 37) % 1000) / 10.0
+
+
+def test_synth_source_uneven_split(spark):
+    pyds.register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n", 10)
+        .option("numPartitions", 3)
+        .load()
+    )
+    assert df.count() == 10
+
+
+def test_udtf_tokenize_positions_and_nulls(spark):
+    udtfs.register(spark)
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, None), (3, "")], "id int, text string"
+    )
+    df.createOrReplaceTempView("udtf_probe")
+    out = spark.sql(
+        "SELECT id, t.pos, t.token FROM udtf_probe, "
+        "LATERAL tokenize_udtf(text) t"
+    ).collect()
+    # null and empty text produce no rows; double space is skipped
+    assert sorted((r["id"], r["pos"], r["token"]) for r in out) == [
+        (1, 0, "a"),
+        (1, 1, "b"),
+        (1, 2, "c"),
+    ]
