@@ -596,7 +596,8 @@ def stream_windowed_counts(spark, sf_dir):
 
     stream = read_events_stream(spark, sf_dir)
     return run_to_memory(
-        windowed_counts(stream), _sink_name("win_counts"), output_mode="complete"
+        windowed_counts(stream), _sink_name("win_counts"), output_mode="complete",
+        state_partitions=8,
     )
 
 
@@ -618,6 +619,7 @@ def stream_windowed_hll_users(spark, sf_dir):
         windowed_hll_users(stream, relative_sd=_EXACT_SD),
         _sink_name("win_hll"),
         output_mode="complete",
+        state_partitions=8,
     )
     return sketches.select(
         "hour",
@@ -644,7 +646,7 @@ def stream_dedup_replay(spark, sf_dir):
     counts = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return run_to_memory(counts, _sink_name("dedup"), output_mode="complete")
+    return run_to_memory(counts, _sink_name("dedup"), output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -668,7 +670,8 @@ def stream_sessionized_counts(spark, sf_dir):
 
     stream = read_events_stream(spark, sf_dir)
     sessions = run_to_memory(
-        sessionized_counts(stream), _sink_name("sessions"), output_mode="complete"
+        sessionized_counts(stream), _sink_name("sessions"), output_mode="complete",
+        state_partitions=8,
     )
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions")
@@ -694,6 +697,7 @@ def stream_stateful_user_counters(spark, sf_dir):
         stateful_user_counters(stream),
         _sink_name("stateful"),
         output_mode="update",
+        state_partitions=8,
     )
 
 

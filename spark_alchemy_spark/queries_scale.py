@@ -282,6 +282,7 @@ def stream_stream_interval_join(spark, sf_dir):
         interval_join(clicks, purchases),
         _sink_name("ssjoin"),
         output_mode="append",
+        state_partitions=8,
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
