@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +86,13 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition("__id")  # parallelize shingle construction across cores
-        .select("__id", F.explode(F.array_distinct(word_shingles("__t", n))).alias("__s"))
+        .select("__id", tokens("__t").alias("__tk"))  # one regex pass
+        .select(
+            "__id",
+            F.explode(F.array_distinct(shingles_from_tokens("__tk", n))).alias(
+                "__s"
+            ),
+        )
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -113,14 +119,29 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation i, min over shingles of
-    ``xxhash64(i, shingle)``.  ``num_perm`` codegen'd array_min passes;
-    empty shingle set -> NULL signature."""
+    ``xxhash64(i, base)`` where ``base = xxhash64(shingle)`` is computed
+    ONCE per shingle.  Permutations then re-hash 8-byte longs instead of
+    re-scanning the shingle strings (string hashing dominates at 64
+    permutations x ~50 shingles/doc — one string pass total makes the
+    signature ~num_perm x cheaper on wide documents).  Empty shingle
+    set -> NULL signature."""
+    return _minhash_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_perm
+    )
+
+
+def _minhash_from_hashes(hash_col, num_perm: int) -> Column:
+    """Signature from pre-hashed shingles (array<long>).  NB callers on
+    a hot path should materialize ``hash_col`` as a real column first —
+    handed a raw expression, Catalyst inlines it into all ``num_perm``
+    mins and the one-pass saving is lost (minhash_lsh_pairs does this)."""
     mins = [
-        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        F.array_min(
+            F.transform(hash_col, lambda x, i=i: F.xxhash64(F.lit(i), x))
+        )
         for i in range(num_perm)
     ]
-    sig = F.array(*mins)
-    return F.when(F.size(shingle_col) > 0, sig)
+    return F.when(F.size(hash_col) > 0, F.array(*mins))
 
 
 def minhash_lsh_pairs(
@@ -150,14 +171,33 @@ def minhash_lsh_pairs(
     # 2. repartition banded rows on the join keys so the self-join reuses
     #    ONE exchange (identical canonical subplans) instead of computing
     #    signatures once per side and re-shuffling.
-    shingled = (
+    # Each stage materializes what the next references repeatedly
+    # (HOF lambdas are interpreted — no subexpression elimination):
+    # one regex pass -> one string-hash pass -> exploded longs.  The
+    # signature itself is num_perm codegen'd min-aggregates over the
+    # exploded hashes, grouped on the already-partitioned __id (no
+    # second exchange), instead of num_perm interpreted array passes.
+    hashed = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition("__id")
-        .select("__id", F.array_distinct(word_shingles("__t", n)).alias("__sh"))
+        .select("__id", tokens("__t").alias("__tk"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_from_tokens("__tk", n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("__h"),
+        )
     )
-    sigd = shingled.select(
-        "__id", minhash_signature(F.col("__sh"), num_perm).alias("__sig")
-    ).filter(F.col("__sig").isNotNull())
+    sigd = hashed.groupBy("__id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), "__h")) for i in range(num_perm)]
+        ).alias("__sig")
+    )
 
     band_keys = F.array(
         *[
@@ -212,8 +252,9 @@ def simhash64(token_col: Column) -> Column:
     unrolled as literals (Spark's shiftright takes no Column bit count)
     and the vote array is referenced exactly once."""
 
-    def _bits(t):
-        h = F.xxhash64(t)
+    def _bits(h):
+        # h is a bound lambda variable (already a long): the 64 unrolled
+        # shiftrights reference it directly, no re-hashing
         return F.array(
             *[
                 F.when(
@@ -223,10 +264,14 @@ def simhash64(token_col: Column) -> Column:
             ]
         )
 
+    # hash every token ONCE in a single pass; HOF lambdas are
+    # interpreted, so inlining xxhash64(t) into the 64 bit tests would
+    # re-hash the string 64 times per token
+    hashes = F.transform(token_col, lambda t: F.xxhash64(t))
     bit_votes = F.aggregate(
-        token_col,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(acc, _bits(t), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(acc, _bits(h), lambda a, v: a + v),
     )
     powers = F.array(
         *[F.lit(1 << j if j < 63 else -(2**63)).cast("long") for j in range(64)]
@@ -311,6 +356,75 @@ def cosine_similarity(a, b) -> Column:
     return dot / (na * nb)
 
 
+def _all_pairs_cosine_blocked(
+    v: DataFrame, threshold: float, blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, blocked for scale: rows are
+    hashed into ``blocks`` blocks and replicated to every block *pair*
+    (factor ~blocks/2 per row), then each of the blocks·(blocks+1)/2
+    groups computes its cross-similarities as ONE BLAS matmul in an
+    Arrow-batched applyInPandas.  Shuffled volume is n·(blocks+1)/2
+    rows of compact vectors; no row-at-a-time O(n²) join ever exists in
+    the plan.  Each unordered pair lands in exactly one group (its
+    sorted block pair), so no dedup pass is needed.  The final
+    round/threshold runs JVM-side so rounding semantics (HALF_UP)
+    match the expression path exactly."""
+    import numpy as np
+    import pandas as pd
+
+    pair_keys = [(i, j) for i in range(blocks) for j in range(i, blocks)]
+    pairs_of_block = [
+        [k for k, (i, j) in enumerate(pair_keys) if i == b or j == b]
+        for b in range(blocks)
+    ]
+
+    grp_lists = F.array(
+        *[F.array(*[F.lit(p) for p in ps]) for ps in pairs_of_block]
+    )
+    tagged = v.select(
+        "__id",
+        "__v",
+        F.pmod(F.xxhash64("__id"), F.lit(blocks)).cast("int").alias("__blk"),
+    ).withColumn("__grp", F.explode(F.element_at(grp_lists, F.col("__blk") + 1)))
+
+    def cross_sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = pair_keys[int(pdf["__grp"].iloc[0])]
+        m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["__id"].to_numpy()
+        blk = pdf["__blk"].to_numpy()
+        if i == j:
+            sims = m @ m.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            cos = sims[ai, bi]
+        else:
+            ia, ib = np.where(blk == i)[0], np.where(blk == j)[0]
+            if len(ia) == 0 or len(ib) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+            sims = m[ia] @ m[ib].T  # |block i| x |block j|
+            ai = np.repeat(ia, len(ib))
+            bi = np.tile(ib, len(ia))
+            cos = sims.ravel()
+        keep = cos >= threshold - 1e-6  # final exact filter happens JVM-side
+        a_ids, b_ids = ids[ai[keep]], ids[bi[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_ids, b_ids),
+                "id_b": np.maximum(a_ids, b_ids),
+                "__cos": cos[keep],
+            }
+        )
+
+    out = tagged.groupBy("__grp").applyInPandas(
+        cross_sim, "id_a long, id_b long, __cos double"
+    )
+    return (
+        out.withColumn("cos", F.round("__cos", 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -345,15 +459,7 @@ def embedding_near_dup_pairs(
         )
     )
     if brute_force:
-        a, b = v.alias("a"), v.alias("b")
-        cand = a.join(b, F.col("a.__id") < F.col("b.__id")).select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
-        )
+        return _all_pairs_cosine_blocked(v, threshold)
     else:
         dim_idx = F.sequence(F.lit(1), F.size("__v"))
         # plane p component d = a deterministic pseudo-random unit in
