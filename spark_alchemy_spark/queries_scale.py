@@ -313,7 +313,7 @@ def source_python_datasource(spark, sf_dir):
         spark.read.format("synth_events")
         .option("n", 20000)
         .option("n_users", 500)
-        .option("numPartitions", 8)
+        .option("numPartitions", 4)
         .load()
     )
     return synth.groupBy("event_type").agg(

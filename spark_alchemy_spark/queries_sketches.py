@@ -162,3 +162,31 @@ def kll_merge_periods(spark, sf_dir):
 # Scale-layout sources + analytical query shapes register themselves
 # into the same QUERIES/ORACLES dicts on import.
 from . import queries_scale  # noqa: E402,F401  (registration side effect)
+
+
+@query(
+    "cms_user_frequencies",
+    """
+    SELECT user_id, count(*) AS n, count(*) AS est_n
+    FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def cms_user_frequencies(spark, sf_dir):
+    """Count-min sketch point queries: one mergeable CMS over all
+    events (JVM aggregate), then per-item frequency lookups through the
+    pure-Python decoder (functions/cms.py) — Arrow-batched, sketch in
+    the task closure.  eps sizes the width far above the distinct-user
+    count, so gate-scale estimates equal exact counts."""
+    from .functions import cms
+
+    (events,) = _t(spark, sf_dir, "events")
+    sketch = events.agg(
+        cms.count_min_sketch_agg("user_id", eps=0.0001).alias("s")
+    ).collect()[0]["s"]
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    return top.withColumn("est_n", cms.cms_estimate_udf(sketch)(F.col("user_id")))

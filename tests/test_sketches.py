@@ -98,3 +98,21 @@ def test_kll_row_merge_null_skip_and_exact(spark):
     assert row["q50"] == 1499.0  # ceil(0.5*3000)-1 = index 1499
     assert row["n_skip"] == 1000
     assert row["nn"] is None
+
+
+def test_cms_decode_and_point_queries(spark):
+    """Decoder matches Spark's CountMinSketchImpl bytes exactly —
+    negative and >32-bit items included."""
+    from spark_alchemy_spark.functions import cms
+
+    rows = [(v,) for v in [5] * 100 + [-7] * 25 + [2**40 + 3] * 4 + [0] * 9]
+    df = spark.createDataFrame(rows, "v long")
+    sk = bytes(
+        df.agg(cms.count_min_sketch_agg("v", eps=0.001).alias("s"))
+        .collect()[0]["s"]
+    )
+    total, depth, width, hash_a, table = cms.decode_cms(sk)
+    assert total == len(rows)
+    for item, exact in ((5, 100), (-7, 25), (2**40 + 3, 4), (0, 9)):
+        assert cms._estimate_long(item, depth, width, hash_a, table) == exact
+    assert cms.cms_total_count(sk) == len(rows)
