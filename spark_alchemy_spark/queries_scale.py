@@ -361,3 +361,32 @@ def udtf_tokenize_documents(spark, sf_dir):
         GROUP BY d.source
         """
     )
+
+
+@query(
+    "window_analytic_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cdist,
+           lead(o_orderkey, 1) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytic_functions(spark, sf_dir):
+    """The analytic window-function set (ntile, percent_rank, cume_dist,
+    lead) over a deterministic total order per customer."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+    )
