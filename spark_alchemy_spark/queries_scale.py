@@ -390,3 +390,34 @@ def window_analytic_functions(spark, sf_dir):
         F.round(F.cume_dist().over(w), 4).alias("cdist"),
         F.lead("o_orderkey", 1).over(w).alias("next_order"),
     )
+
+
+@query(
+    "skew_salted_join_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_priority_revenue(spark, sf_dir):
+    """Skew-mitigated fact-fact join: the shuffle key is salted 8 ways
+    (operators/skew.py), spreading any hot order key across reducers;
+    result is identical to the plain equi-join oracle."""
+    from .operators.skew import salted_join
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        lineitem,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

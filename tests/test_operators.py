@@ -127,3 +127,28 @@ def test_as_of_join_tolerance(spark):
         tolerance=F.lit(50),
     )
     assert miss.head()["v"] is None
+
+
+def test_utils_chaining(spark):
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark import utils
+
+    df = spark.range(10)
+    seen = []
+    out = utils.pipe(
+        df,
+        lambda d: utils.tap(d, lambda x: seen.append(len(x.columns))),
+        lambda d: d.withColumn("y", F.col("id") * 2),
+        lambda d: utils.transform_if(d, False, lambda x: x.limit(0)),
+        lambda d: utils.transform_when(
+            d, lambda x: "y" in x.columns, lambda x: x.filter(F.col("y") >= 10)
+        ),
+    )
+    assert seen == [1]
+    assert out.count() == 5
+    try:
+        utils.throw_if(df, True, "boom")
+        raise AssertionError("throw_if did not raise")
+    except ValueError:
+        pass
