@@ -27,6 +27,13 @@ def main():
     spark = build_session("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM codegen, parquet footer reads, Python worker
+    # daemon — so the first timed query measures itself, not startup
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.limit(1000).groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

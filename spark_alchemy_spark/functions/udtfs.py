@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="pos int, token string")
+@udtf(returnType="pos int, token string", useArrow=True)
 class Tokenize:
     """Explode a text into (position, token) rows; single-space split,
     empty tokens skipped (same convention as functions/text.py and the
