@@ -421,3 +421,47 @@ def skew_salted_join_priority_revenue(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Bucketed-table join: both facts written bucketed+sorted on the
+    join key, so the join and downstream aggregation plan with zero
+    shuffle of fact rows (the write amortized it) — the 100 TB layout
+    for repeated fact-fact joins.  Broadcast is disabled for the query
+    to exercise the co-located sort-merge path the layout exists for."""
+    from .queries_ext import _sink_name
+    from .sources.bucketing import read_bucketed, write_bucketed
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    t_li, t_od = _sink_name("b_li"), _sink_name("b_od")
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), t_li, "l_orderkey", 8
+    )
+    write_bucketed(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        t_od,
+        "l_orderkey",
+        8,
+    )
+    # MERGE hint (not a session conf toggle — a conf set here would be
+    # restored before the lazy plan executes): forces the sort-merge
+    # path, which the bucketed+sorted layout serves with zero exchange
+    # and zero sort
+    joined = read_bucketed(spark, t_li).hint("merge").join(
+        read_bucketed(spark, t_od), "l_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
