@@ -465,3 +465,96 @@ def bucketed_colocated_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "variant_json_events",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_events(spark, sf_dir):
+    """Spark 4 VARIANT columns: parse the JSON props once into the
+    shredded binary variant encoding, then typed variant_get paths —
+    the scale answer to schema-on-read JSON (parse once, project many
+    times without re-parsing text)."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type", F.variant_get("pv", "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "unpivot_pricing_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc', avg_disc FROM wide) t
+    """,
+)
+def unpivot_pricing_metrics(spark, sf_dir):
+    """Unpivot (wide->long): the inverse of pivot_revenue_by_flag,
+    melting three metric columns into (metric, value) rows."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "listagg_statuses",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def listagg_statuses(spark, sf_dir):
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP),
+    deterministic via the mandated element order."""
+    from .queries_ext import _sink_name
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    view = _sink_name("orders_la")
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM {view} GROUP BY o_orderpriority
+        """
+    )
