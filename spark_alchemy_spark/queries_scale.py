@@ -558,3 +558,30 @@ def listagg_statuses(spark, sf_dir):
         FROM {view} GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "stream_incremental_sketch_store",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_incremental_sketch_store(spark, sf_dir):
+    """Streaming sketch maintenance end to end: replay events through
+    foreachBatch into a persistent theta-sketch store (parquet), then
+    answer the distinct-user question from the STORE ALONE — raw events
+    are never rescanned.  Exact at gate scale (theta exact mode)."""
+    from .queries_ext import _sink_name
+    from .functions import sketches as S
+    from .streaming import incremental_sketch_store, read_events_stream
+
+    store = os.path.join(
+        tempfile.gettempdir(), _sink_name("sketch_store")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    incremental_sketch_store(stream, store, ["event_type"], "user_id", 16)
+    persisted = spark.read.parquet(store)
+    return persisted.groupBy("event_type").agg(
+        S.theta_cardinality(S.theta_merge("sketch", 16)).alias("approx_users")
+    )

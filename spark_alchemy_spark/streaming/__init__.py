@@ -169,3 +169,53 @@ def interval_join(
         & (F.col("l_ts") <= F.col("r_ts")),
         "inner",
     ).select(F.col("r_key").alias(key), "l_ts", "r_ts")
+
+
+def incremental_sketch_store(
+    events: DataFrame,
+    store_path: str,
+    key_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    lg_k: int = 16,
+    state_partitions: int = 8,
+) -> None:
+    """Incrementally maintain a persistent sketch table from a stream.
+
+    Every micro-batch appends one theta sketch per (batch, key) to a
+    parquet store via ``foreachBatch`` — the streaming half of the
+    precompute-then-reaggregate design: the store is tiny (one binary
+    column per key per batch), survives restarts, and any later reader
+    answers distinct-count/set-algebra questions with
+    ``theta_union_agg`` over the store instead of rescanning raw
+    events.  Append-only parquet keeps the write atomic per batch; at
+    deployment scale the same shape lands in a partitioned table keyed
+    by arrival date."""
+    from pyspark.sql import functions as F
+
+    from ..functions import sketches as S
+
+    keys = key_cols if key_cols is not None else ["event_type"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(*keys)
+            .agg(S.theta_init_agg(value_col, lg_k).alias("sketch"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    spark = events.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", store_path + "_chk")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
