@@ -1,0 +1,112 @@
+"""Property-based laws (hypothesis): operator equivalences that must
+hold on arbitrary inputs, not just the battery fixtures.
+
+Example counts are kept small — every example pays a Spark action —
+but the generators explore nulls, duplicates, skew and empty inputs,
+which is exactly where hand-written fixtures go stale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark.functions import sketches as S
+from spark_alchemy_spark.operators.skew import salted_join
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)  # few keys -> forced collisions
+
+
+@_settings
+@given(
+    left=st.lists(keys, min_size=0, max_size=30),
+    right=st.lists(keys, min_size=0, max_size=20),
+)
+def test_salted_join_equals_plain_join(spark, left, right):
+    """Salting is pure physical layout: result multiset == plain join."""
+    l = spark.createDataFrame([(k, i) for i, k in enumerate(left)] or None, "k long, lv long") \
+        if left else spark.createDataFrame([], "k long, lv long")
+    r = spark.createDataFrame([(k, i) for i, k in enumerate(right)] or None, "k long, rv long") \
+        if right else spark.createDataFrame([], "k long, rv long")
+    plain = sorted(map(tuple, l.join(r, "k").collect()))
+    salted = sorted(map(tuple, salted_join(l, r, on="k", salt=4).collect()))
+    assert salted == plain
+
+
+@_settings
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), max_size=40),
+    b=st.lists(st.integers(min_value=-50, max_value=50), max_size=40),
+)
+def test_theta_set_algebra_equals_python_sets(spark, a, b):
+    """Theta sketch algebra == Python set algebra while in exact mode."""
+    rows = [(x, None) for x in a] + [(None, y) for y in b]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "a long, b long")
+    sk = df.agg(
+        S.theta_init_agg("a", 12).alias("sa"), S.theta_init_agg("b", 12).alias("sb")
+    )
+    got = sk.select(
+        S.theta_cardinality(S.theta_union_row("sa", "sb", 12)).alias("u"),
+        S.theta_cardinality(S.theta_intersection_row("sa", "sb")).alias("i"),
+        S.theta_cardinality(S.theta_difference_row("sa", "sb")).alias("d"),
+    ).collect()[0]
+    sa, sb = set(a), set(b)
+    if not a or not b:
+        # null-algebra branch: missing side -> union degrades to the
+        # other side, intersection/difference -> NULL sketch
+        assert got["u"] == len(sa | sb)
+        assert got["i"] is None and got["d"] is None
+        return
+    assert (got["u"], got["i"], got["d"]) == (
+        len(sa | sb),
+        len(sa & sb),
+        len(sa - sb),
+    )
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    p=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_kll_quantile_is_exact_order_statistic(spark, vals, p):
+    """KLL in exact mode == the inclusive-rank order statistic."""
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = df.agg(S.kll_init_agg("d", 65535).alias("sk")).select(
+        S.kll_quantile("sk", p).alias("q"), S.kll_count("sk").alias("n")
+    ).collect()[0]
+    srt = sorted(vals)
+    assert got["n"] == len(vals)
+    assert got["q"] == srt[max(0, math.ceil(p * len(vals)) - 1)]
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_left_nulls(spark, how):
+    """Left salted join keeps unmatched left rows exactly once."""
+    l = spark.createDataFrame([(1, 10), (2, 20)], "k long, lv long")
+    r = spark.createDataFrame([(1, 100)], "k long, rv long")
+    out = sorted(
+        map(tuple, salted_join(l, r, on="k", salt=4, how=how).collect())
+    )
+    if how == "inner":
+        assert out == [(1, 10, 100)]
+    else:
+        assert out == [(1, 10, 100), (2, 20, None)]
