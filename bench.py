@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -27,12 +29,43 @@ def main():
     spark = build_session("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM codegen, parquet footer reads, Python worker
-    # daemon — so the first timed query measures itself, not startup
-    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    warm.limit(1000).groupBy("l_returnflag").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # untimed warmup: JVM codegen, parquet footer reads, and ONE touch of
+    # every Python execution pool (Arrow UDF, mapInPandas, grouped
+    # applyInPandas, Python data source).  Worker pools are created
+    # lazily per eval type; creating one late in a long session costs
+    # 10-50x more than at start (measured: 44s vs 0.8s for the Python
+    # data source pool after a 70-query prefix), so prewarming makes
+    # each timed entry measure its operator, not session-age pathology —
+    # the same reason real deployments pre-fork executor worker pools.
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        warm.limit(1000).groupBy("l_returnflag").count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+        @F.pandas_udf(T.LongType())
+        def _warm_udf(s: pd.Series) -> pd.Series:
+            return s
+
+        tiny = spark.range(64).withColumn("g", F.col("id") % 4)
+        tiny.select(_warm_udf("id")).write.format("noop").mode("overwrite").save()
+        tiny.mapInPandas(lambda it: it, "id long, g long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        tiny.groupBy("g").applyInPandas(
+            lambda pdf: pdf.head(1), "id long, g long"
+        ).write.format("noop").mode("overwrite").save()
+        from spark_alchemy_spark.sources import pyds
+
+        pyds.register(spark)
+        spark.read.format("synth_events").option("n", 64).option(
+            "numPartitions", 2
+        ).load().write.format("noop").mode("overwrite").save()
+    except Exception as e:  # warmup must never take down the bench
+        print(f"bench warmup skipped: {e}", file=sys.stderr)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -585,3 +585,36 @@ def stream_incremental_sketch_store(spark, sf_dir):
     return persisted.groupBy("event_type").agg(
         S.theta_cardinality(S.theta_merge("sketch", 16)).alias("approx_users")
     )
+
+
+@query(
+    "media_audio_features",
+    """
+    WITH s AS (
+      SELECT d.doc_id,
+             CAST((d.doc_id * 2654435761 + i * 40503) % 65536 - 32768
+                  AS DOUBLE) AS samp
+      FROM documents d, generate_series(0, 999) t(i)
+      WHERE d.doc_id < 200)
+    SELECT doc_id, 16000 AS sample_rate, count(*) AS n_samples,
+           round(sqrt(avg(samp * samp)), 2) AS rms,
+           CAST(max(abs(samp)) AS INTEGER) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def media_audio_features(spark, sf_dir):
+    """Audio modality end to end: synthesize WAV/PCM16 clips (binary
+    column), sniff the container JVM-side, then a REAL decode — PCM
+    needs no codec library — with vectorized per-clip stats in
+    mapInPandas.  The closed-form samples give an exact SQL oracle."""
+    from .multimodal import audio_features, sniff_mime, synth_wav_udf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    clips = (
+        documents.filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+        .select("doc_id", synth_wav_udf()(F.col("doc_id")).alias("wav"))
+    )
+    # JVM-side header sniff gates the Python decode to actual WAV rows
+    clips = clips.filter(sniff_mime("wav") == "audio/wav")
+    return audio_features(clips, "wav", "doc_id")

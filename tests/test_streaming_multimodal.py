@@ -114,3 +114,33 @@ def test_decode_unsupported_format_raises(spark):
     df = spark.createDataFrame([(1, bytearray(jpeg_ish))], "media_id long, data binary")
     with pytest.raises(Exception, match="(?i)pil|notimplemented|synth"):
         image_features(df, "data", "media_id").collect()
+
+
+def test_audio_wav_roundtrip_features(spark):
+    """Synth WAV bytes decode to the exact closed-form stats."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.multimodal import (
+        audio_features,
+        sniff_mime,
+        synth_wav_bytes,
+        synth_wav_udf,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    clips = df.select("doc_id", synth_wav_udf()(F.col("doc_id")).alias("wav"))
+    mimes = {r["m"] for r in clips.select(sniff_mime("wav").alias("m")).collect()}
+    assert mimes == {"audio/wav"}
+    rows = {r["doc_id"]: r for r in audio_features(clips, "wav", "doc_id").collect()}
+    for seed in range(5):
+        idx = np.arange(1000, dtype=np.int64)
+        samples = ((seed * 2654435761 + idx * 40503) % 65536 - 32768).astype(np.float64)
+        r = rows[seed]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 1000
+        assert r["rms"] == float(np.round(np.sqrt(np.mean(samples**2)), 2))
+        assert r["peak"] == int(np.abs(samples).max())
+    # byte-level: header says PCM16 mono 16kHz
+    buf = synth_wav_bytes(3)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" and len(buf) == 44 + 2000
