@@ -152,3 +152,39 @@ def test_utils_chaining(spark):
         raise AssertionError("throw_if did not raise")
     except ValueError:
         pass
+
+
+def test_ann_variants_recall_vs_brute_force(spark):
+    """LSH and IVF top-k must recover a solid fraction of the exact
+    top-k (deterministic seeds -> fixed recall; this pins quality, not
+    just row shape)."""
+    from spark_alchemy_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from spark_alchemy_spark.sources import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))[
+        "embeddings"
+    ]
+    queries = emb.filter("vec_id < 5")
+    k = 10
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, "vec_id", "embedding", k=k))
+    for name, approx_df in (
+        ("lsh", lsh_topk(emb, queries, "vec_id", "embedding", k=k)),
+        ("ivf", ivf_topk(emb, queries, "vec_id", "embedding", k=k)),
+    ):
+        approx = topk_sets(approx_df)
+        recalls = [
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.5, (name, mean_recall)
