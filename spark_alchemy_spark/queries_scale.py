@@ -618,3 +618,88 @@ def media_audio_features(spark, sf_dir):
     # JVM-side header sniff gates the Python decode to actual WAV rows
     clips = clips.filter(sniff_mime("wav") == "audio/wav")
     return audio_features(clips, "wav", "doc_id")
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS order_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 220)
+    GROUP BY c_name, o_orderkey, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18: IN-subquery with HAVING — planned as an aggregate
+    feeding a left-semi join on the fact key, then the enrichment
+    joins; stable top-k tiebreak."""
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 220)
+        .select("l_orderkey")
+    )
+    li = lineitem.join(big, "l_orderkey", "left_semi")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("order_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "order_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    """
+    SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntry,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntry
+    """,
+)
+def q22_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (broadcast single-row cross
+    join) + anti join against recent orders — above-average-balance
+    customers with no orders this millennium."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy(
+        (F.col("c_nationkey") % 10).cast("bigint").alias("cntry")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
