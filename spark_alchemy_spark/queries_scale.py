@@ -703,3 +703,39 @@ def q22_dormant_high_balance(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "map_functions_events",
+    """
+    SELECT event_type,
+           count(*) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2)
+                AS BIGINT) AS sum_k_doubled,
+           count(DISTINCT 'k') AS n_distinct_keys
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def map_functions_events(spark, sf_dir):
+    """Map-typed columns and their function library: parse props into
+    map<string,bigint>, then map_contains_key / transform_values /
+    element_at / map_keys — all codegen'd collection expressions."""
+    (events,) = _t(spark, sf_dir, "events")
+    m = events.select(
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    ).filter(F.map_contains_key("m", "k"))
+    doubled = m.select(
+        "event_type",
+        F.transform_values("m", lambda k, v: v * 2).alias("m2"),
+        F.map_keys("m").alias("ks"),
+    )
+    return doubled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_with_k"),
+        F.sum(F.element_at("m2", "k")).alias("sum_k_doubled"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("ks")))).cast(
+            "bigint"
+        ).alias("n_distinct_keys"),
+    )
