@@ -739,3 +739,58 @@ def map_functions_events(spark, sf_dir):
             "bigint"
         ).alias("n_distinct_keys"),
     )
+
+
+@query(
+    "dedup_cluster_components",
+    """
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id AS __id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT __id, unnest(list_distinct(
+               [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, len(tk) - 1)])) AS s
+      FROM tok WHERE len(tk) >= 3),
+    sizes AS (SELECT __id, count(*) AS n FROM sh GROUP BY __id),
+    inter AS (
+      SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.__id < b.__id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
+      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+    comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+    SELECT comp, count(*) AS n_members, min(node) AS min_doc,
+           max(node) AS max_doc
+    FROM comp GROUP BY comp
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Dedup pairs -> dedup CLUSTERS: n-gram Jaccard pairs closed into
+    connected components (operators/graph.py, min-label propagation
+    with checkpointed lineage), so chained duplicates A~B~C collapse to
+    one canonical id even when A~C never matched directly.  Oracle: a
+    recursive CTE reaches the same fixpoint."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_doc"),
+        F.max("node").alias("max_doc"),
+    )

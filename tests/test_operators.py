@@ -188,3 +188,21 @@ def test_ann_variants_recall_vs_brute_force(spark):
         ]
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= 0.5, (name, mean_recall)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A~B~C chains collapse to one component; disjoint pairs stay
+    separate; labels are the component minimum."""
+    from spark_alchemy_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges).collect()
+    }
+    assert {comp[n] for n in (1, 2, 3, 4)} == {1}
+    assert {comp[n] for n in (10, 11)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
