@@ -794,3 +794,29 @@ def dedup_cluster_components(spark, sf_dir):
         F.min("node").alias("min_doc"),
         F.max("node").alias("max_doc"),
     )
+
+
+@query(
+    "source_compaction_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def source_compaction_roundtrip(spark, sf_dir):
+    """Small-file compaction: fragment lineitem into 64 tiny files,
+    compact to byte-sized outputs (sources/io.py::compact_table,
+    staged rewrite + atomic swap), and prove the data identical via
+    the aggregate oracle."""
+    from .queries_ext import _sink_name
+    from .sources.io import compact_table
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("compact"))
+    lineitem.repartition(64).write.mode("overwrite").parquet(path)
+    compact_table(spark, path, target_file_bytes=32 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -55,3 +55,43 @@ def roundtrip(df: DataFrame, path: str, fmt: str, **options) -> DataFrame:
     checks end to end."""
     write_table(df, path, fmt, **options)
     return read_table(df.sparkSession, path, fmt, schema=df.schema, **options)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table directory into ~``target_file_bytes`` files.
+
+    The small-files problem is THE silent killer of 100 TB tables:
+    streaming appends and over-parallel writes leave thousands of tiny
+    files, and every later scan pays per-file open/footer costs plus a
+    task per file.  Compaction = size the output partition count from
+    the actual byte size (never the file count) and rewrite.  Returns
+    the number of files written.
+
+    The rewrite stages through a sibling directory and swaps via
+    rename, so readers never observe a half-written table; at
+    deployment scale the swap is a metastore location flip instead.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(staging)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_files
