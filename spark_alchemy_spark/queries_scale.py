@@ -820,3 +820,62 @@ def source_compaction_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "curate_canonical_docs",
+    """
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id AS __id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT __id, unnest(list_distinct(
+               [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, len(tk) - 1)])) AS s
+      FROM tok WHERE len(tk) >= 3),
+    sizes AS (SELECT __id, count(*) AS n FROM sh GROUP BY __id),
+    inter AS (
+      SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.__id < b.__id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
+      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+    comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM comp WHERE node <> comp)
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+    GROUP BY lang
+    """,
+)
+def curate_canonical_docs(spark, sf_dir):
+    """Cluster-aware dedup end to end: near-dup pairs -> connected
+    components -> keep only each cluster's canonical (minimum-id)
+    document -> corpus stats over the survivors.  This is the shape a
+    production curation job ships: transitive duplicates drop even when
+    the endpoints never matched pairwise."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    dropped = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = documents.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
