@@ -879,3 +879,87 @@ def curate_canonical_docs(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@query(
+    "stream_static_enrichment",
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrichment(spark, sf_dir):
+    """Stream-static join: the streaming-enrichment op class — each
+    micro-batch joins against a (broadcast) static dimension with no
+    streaming state at all, the standard shape for attaching dimension
+    attributes to events at ingest."""
+    from .queries_ext import _sink_name
+    from .streaming import read_events_stream, run_to_memory
+
+    customer = _t(spark, sf_dir, "customer")[0]
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(customer),
+        stream.user_id == customer.c_custkey,
+    ).select("user_id", "c_mktsegment")
+    rows = run_to_memory(
+        enriched, _sink_name("enrich"), output_mode="append",
+        state_partitions=8,
+    )
+    return rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+      FROM events),
+    cal AS (
+      SELECT t.day FROM bounds,
+             LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                    INTERVAL 1 DAY)) AS day) t),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT day, event_type FROM cal CROSS JOIN types),
+    actual AS (
+      SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+           COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a
+      ON a.day = g.day AND a.event_type = g.event_type
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Calendar gap filling: build the dense (day x type) grid with
+    sequence+explode (no driver loop, no UDF), left-join the actual
+    counts, zero-fill the holes — the canonical time-series
+    densification before windowed models."""
+    (events,) = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    actual = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(actual, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
