@@ -963,3 +963,59 @@ def timeseries_gap_fill(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "histogram_order_totals",
+    """
+    SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1,
+                          0), 13) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def histogram_order_totals(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the one-pass
+    distribution profile (bucket, count, observed range)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "regexp_functions_documents",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+             AS n_numbers,
+           count(CASE WHEN regexp_matches(text, '^[A-Z]') THEN 1 END)
+             AS n_upper_start,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+ing '))) AS BIGINT)
+             AS n_ing_words
+    FROM documents GROUP BY source
+    """,
+)
+def regexp_functions_documents(spark, sf_dir):
+    """The regexp function family (extract_all, match-test) over the
+    corpus — patterns restricted to the syntax both engines share."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.groupBy("source").agg(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))))
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.count(F.when(F.col("text").rlike("^[A-Z]"), 1)).alias(
+            "n_upper_start"
+        ),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+ing "))))
+        .cast("bigint")
+        .alias("n_ing_words"),
+    )
