@@ -28,9 +28,12 @@ def as_of_join(
     right_cols: list[str] | None = None,
     tolerance: Column | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: each left row picks the most
-    recent right row with ``right_ts <= left_ts`` for the same ``on`` key.
+    """As-of join: each left row picks the closest right row for the
+    same ``on`` key — the most recent with ``right_ts <= left_ts``
+    (``direction="backward"``, default) or the earliest with
+    ``right_ts >= left_ts`` (``direction="forward"``).
 
     Implementation: tag both inputs, union them on a shared timeline,
     and carry the latest right payload forward with
@@ -45,10 +48,15 @@ def as_of_join(
     ``tolerance`` (an interval Column) discards matches older than
     ``left_ts - tolerance``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
 
-    order_cols = [F.col("__t"), F.col("__src")]
+    # forward = the same one-shuffle carry, scanning time reversed;
+    # right rows still sort before left at equal timestamps (inclusive)
+    ts_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    order_cols = [ts_order, F.col("__src")]
     if tie_break:
         order_cols.append(F.col("__tie").asc_nulls_first())
         r = right.select(
@@ -97,12 +105,12 @@ def as_of_join(
     picked = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
     out = picked.filter(F.col("__src") == 1)
     if tolerance is not None:
-        out = out.withColumn(
-            "__match",
-            F.when(
-                F.col("__match.__rts") >= F.col("__t") - tolerance, F.col("__match")
-            ),
+        in_tol = (
+            F.col("__match.__rts") >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col("__match.__rts") <= F.col("__t") + tolerance
         )
+        out = out.withColumn("__match", F.when(in_tol, F.col("__match")))
     keep = [c for c in left.columns]
     for c in right_cols:
         out = out.withColumn(c, F.col(f"__match.{c}"))

@@ -1019,3 +1019,49 @@ def regexp_functions_documents(spark, sf_dir):
         .cast("bigint")
         .alias("n_ing_words"),
     )
+
+
+@query(
+    "asof_forward_next_error",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+      SELECT p.user_id, p.ts,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                AND e.ts >= p.ts) AS err_ts
+      FROM p)
+    SELECT user_id, count(*) AS n_purchases,
+           count(CASE WHEN err_ts IS NOT NULL
+                       AND err_ts <= ts + INTERVAL 1 HOUR THEN 1 END)
+             AS n_error_within_hour
+    FROM nxt GROUP BY user_id
+    """,
+)
+def asof_forward_next_error(spark, sf_dir):
+    """Forward as-of join with tolerance: for every purchase, the next
+    error by the same user within one hour — same one-shuffle
+    union+window plan as the backward variant, time reversed."""
+    from .operators.temporal import as_of_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    joined = as_of_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="err_ts",
+        right_cols=["err_ts"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("err_ts").alias("n_error_within_hour"),
+    )

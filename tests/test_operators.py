@@ -206,3 +206,32 @@ def test_connected_components_chain_and_islands(spark):
     assert {comp[n] for n in (1, 2, 3, 4)} == {1}
     assert {comp[n] for n in (10, 11)} == {10}
     assert {comp[n] for n in (20, 21)} == {20}
+
+
+def test_as_of_join_forward(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 10)], "k long, t long"
+    ).select("k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 60, "b"), (2, 5, "c")], "k long, t long, v string"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v")
+    out = {
+        (r["k"], r["t"].second + r["t"].minute * 60): r["v"]
+        for r in as_of_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 10)] == "a"   # earliest right at/after 10 is 20
+    assert out[(1, 50)] == "b"   # next is 60
+    assert out[(2, 10)] is None  # right row at 5 is in the past
+
+    # tolerance: match must be within +30s
+    tol = as_of_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"],
+        direction="forward", tolerance=F.expr("INTERVAL 30 SECONDS"),
+    )
+    vals = {(r["k"], r["t"].second + r["t"].minute * 60): r["v"] for r in tol.collect()}
+    assert vals[(1, 10)] == "a" and vals[(1, 50)] == "b"
