@@ -129,3 +129,22 @@ def shingles_from_tokens(tok_col, n: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# GPT-2-style pretokenizer, restricted to the regex subset Java and
+# RE2 share (no lookahead): a token is an optionally space-prefixed
+# letter run, digit run, or punctuation run.  This is the "BPE-ish"
+# budget estimator: counts track byte-pair-encoding vocabularies far
+# better than whitespace splitting (which undercounts punctuation-
+# and digit-heavy text).
+BPE_SPLIT_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def subword_tokens(col) -> Column:
+    """BPE-style pretokens (array<string>) via one regexp pass."""
+    return F.regexp_extract_all(_col(col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def subword_token_count(col) -> Column:
+    """Token-budget estimate under BPE-ish pretokenization."""
+    return F.size(subword_tokens(col)).cast("long")

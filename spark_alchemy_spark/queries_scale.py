@@ -1065,3 +1065,37 @@ def asof_forward_next_error(spark, sf_dir):
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("err_ts").alias("n_error_within_hour"),
     )
+
+
+@query(
+    "text_subword_token_stats",
+    """
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+               AS n_sub,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws
+      FROM documents)
+    SELECT lang, CAST(sum(n_sub) AS BIGINT) AS subword_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           round(sum(n_sub) * 1.0 / sum(n_ws), 4) AS expansion
+    FROM t GROUP BY lang
+    """,
+)
+def text_subword_token_stats(spark, sf_dir):
+    """Token budgets under BPE-ish pretokenization vs whitespace — the
+    expansion factor is what turns corpus bytes into training-token
+    estimates (functions/text.py::subword_token_count)."""
+    from .functions.text import subword_token_count, token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    per_doc = documents.select(
+        "lang",
+        subword_token_count("text").alias("n_sub"),
+        token_count("text").alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_sub").cast("bigint").alias("subword_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.round(F.sum("n_sub") * 1.0 / F.sum("n_ws"), 4).alias("expansion"),
+    )
