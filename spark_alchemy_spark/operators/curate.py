@@ -11,21 +11,25 @@ filters first (quality, language — codegen, no shuffle), then the
 shuffle-bearing dedups over the already-reduced survivor set, then
 bookkeeping aggregates.
 
-The near-dedup stage resolves candidate pairs to survivors with a
-min-id union–find run driver-side over the (tiny) pair list — pairs
-are a vanishingly small fraction of docs for real thresholds; the
-massive side (documents) never leaves executors.  For adversarial
-corpora where pairs themselves are huge, swap in an iterative
-large-star/small-star connected-components pass (same contract).
+The near-dedup stage resolves candidate pairs to survivors via
+distributed min-label connected components (operators/graph.py) — one
+shuffle per propagation round, documents never leave executors.  When
+the counted pair volume is tiny (<= ``driver_pair_limit``) a
+driver-side min-id union–find shortcut avoids the iterative rounds;
+the guard is an actual count, never an assumption, so adversarial
+corpora (low thresholds, dirty data) stay executor-side instead of
+OOMing the driver.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import doc_fingerprint, lang_id, quality_flags, token_count
 from .dedup import minhash_lsh_pairs
+from .graph import connected_components
 
 
 def curate_corpus(
@@ -38,6 +42,7 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.5,
     num_perm: int = 64,
     bands: int = 16,
+    driver_pair_limit: int = 50_000,
 ) -> DataFrame:
     """Curated survivor set with per-document bookkeeping columns
     (``lang_pred``, ``n_tokens``).  Deterministic: smallest id survives
@@ -64,33 +69,51 @@ def curate_corpus(
     if near_dup_threshold is None:
         return exact
 
+    # Materialize the pair list once (it feeds both the volume guard
+    # count and whichever loser-resolution path runs), and COUNT it —
+    # the driver shortcut is gated on measured volume, not hope.
     pairs = minhash_lsh_pairs(
         exact, id_col, text_col, num_perm=num_perm, bands=bands,
         threshold=near_dup_threshold,
-    )
-    losers = _pair_losers(pairs)
-    if losers:
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return exact
+
+    id_type = exact.schema[id_col].dataType
+    if n_pairs <= driver_pair_limit:
+        losers = _pair_losers(pairs)
         loser_df = exact.sparkSession.createDataFrame(
-            [(i,) for i in sorted(losers)], f"{id_col} long"
+            [(i,) for i in sorted(losers)],
+            T.StructType([T.StructField(id_col, id_type)]),
         )
-        exact = exact.join(F.broadcast(loser_df), on=id_col, how="left_anti")
-    return exact
+        return exact.join(F.broadcast(loser_df), on=id_col, how="left_anti")
+
+    # Executor-side path: distributed connected components over the pair
+    # graph; every node that is not its component's minimum loses.  The
+    # documents side anti-joins against the (pair-bounded) loser set —
+    # nothing unbounded ever reaches the driver.
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers_df = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return exact.join(losers_df, on=id_col, how="left_anti")
 
 
-def _pair_losers(pairs: DataFrame) -> set[int]:
-    """Min-id union–find over the near-dup pair list: every doc that is
-    not its component's minimum is a loser.  Pair lists are small by
-    construction (high-threshold near-dups), so this runs driver-side;
-    the documents themselves are never collected."""
-    parent: dict[int, int] = {}
+def _pair_losers(pairs: DataFrame) -> set:
+    """Min-id union–find over a SMALL (pre-counted) near-dup pair list:
+    every doc that is not its component's minimum is a loser.  Only
+    called under ``driver_pair_limit`` — the unbounded path is
+    ``operators.graph.connected_components``."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         while parent.setdefault(x, x) != x:
             parent[x] = parent[parent[x]]  # path halving
             x = parent[x]
         return x
 
-    for row in pairs.select("id_a", "id_b").collect():
+    for row in pairs.collect():
         ra, rb = find(row["id_a"]), find(row["id_b"])
         if ra != rb:  # min root wins
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

@@ -10,12 +10,12 @@ Scale design: min-label propagation as a DataFrame loop —
 each round joins the current labels across (symmetrized) edges and
 keeps the per-node minimum, so one round is one shuffle on the node
 key; rounds needed = graph diameter (small for dup clusters, which are
-near-cliques).  Convergence is detected with an aggregate (sum of
-labels strictly decreases until fixpoint — no driver-side row
-iteration), and ``localCheckpoint`` cuts the growing lineage every
-round, which is what keeps plan size and task deserialization flat
-when the loop runs long (the classic iterative-algorithm failure mode
-on Spark).
+near-cliques).  Convergence is detected by counting changed labels
+(a single aggregate scalar per round — no driver-side row iteration;
+label-type agnostic, so string node ids converge correctly too), and
+``localCheckpoint`` cuts the growing lineage every round, which is
+what keeps plan size and task deserialization flat when the loop runs
+long (the classic iterative-algorithm failure mode on Spark).
 """
 
 from __future__ import annotations
@@ -47,25 +47,29 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = (
+        updated = (
             labels.join(neigh_min, labels.node == neigh_min.a, "left")
             .select(
                 "node",
+                F.col("comp").alias("old_comp"),
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)  # cut lineage every round
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # Convergence = zero labels changed this round.  `!=` on the label
+        # column works for any orderable id type (long, string, ...),
+        # unlike a SUM over labels which is NULL for strings and would
+        # silently exit the loop early with wrong chained components.
+        changed = updated.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = updated.drop("old_comp")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels

@@ -47,3 +47,64 @@ def test_pair_losers_union_find(spark):
         [(1, 2), (2, 5), (7, 9), (3, 4)], "id_a long, id_b long"
     )
     assert _pair_losers(pairs) == {2, 5, 9, 4}
+
+
+def test_near_dedup_distributed_path_matches_driver_path(spark, monkeypatch):
+    """With driver_pair_limit=0 the loser set must come from distributed
+    connected_components — _pair_losers must never run — and the
+    survivor set must equal the driver-shortcut result."""
+    base = GOOD + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = base.replace("joy", "glee")
+    variant2 = base.replace("barn", "shed")  # chains: 1~2, 1~3
+    docs = _docs(spark, [(1, base), (2, variant), (3, variant2)])
+
+    expected = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, near_dup_threshold=0.5).collect()
+    )
+
+    import spark_alchemy_spark.operators.curate as curate_mod
+
+    def _boom(_):
+        raise AssertionError("driver-side union-find ran on the distributed path")
+
+    monkeypatch.setattr(curate_mod, "_pair_losers", _boom)
+    got = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, near_dup_threshold=0.5, driver_pair_limit=0
+        ).collect()
+    )
+    assert got == expected and 1 in got
+
+
+def test_curate_string_doc_ids(spark):
+    """String doc ids flow through both dedup stages (regression: the
+    loser DataFrame schema used to hard-code long)."""
+    other = (
+        "sailing boats drift across calm blue water while gulls circle high "
+        "above the harbor and fishermen mend their nets beside wooden docks "
+        "every single morning before sunrise arrives"
+    )
+    docs = spark.createDataFrame(
+        [("a", GOOD), ("b", GOOD), ("c", other)],
+        "doc_id string, text string",
+    )
+    out = curate_corpus(docs, near_dup_threshold=0.9)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert "a" in ids and "b" not in ids and "c" in ids
+
+
+def test_connected_components_string_ids_chain(spark):
+    """Chained components with STRING node ids converge to the true
+    minimum label (regression: SUM-based convergence was NULL for
+    strings and exited the loop one round early)."""
+    from spark_alchemy_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert {comp[n] for n in "abcd"} == {"a"}
+    assert {comp[n] for n in "xy"} == {"x"}
