@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 6,
     threshold_den: int = 10,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs (a < b) with word-``n``-gram Jaccard >=
     ``threshold_num/threshold_den``, computed exactly.
@@ -78,10 +79,17 @@ def ngram_jaccard_pairs(
     -> integer cross-multiplied threshold (no floating point).  Returns
     (id_a, id_b, inter, uni).
 
-    Scale note: pair blow-up concentrates on high-frequency shingles;
-    for web-scale corpora drop shingles above a document-frequency cap
-    before the self-join (the candidates they generate are recovered by
-    the remaining rarer shingles of any truly similar pair).
+    Hot-shingle guard: pair blow-up concentrates on high-frequency
+    shingles — one viral boilerplate trigram with document frequency d
+    puts d^2/2 rows through the self-join.  Shingles with DF >
+    ``max_shingle_df`` are therefore excluded from CANDIDATE GENERATION
+    (the self-join), and their contribution to the intersection is added
+    back afterwards by probing only the surviving candidate pairs
+    against the hot postings — so (inter, uni) stay exact for every
+    pair that shares at least one sub-cap shingle.  Only pairs whose
+    ENTIRE overlap is viral boilerplate are missed, which is the
+    desired semantics for near-dup mining.  ``max_shingle_df=None``
+    disables the guard (pure exact mode).
     """
     sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
@@ -95,12 +103,50 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = sh.alias("a"), sh.alias("b")
+
+    if max_shingle_df is not None:
+        # One extra aggregation on the same shingle key the self-join
+        # shuffles on; hot postings are the (few) shingles above cap.
+        dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        idx = (
+            sh.join(dfreq, "__s")
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__id", "__s")
+        )
+        hot = (
+            sh.join(dfreq, "__s")
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__id", "__s")
+        )
+    else:
+        idx, hot = sh, None
+
+    a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+    if hot is not None:
+        # Exact correction: count hot shingles present in BOTH docs of
+        # each candidate pair.  Cost is candidates x hot-shingles-per-doc
+        # — linear in candidates, never quadratic in postings.
+        ha = hot.select(F.col("__id").alias("id_a"), "__s")
+        hb = hot.select(F.col("__id").alias("id_b"), "__s")
+        hot_inter = (
+            inter.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, ["id_b", "__s"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__hi"))
+        )
+        inter = (
+            inter.join(hot_inter, ["id_a", "id_b"], "left")
+            .withColumn("inter", F.col("inter") + F.coalesce("__hi", F.lit(0)))
+            .select("id_a", "id_b", "inter")
+        )
+
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     out = (

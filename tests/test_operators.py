@@ -235,3 +235,34 @@ def test_as_of_join_forward(spark):
     )
     vals = {(r["k"], r["t"].second + r["t"].minute * 60): r["v"] for r in tol.collect()}
     assert vals[(1, 10)] == "a" and vals[(1, 50)] == "b"
+
+
+def test_ngram_jaccard_hot_shingle_cap_preserves_pairs(spark):
+    """A viral boilerplate phrase shared by every doc must not change the
+    (inter, uni) output when the DF cap excludes it from candidate
+    generation: true near-dup pairs are recovered through their rare
+    shingles and the hot contribution is added back exactly."""
+    from spark_alchemy_spark.operators.dedup import ngram_jaccard_pairs
+
+    viral = "alpha beta gamma delta epsilon zeta"  # in ALL docs -> DF = n_docs
+    rows = []
+    for i in range(10):
+        uniq = " ".join(f"u{i}w{j}" for j in range(8))
+        rows.append((i, f"{viral} {uniq}"))
+    # doc 10 is a true near-dup of doc 1 (one trailing word differs)
+    rows.append((10, rows[1][1].rsplit(" ", 1)[0] + " changed"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap):
+        return sorted(
+            (r["id_a"], r["id_b"], r["inter"], r["uni"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3,
+                threshold_num=5, threshold_den=10, max_shingle_df=cap,
+            ).collect()
+        )
+
+    exact = pairs(None)
+    capped = pairs(3)  # viral trigrams (DF=11) excluded from the self-join
+    assert capped == exact
+    assert any(p[:2] == (1, 10) for p in exact)  # the near-dup pair exists
