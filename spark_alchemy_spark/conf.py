@@ -35,8 +35,13 @@ MIN_LG_K = 4
 MAX_LG_K = 21
 
 #: Supported backend names.  ``DS`` = Datasketches (execution), ``AGKN``
-#: = postgresql-hll compatible bytes (export-only, via hll_convert).
+#: = postgresql-hll compatible bytes, ``STRM`` = StreamLib HLL+ bytes
+#: (the latter two are byte formats for hll_convert, not execution
+#: backends).
 BACKENDS = ("DS", "AGKN")
+
+#: Byte formats accepted as conversion endpoints by hll_convert.
+CONVERSION_FORMATS = ("DS", "AGKN", "STRM")
 
 
 def precision_from_error(relative_sd: float) -> int:
@@ -62,22 +67,32 @@ def error_from_precision(lg_k: int) -> float:
     return 1.106 / math.sqrt(2.0 ** lg_k)
 
 
-def resolve_backend(spark, impl: str | None) -> str:
+def resolve_backend(spark, impl: str | None, for_conversion: bool = False) -> str:
     """Per-call arg > session conf > 'DS' default.
 
     reference: HLLFunctions.scala:34-41 (same precedence chain).
+    With ``for_conversion`` the STRM/AGKN byte formats are accepted
+    (hll_convert endpoints); as an EXECUTION backend STRM still raises —
+    the engine runs on Datasketches.
     """
     name = impl
     if name is None and spark is not None:
         name = spark.conf.get(IMPLEMENTATION_CONF_KEY, None)
     name = (name or "DS").upper()
-    # Accept the reference's names as documented aliases: both of its
-    # backends are "a HLL register file"; our runtime one is DS.
-    if name in ("STRM", "STREAMLIB"):
+    if name == "STREAMLIB":
+        name = "STRM"
+    if for_conversion:
+        if name not in CONVERSION_FORMATS:
+            raise ValueError(
+                f"Unknown sketch byte format {name!r}; expected one of "
+                f"{CONVERSION_FORMATS}"
+            )
+        return name
+    if name == "STRM":
         raise ValueError(
             "backend 'STRM' (StreamLib) is not an execution backend here; "
             "the engine runs on Datasketches ('DS'). Use hll_convert for "
-            "postgresql-hll ('AGKN') byte interop."
+            "StreamLib ('STRM') / postgresql-hll ('AGKN') byte interop."
         )
     if name not in BACKENDS:
         raise ValueError(f"Unknown HLL backend {name!r}; expected one of {BACKENDS}")

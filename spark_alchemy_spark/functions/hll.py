@@ -264,21 +264,33 @@ def hll_intersect_cardinality(left, right) -> Column:
 
 
 def hll_convert(col, impl_from: str = "DS", impl_to: str = "AGKN") -> Column:
-    """Convert sketch bytes between backend formats.
+    """Convert sketch bytes between backend formats, register-by-register.
 
-    Supported: DS -> AGKN (postgresql-hll compatible), the analogue of
-    the reference's one-way STRM -> AGKN conversion
-    (HLLFunctions.scala:641-670; codec hll/package.scala:15-61).
+    Supported: DS -> AGKN (postgresql-hll compatible), STRM -> AGKN
+    (the reference's own conversion, HLLFunctions.scala:641-670; codec
+    hll/package.scala:15-61), and DS -> STRM (export for consumers
+    reading stream-lib bytes).  Converted sketches estimate the same
+    cardinality but must never be MERGED with natively-built sketches
+    of the other system (different input hashes —
+    HLLFunctions.scala:628-630).
     """
     f, t = impl_from.upper(), impl_to.upper()
-    if (f, t) != ("DS", "AGKN"):
-        raise ValueError(
-            f"Conversion from {impl_from!r} to {impl_to!r} is not supported "
-            "(only DS -> AGKN, mirroring the reference's STRM -> AGKN)."
-        )
-    from .agkn import ds_to_agkn_udf
+    if (f, t) == ("DS", "AGKN"):
+        from .agkn import ds_to_agkn_udf
 
-    return ds_to_agkn_udf()(_col(col))
+        return ds_to_agkn_udf()(_col(col))
+    if (f, t) == ("STRM", "AGKN"):
+        from .strm import strm_to_agkn_udf
+
+        return strm_to_agkn_udf()(_col(col))
+    if (f, t) == ("DS", "STRM"):
+        from .strm import ds_to_strm_udf
+
+        return ds_to_strm_udf()(_col(col))
+    raise ValueError(
+        f"Conversion from {impl_from!r} to {impl_to!r} is not supported "
+        "(DS -> AGKN, STRM -> AGKN, DS -> STRM)."
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,33 @@ def hll_convert_agkn(spark, sf_dir):
 
 
 @query(
+    "hll_convert_strm",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_convert_strm(spark, sf_dir):
+    """hll_convert chained through the StreamLib byte format
+    (DS -> STRM -> AGKN): registers must survive both re-encodings so
+    the AgKn estimator still sees the exact group cardinalities.
+    reference: the STRM half of HyperLogLogConvert
+    (HLLFunctions.scala:641-670, codec hll/Implementation.scala:92-102)."""
+    from .functions.agkn import agkn_cardinality_udf
+
+    (events,) = _t(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        hll.hll_init_agg("user_id", _EXACT_SD).alias("sk")
+    )
+    return sk.select(
+        "event_type",
+        agkn_cardinality_udf()(
+            hll.hll_convert(hll.hll_convert("sk", "DS", "STRM"), "STRM", "AGKN")
+        ).alias("approx_users"),
+    )
+
+
+@query(
     "hll_init_collection_agg_words",
     """
     SELECT lang, count(DISTINCT w) AS distinct_words FROM (
