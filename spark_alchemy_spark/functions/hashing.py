@@ -48,6 +48,11 @@ NULL_HASH = -7046029254386353131
 ARRAY_SEED = 4868644678621849277
 MAP_SEED = -8601341657237400911
 STRUCT_SEED = 2863050554762567121
+#: BinaryType values are seed-tagged so `'a'` and `CAST('a' AS BINARY)`
+#: sketch distinctly, like the reference's type-tagged hash
+#: (CardinalityHashFunction.scala:24-25).  Strings keep the plain
+#: xxhash64 so existing sketches stay stable.
+BINARY_SEED = 6364136223846793005
 
 
 def _col(c) -> Column:
@@ -61,6 +66,18 @@ def is_direct_sketchable(dtype: T.DataType) -> bool:
 
 def is_primitive(dtype: T.DataType) -> bool:
     return not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+
+
+def _primitive_hash(c: Column) -> Column:
+    """xxhash64 with the string/binary type distinction: BINARY values
+    hash through a tagged seed chain (``xxhash64(BINARY_SEED, c)``),
+    everything else through plain ``xxhash64(c)``.  ``typeof`` is
+    foldable, so Catalyst collapses the CASE to a single branch at plan
+    time — no per-row dispatch survives in the physical plan."""
+    return F.when(
+        F.typeof(c) == F.lit("binary"),
+        F.xxhash64(F.lit(BINARY_SEED), c),
+    ).otherwise(F.xxhash64(c))
 
 
 def _nested_hash(c: Column, dtype: T.DataType) -> Column:
@@ -96,8 +113,9 @@ def _value_hash(c: Column, dtype: T.DataType) -> Column:
         for f in dtype.fields:
             parts.append(_nested_hash(c.getField(f.name), f.dataType))
         return F.xxhash64(*parts)
-    # Primitive: Spark's xxhash64 handles every atomic type natively.
-    return F.xxhash64(c)
+    # Primitive: Spark's xxhash64 handles every atomic type natively
+    # (binary seed-tagged to keep it distinct from the equal string).
+    return _primitive_hash(c)
 
 
 def cardinality_hash(col, dtype: T.DataType | None = None) -> Column:
@@ -111,7 +129,9 @@ def cardinality_hash(col, dtype: T.DataType | None = None) -> Column:
     """
     c = _col(col)
     if dtype is None or is_primitive(dtype):
-        return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(F.xxhash64(c))
+        return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
+            _primitive_hash(c)
+        )
     return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(_value_hash(c, dtype))
 
 
@@ -138,7 +158,7 @@ def element_hashes(col, dtype: T.DataType | None = None) -> Column:
     elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
     nonnull = F.filter(c, lambda x: x.isNotNull())
     if elem is None or is_primitive(elem):
-        return F.transform(nonnull, lambda x: F.xxhash64(x))
+        return F.transform(nonnull, lambda x: _primitive_hash(x))
     return F.transform(nonnull, lambda x: _value_hash(x, elem))
 
 

@@ -42,6 +42,7 @@ import functools
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -334,15 +335,25 @@ def bound_hll(relative_sd: float) -> BoundHLL:
 
 
 def register(spark) -> None:
-    """Register the SQL-facing surface on a session.
+    """Register ALL NINE reference SQL names on a session, so
+    ``spark.sql("SELECT hll_init_agg(x) ... GROUP BY g")`` resolves the
+    same surface as the reference's registry
+    (expressions/NativeFunctionRegistration.scala:13-85, name list
+    HLLFunctionRegistration.scala:8-18).
 
-    Scalar functions become Spark SQL UDFs (``CREATE FUNCTION ... RETURN``,
-    fully Catalyst-inlined); the aggregate forms have no SQL-UDAF analogue
-    in OSS Spark, so SQL users compose the built-ins directly, e.g.
-    ``hll_union_agg(sk, true)`` — documented in README.  The reference's
-    JVM route is NativeFunctionRegistration
-    (expressions/NativeFunctionRegistration.scala:13-85); a PySpark-native
-    engine registers at the session instead.
+    Two tiers:
+
+    * ``hll_cardinality`` / ``hll_intersect_cardinality`` /
+      ``hll_row_merge`` are SQL macros over the JVM built-ins — fully
+      Catalyst-inlined, zero Python.
+    * the init/aggregate/convert forms are Arrow UDFs / UDAFs hashing
+      with :mod:`pyxxh` (bit-identical to the JVM ``cardinality_hash``),
+      so SQL-built sketches MERGE correctly with DataFrame-built ones.
+      Note the UDAF forms materialize each group's values (no partial
+      aggregation — a Spark grouped-agg UDF limitation); they are the
+      SQL *compatibility* surface.  The DataFrame API
+      (``hll_init_agg``/``hll_merge`` above) stays on codegen'd JVM
+      aggregates and is the path for heavy pipelines.
     """
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality(sk BINARY) "
@@ -369,3 +380,115 @@ def register(spark) -> None:
         "RETURNS BIGINT RETURN CASE WHEN x IS NULL THEN CAST(NULL AS BIGINT) "
         "ELSE xxhash64(x) END"
     )
+
+    from pyspark.sql.functions import arrow_udf
+
+    from .hashing import BINARY_SEED
+    from .pyxxh import hash_arrow_values, xxh64_long
+    from .sketch_codec import (
+        serialize_coupons,
+        sketch_bytes_from_hashes_vec,
+        union_images,
+    )
+
+    lg_k = _lg_k(None)  # error resolution at registration time
+    bin_seed = xxh64_long(BINARY_SEED)
+
+    @arrow_udf("binary")
+    def _sql_init_agg(v: pa.Array) -> bytes:
+        hashes = hash_arrow_values(v, bin_seed)
+        if len(hashes) == 0:
+            return None  # empty / all-null group -> NULL sketch
+        return sketch_bytes_from_hashes_vec(hashes, lg_k)
+
+    @arrow_udf("binary")
+    def _sql_init_collection_agg(v: pa.Array) -> bytes:
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        if v.null_count == len(v):
+            return None  # only NULL collections -> NULL sketch
+        # flatten() drops null lists; null ELEMENTS are skipped by the
+        # hash layer — matching element_hashes / the reference's offers
+        return sketch_bytes_from_hashes_vec(
+            hash_arrow_values(v.flatten(), bin_seed), lg_k
+        )
+
+    @arrow_udf("binary")
+    def _sql_merge(v: pa.Array) -> bytes:
+        return union_images(v.to_pylist())
+
+    @arrow_udf("binary")
+    def _sql_init(v: pa.Array) -> pa.Array:
+        out, i = [], 0
+        hashes = hash_arrow_values(v, bin_seed)
+        for is_null in pa.compute.is_null(v).to_pylist():
+            if is_null:
+                out.append(None)
+            else:
+                out.append(sketch_bytes_from_hashes_vec(hashes[i : i + 1], lg_k))
+                i += 1
+        return pa.array(out, type=pa.binary())
+
+    @arrow_udf("binary")
+    def _sql_init_collection(v: pa.Array) -> pa.Array:
+        out = []
+        for lst in v.to_pylist():
+            if lst is None:
+                out.append(None)
+            elif not lst:
+                out.append(serialize_coupons((), lg_k))
+            else:
+                elems = pa.array([e for e in lst if e is not None])
+                out.append(
+                    sketch_bytes_from_hashes_vec(
+                        hash_arrow_values(elems, bin_seed), lg_k
+                    )
+                    if len(elems)
+                    else serialize_coupons((), lg_k)
+                )
+        return pa.array(out, type=pa.binary())
+
+    @arrow_udf("binary")
+    def _sql_convert(sk: pa.Array, impl_from: pa.Array, impl_to: pa.Array) -> pa.Array:
+        from ..conf import resolve_backend
+        from .agkn import ds_to_agkn
+        from .strm import ds_to_strm, strm_to_agkn
+
+        pairs = {
+            ("DS", "AGKN"): ds_to_agkn,
+            ("STRM", "AGKN"): strm_to_agkn,
+            ("DS", "STRM"): ds_to_strm,
+        }
+        out = []
+        for b, f, t in zip(
+            sk.to_pylist(), impl_from.to_pylist(), impl_to.to_pylist()
+        ):
+            key = (
+                resolve_backend(None, f, for_conversion=True),
+                resolve_backend(None, t, for_conversion=True),
+            )
+            if key not in pairs:
+                raise ValueError(f"Conversion {f!r} -> {t!r} is not supported")
+            out.append(pairs[key](b))
+        return pa.array(out, type=pa.binary())
+
+    @arrow_udf("bigint")
+    def _sql_agkn_cardinality(images: pa.Array) -> pa.Array:
+        from .agkn import agkn_cardinality
+
+        return pa.array(
+            [
+                None if b is None else round(agkn_cardinality(bytes(b)))
+                for b in images.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+
+    spark.udf.register("hll_init_agg", _sql_init_agg)
+    spark.udf.register("hll_init_collection_agg", _sql_init_collection_agg)
+    spark.udf.register("hll_merge", _sql_merge)
+    spark.udf.register("hll_init", _sql_init)
+    spark.udf.register("hll_init_collection", _sql_init_collection)
+    spark.udf.register("hll_convert", _sql_convert)
+    # estimator over converted postgresql-hll bytes (what the reference's
+    # interop test reads back from Postgres, PostgresInteropTest.scala:88-98)
+    spark.udf.register("agkn_cardinality", _sql_agkn_cardinality)

@@ -239,3 +239,77 @@ def coupons_for_longs(values: "np.ndarray") -> "np.ndarray":
     slot = (h1 & _U64(_KEY_MASK)).astype(np.int64)
     val = np.minimum(_nlz64_vec(h2), 62) + 1
     return ((val << _KEY_BITS) | slot).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dense (HLL-mode) images: what a promoted / merged sketch serializes to.
+# Layout confirmed against Spark's own hll_sketch_agg output (updatable
+# HLL_8, preInts=10): [0..7] common preamble with curMin at byte 6, then
+# hipAccum / kxq0 / kxq1 as little-endian doubles, numAtCurMin, auxCount,
+# then 2^lgK one-byte registers.  We emit hip=0 with the OUT_OF_ORDER
+# flag (0x10) set — exactly what a DS union produces — so readers use the
+# register-derived composite estimator, never a stale HIP value.
+# ---------------------------------------------------------------------------
+
+_MODE_HLL = 2
+_FLAG_OUT_OF_ORDER = 0x10
+
+
+def serialize_dense(lg_k: int, registers: "np.ndarray") -> bytes:
+    """Updatable HLL_8 image from a dense register array."""
+    m = 1 << lg_k
+    regs = np.asarray(registers, dtype=np.uint8)
+    if len(regs) != m:
+        raise ValueError(f"expected {m} registers, got {len(regs)}")
+    cur_min = int(regs.min())
+    num_at_cur_min = int((regs == cur_min).sum())
+    powers = np.power(2.0, -regs.astype(np.float64))
+    kxq0 = float(powers[regs < 32].sum())
+    kxq1 = float(powers[regs >= 32].sum())
+    head = _preamble(10, lg_k, 0, _FLAG_OUT_OF_ORDER, cur_min, _MODE_HLL)
+    mid = struct.pack("<dddii", 0.0, kxq0, kxq1, num_at_cur_min, 0)
+    return head + mid + regs.tobytes()
+
+
+def union_images(images, lg_k_out: int | None = None) -> bytes | None:
+    """Union any mix of DS images (LIST/SET/HLL_8) into one dense image.
+
+    Mixed precisions downsample to the smallest lgK present (register
+    slot = low lgK bits of the 26-bit coupon key, and the register value
+    is precision-independent, so ``max`` over the slot preimage is the
+    exact DS downsampling rule).  All-None input -> None (the
+    reference's "no non-null input -> NULL sketch" algebra).
+    """
+    from .agkn import ds_registers
+
+    regsets = [ds_registers(bytes(b)) for b in images if b is not None]
+    if not regsets:
+        return None
+    lg = min(k for k, _ in regsets)
+    if lg_k_out is not None:
+        lg = min(lg, lg_k_out)
+    m = 1 << lg
+    acc = np.zeros(m, dtype=np.uint8)
+    for k, regs in regsets:
+        if k > lg:
+            regs = regs.reshape(1 << (k - lg), m).max(axis=0)
+        np.maximum(acc, regs, out=acc)
+    return serialize_dense(lg, acc)
+
+
+def sketch_bytes_from_hashes_vec(hashes, lg_k: int) -> bytes:
+    """Vectorized :func:`sketch_bytes_from_hashes` for whole-group
+    batches (the SQL UDAF path): coupon image while small, dense HLL_8
+    once the register file is the smaller representation."""
+    arr = np.asarray(hashes, dtype=np.int64)
+    if len(arr) == 0:
+        return serialize_coupons((), lg_k)
+    coupons = np.unique(coupons_for_longs(arr))
+    m = 1 << lg_k
+    if len(coupons) * 4 > m:
+        regs = np.zeros(m, dtype=np.uint8)
+        slots = (coupons & _KEY_MASK) & (m - 1)
+        vals = (coupons >> _KEY_BITS).astype(np.uint8)
+        np.maximum.at(regs, slots, vals)
+        return serialize_dense(lg_k, regs)
+    return serialize_coupons(coupons.tolist(), lg_k)

@@ -436,9 +436,15 @@ def _all_pairs_cosine_blocked(
     def cross_sim(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = pair_keys[int(pdf["__grp"].iloc[0])]
         m = np.array(pdf["__v"].tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
         ids = pdf["__id"].to_numpy()
         blk = pdf["__blk"].to_numpy()
+        # zero-norm vectors have no defined cosine: drop them, matching
+        # the expression path (x / 0 -> NULL -> filtered by threshold)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0
+        if not nz.all():
+            m, ids, blk, norms = m[nz], ids[nz], blk[nz], norms[nz]
+        m = m / norms
         if i == j:
             sims = m @ m.T
             ai, bi = np.triu_indices(len(ids), k=1)

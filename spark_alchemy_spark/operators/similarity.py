@@ -76,13 +76,22 @@ def brute_force_topk_np(
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows])
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # clamp zero query norms (sims become 0, never NaN)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qn == 0, 1.0, qn)
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            # drop zero-norm corpus vectors (expression path: NULL cosine)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0
+            if not nz.all():
+                m, ids, norms = m[nz], ids[nz], norms[nz]
+            if len(ids) == 0:
+                continue
+            m = m / norms
             sims = m @ qm.T  # corpus x queries
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]

@@ -47,10 +47,21 @@ def as_of_join(
     (drop with ``.filter(...isNotNull())`` for inner semantics).
     ``tolerance`` (an interval Column) discards matches older than
     ``left_ts - tolerance``.
+
+    Right payload columns must not collide with left column names — the
+    output carries both sides flat, so a collision would silently
+    overwrite the left value; rename/alias on the right side first.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    collisions = sorted(set(right_cols) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"as_of_join: right payload column(s) {collisions} collide with "
+            "left columns; alias them on the right DataFrame (e.g. "
+            ".withColumnRenamed) before joining"
+        )
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
 
     # forward = the same one-shuffle carry, scanning time reversed;

@@ -80,23 +80,85 @@ def hll_persist_roundtrip(spark, sf_dir):
 @query(
     "hll_sql_surface",
     """
-    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    SELECT event_type,
+           count(DISTINCT user_id) AS users_scalar_path,
+           count(DISTINCT user_id) AS users_agg_path,
+           count(DISTINCT user_id) AS users_rowmerge,
+           count(DISTINCT user_id) AS users_intersect,
+           count(DISTINCT user_id) AS users_converted
     FROM events GROUP BY event_type
     """,
 )
 def hll_sql_surface(spark, sf_dir):
-    """The SQL-registration surface (reference registers all 9 functions
-    into the session FunctionRegistry, NativeFunctionRegistration.scala:
-    20-26): pure SQL text over registered hll_* names + built-ins."""
+    """The SQL-registration surface: SEVEN reference names resolved from
+    pure SQL text (hll_init, hll_init_agg, hll_merge, hll_row_merge,
+    hll_cardinality, hll_intersect_cardinality, hll_convert — the two
+    collection forms are driven by hll_sql_surface_collections).  The
+    reference registers all nine into the session FunctionRegistry
+    (NativeFunctionRegistration.scala:20-26); here scalar names are SQL
+    macros over JVM built-ins and init/agg/convert names are Arrow
+    UDFs/UDAFs whose hashing is bit-identical to the DataFrame path.
+    Every column must equal the exact per-group distinct count."""
+    from .conf import DEFAULT_ERROR_CONF_KEY
+
     (events,) = _t(spark, sf_dir, "events")
-    hll.register(spark)
+    spark.conf.set(DEFAULT_ERROR_CONF_KEY, str(_EXACT_SD))
+    hll.register(spark)  # picks up the conf'd error bound
     view = _sink_name("events_v")
     events.createOrReplaceTempView(view)
     return spark.sql(
         f"""
-        SELECT event_type,
-               hll_cardinality(hll_sketch_agg(xxhash64(user_id), 20)) AS approx_users
-        FROM {view} GROUP BY event_type
+        WITH per_row AS (
+          SELECT event_type, hll_init(user_id) AS sk FROM {view}),
+        scalar_path AS (
+          SELECT event_type, hll_merge(sk) AS sk
+          FROM per_row GROUP BY event_type),
+        agg_path AS (
+          SELECT event_type, hll_init_agg(user_id) AS sk
+          FROM {view} GROUP BY event_type)
+        SELECT s.event_type,
+               hll_cardinality(s.sk) AS users_scalar_path,
+               hll_cardinality(a.sk) AS users_agg_path,
+               hll_cardinality(hll_row_merge(s.sk, a.sk)) AS users_rowmerge,
+               hll_intersect_cardinality(s.sk, a.sk) AS users_intersect,
+               agkn_cardinality(hll_convert(
+                 hll_convert(a.sk, 'DS', 'STRM'), 'STRM', 'AGKN')) AS users_converted
+        FROM scalar_path s JOIN agg_path a ON s.event_type = a.event_type
+        """
+    )
+
+
+@query(
+    "hll_sql_surface_collections",
+    """
+    SELECT lang,
+           count(DISTINCT w) AS words_scalar_path,
+           count(DISTINCT w) AS words_agg_path
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+    WHERE w <> '' GROUP BY lang
+    """,
+)
+def hll_sql_surface_collections(spark, sf_dir):
+    """The two collection SQL names (hll_init_collection,
+    hll_init_collection_agg) from pure SQL text: per-row element
+    sketches merged per language vs the direct collection aggregate —
+    both must equal the exact distinct word count."""
+    from .conf import DEFAULT_ERROR_CONF_KEY
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    spark.conf.set(DEFAULT_ERROR_CONF_KEY, str(_EXACT_SD))
+    hll.register(spark)
+    view = _sink_name("documents_v")
+    documents.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH words AS (
+          SELECT lang, array_remove(split(text, ' '), '') AS ws FROM {view})
+        SELECT lang,
+               hll_cardinality(hll_merge(hll_init_collection(ws)))
+                 AS words_scalar_path,
+               hll_cardinality(hll_init_collection_agg(ws)) AS words_agg_path
+        FROM words GROUP BY lang
         """
     )
 

@@ -73,12 +73,35 @@ def compact_table(
     the number of files written.
 
     The rewrite stages through a sibling directory and swaps via
-    rename, so readers never observe a half-written table; at
-    deployment scale the swap is a metastore location flip instead.
+    rename.  NOTE: the local-filesystem swap is for single-writer dev /
+    CI use — ``os.rename``/``os.walk`` require a POSIX filesystem, the
+    table path briefly does not exist between the two renames, and a
+    concurrent reader can race the swap.  At deployment scale (object
+    stores / HDFS) the swap must be a metastore location flip or an
+    Iceberg/Delta rewrite commit instead; this function raises rather
+    than guess on non-local paths.  The swap IS re-runnable: stale
+    ``__compacting.*`` / ``__old.*`` leftovers from a crashed prior run
+    are cleared first, and unique suffixes prevent collisions.
     """
     import math
     import os
     import shutil
+    import uuid
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "compact_table's rename swap only works on local filesystems; "
+            f"got {path!r} — use a metastore location flip / table-format "
+            "rewrite commit for object stores"
+        )
+    path = path.removeprefix("file://")
+
+    # clear stale staging/old dirs from a previously crashed run, so the
+    # rewrite is re-runnable without manual cleanup
+    parent, base = os.path.split(path.rstrip("/"))
+    for entry in os.listdir(parent or "."):
+        if entry.startswith((base + "__compacting", base + "__old")):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -88,9 +111,10 @@ def compact_table(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    staging = path.rstrip("/") + "__compacting"
+    token = uuid.uuid4().hex[:8]
+    staging = path.rstrip("/") + f"__compacting.{token}"
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(staging)
-    old = path.rstrip("/") + "__old"
+    old = path.rstrip("/") + f"__old.{token}"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

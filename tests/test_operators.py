@@ -276,3 +276,60 @@ def test_ngram_jaccard_hot_shingle_cap_preserves_pairs(spark):
     capped = pairs(3)  # viral trigrams (DF=11) excluded from the self-join
     assert capped == exact
     assert any(p[:2] == (1, 10) for p in exact)  # the near-dup pair exists
+
+
+def test_as_of_join_rejects_colliding_right_cols(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string").select(
+        "k", F.timestamp_seconds("t").alias("t"), "v"
+    )
+    right = spark.createDataFrame([(1, 5, "y")], "k long, t long, v string").select(
+        "k", F.timestamp_seconds("t").alias("t"), "v"
+    )
+    try:
+        as_of_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"])
+        raise AssertionError("expected collision ValueError")
+    except ValueError as e:
+        assert "collide" in str(e)
+
+
+def test_zero_norm_vectors_dropped(spark):
+    """Zero vectors must be excluded (expression path: NULL cosine), not
+    poison results with NaN similarities."""
+    from spark_alchemy_spark.operators.dedup import embedding_near_dup_pairs
+    from spark_alchemy_spark.operators.similarity import brute_force_topk_np
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, brute_force=True
+    ).collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 2 not in ids_in_pairs and (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+    topk = brute_force_topk_np(df, df.filter("vec_id = 0"), "vec_id", "embedding", k=3)
+    got = [r["neighbor_id"] for r in topk.collect()]
+    assert 2 not in got and got[0] == 1
+
+
+def test_compact_table_rerunnable(spark, tmp_path):
+    import os
+
+    from spark_alchemy_spark.sources.io import compact_table
+
+    p = str(tmp_path / "tbl")
+    spark.range(1000).repartition(8).write.parquet(p)
+    # stale leftovers from a "crashed" prior run must not break the swap
+    os.makedirs(p + "__compacting.deadbeef")
+    os.makedirs(p + "__old.deadbeef")
+    n = compact_table(spark, p, target_file_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(p).count() == 1000
+    assert not any("__old" in e or "__compacting" in e for e in os.listdir(tmp_path))
+    # s3-style paths refuse rather than corrupt
+    try:
+        compact_table(spark, "s3://bucket/tbl")
+        raise AssertionError("expected ValueError for object-store path")
+    except ValueError as e:
+        assert "local filesystems" in str(e)
