@@ -52,15 +52,14 @@ _AGKN_TYPE_FULL = 4
 # ---------------------------------------------------------------------------
 
 
-def ds_registers(data: bytes) -> tuple[int, np.ndarray]:
-    """Parse a Datasketches HLL sketch image into ``(lg_k, registers)``.
+def ds_parse(data: bytes) -> tuple[str, int, np.ndarray]:
+    """Parse a Datasketches HLL image WITHOUT densifying coupon modes.
 
-    Handles the three serialized modes (LIST, SET, HLL) in both compact
-    and updatable layouts; HLL mode must be HLL_8 (what Spark's
-    built-ins and our writer emit).  Coupon modes are promoted to a
-    dense register array exactly as the Java library does on coupon
-    insert: ``slot = coupon_low26 & (2^lgK - 1)``,
-    ``value = coupon >> 26``, keeping the max per slot.
+    Returns ``("coupons", lg_k, int64 coupon array)`` for LIST/SET
+    images or ``("dense", lg_k, uint8 registers)`` for HLL_8 images.
+    Keeping coupon images as coupons matters for bulk unions: a tiny
+    per-row image would otherwise allocate a full 2^lgK register array
+    (1 MiB at lgK=20) just to carry a handful of values.
     """
     if len(data) < 8:
         raise ValueError("not a Datasketches HLL image: too short")
@@ -69,7 +68,6 @@ def ds_registers(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"implausible lgK={lg_k}")
     mode = data[7] & 0x3
     m = 1 << lg_k
-    regs = np.zeros(m, dtype=np.uint8)
     if mode == _MODE_HLL:
         tgt = (data[7] >> 2) & 0x3
         if tgt != _TGT_HLL_8:
@@ -77,7 +75,7 @@ def ds_registers(data: bytes) -> tuple[int, np.ndarray]:
                 "only HLL_8 dense images are supported (Spark's target type)"
             )
         body = np.frombuffer(data, dtype=np.uint8, offset=40, count=m)
-        return lg_k, body.copy()
+        return "dense", lg_k, body.copy()
     if mode == _MODE_LIST:
         count = data[6]
         coupons = np.frombuffer(data, dtype="<i4", offset=8, count=count)
@@ -90,12 +88,32 @@ def ds_registers(data: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(
                 f"corrupt SET image: {len(coupons)} coupons, count={count}"
             )
+    return "coupons", lg_k, coupons.astype(np.int64) & 0xFFFFFFFF
+
+
+def coupons_to_registers(coupons: np.ndarray, lg_k: int) -> np.ndarray:
+    """Densify coupons exactly as the Java library does on insert:
+    ``slot = coupon_low26 & (2^lgK - 1)``, ``value = coupon >> 26``,
+    max per slot."""
+    m = 1 << lg_k
+    regs = np.zeros(m, dtype=np.uint8)
     if len(coupons):
-        c = coupons.astype(np.int64) & 0xFFFFFFFF
-        slots = (c & _KEY_MASK) & (m - 1)
-        vals = (c >> _KEY_BITS).astype(np.uint8)
+        slots = (coupons & _KEY_MASK) & (m - 1)
+        vals = (coupons >> _KEY_BITS).astype(np.uint8)
         np.maximum.at(regs, slots, vals)
-    return lg_k, regs
+    return regs
+
+
+def ds_registers(data: bytes) -> tuple[int, np.ndarray]:
+    """Parse a Datasketches HLL sketch image into ``(lg_k, registers)``.
+
+    Handles the three serialized modes (LIST, SET, HLL) in both compact
+    and updatable layouts; HLL mode must be HLL_8 (what Spark's
+    built-ins and our writer emit)."""
+    kind, lg_k, payload = ds_parse(data)
+    if kind == "dense":
+        return lg_k, payload
+    return lg_k, coupons_to_registers(payload, lg_k)
 
 
 # ---------------------------------------------------------------------------

@@ -418,14 +418,24 @@ def register(spark) -> None:
 
     @arrow_udf("binary")
     def _sql_init(v: pa.Array) -> pa.Array:
-        out, i = [], 0
+        import struct
+
+        from .sketch_codec import coupons_for_longs, serialize_coupons
+
+        # vectorized hash + coupon for the whole batch; per-row images
+        # share one constant single-coupon LIST preamble + zero tail
         hashes = hash_arrow_values(v, bin_seed)
-        for is_null in pa.compute.is_null(v).to_pylist():
-            if is_null:
-                out.append(None)
-            else:
-                out.append(sketch_bytes_from_hashes_vec(hashes[i : i + 1], lg_k))
-                i += 1
+        coupons = coupons_for_longs(hashes)
+        proto = serialize_coupons((0,), lg_k)
+        head, tail = proto[:8], proto[12:]
+        images = iter(
+            head + struct.pack("<i", int(c) - (1 << 32) if c >= (1 << 31) else int(c)) + tail
+            for c in coupons
+        )
+        out = [
+            None if is_null else next(images)
+            for is_null in pa.compute.is_null(v).to_pylist()
+        ]
         return pa.array(out, type=pa.binary())
 
     @arrow_udf("binary")

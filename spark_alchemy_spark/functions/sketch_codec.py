@@ -272,25 +272,49 @@ def serialize_dense(lg_k: int, registers: "np.ndarray") -> bytes:
 
 
 def union_images(images, lg_k_out: int | None = None) -> bytes | None:
-    """Union any mix of DS images (LIST/SET/HLL_8) into one dense image.
+    """Union any mix of DS images (LIST/SET/HLL_8) into one image.
 
-    Mixed precisions downsample to the smallest lgK present (register
-    slot = low lgK bits of the 26-bit coupon key, and the register value
-    is precision-independent, so ``max`` over the slot preimage is the
-    exact DS downsampling rule).  All-None input -> None (the
-    reference's "no non-null input -> NULL sketch" algebra).
+    Coupon-mode inputs are accumulated as raw coupons and densified
+    ONCE (a per-row LIST image must not allocate a 2^lgK register
+    array each — that is what makes unions of many tiny sketches
+    O(total coupons), not O(n · 2^lgK)).  Mixed precisions downsample
+    to the smallest lgK present (register slot = low lgK bits of the
+    26-bit coupon key, and the register value is precision-independent,
+    so ``max`` over the slot preimage is the exact DS downsampling
+    rule).  All-None input -> None (the reference's "no non-null input
+    -> NULL sketch" algebra); all-coupon input below the dense
+    break-even stays a coupon image.
     """
-    from .agkn import ds_registers
+    from .agkn import coupons_to_registers, ds_parse
 
-    regsets = [ds_registers(bytes(b)) for b in images if b is not None]
-    if not regsets:
+    coupon_parts: list[np.ndarray] = []
+    dense_parts: list[tuple[int, np.ndarray]] = []
+    lg = 32
+    seen = False
+    for b in images:
+        if b is None:
+            continue
+        seen = True
+        kind, k, payload = ds_parse(bytes(b))
+        lg = min(lg, k)
+        if kind == "coupons":
+            coupon_parts.append(payload)
+        else:
+            dense_parts.append((k, payload))
+    if not seen:
         return None
-    lg = min(k for k, _ in regsets)
     if lg_k_out is not None:
         lg = min(lg, lg_k_out)
+    coupons = (
+        np.unique(np.concatenate(coupon_parts))
+        if coupon_parts
+        else np.empty(0, dtype=np.int64)
+    )
     m = 1 << lg
-    acc = np.zeros(m, dtype=np.uint8)
-    for k, regs in regsets:
+    if not dense_parts and len(coupons) * 4 <= m:
+        return serialize_coupons(coupons.tolist(), lg)
+    acc = coupons_to_registers(coupons, lg)
+    for k, regs in dense_parts:
         if k > lg:
             regs = regs.reshape(1 << (k - lg), m).max(axis=0)
         np.maximum(acc, regs, out=acc)

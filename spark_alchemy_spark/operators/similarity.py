@@ -235,15 +235,11 @@ def train_ivf_centroids(
         .drop("__n")
         .localCheckpoint(eager=True)  # sample reused every Lloyd round
     )
-    cents = (
-        v.withColumn("__h", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string")))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(Window.orderBy("__h")) - 1).alias("__list"),
-            F.col("__v").alias("__cent"),
-        )
-        .localCheckpoint(eager=True)
+    cents = v.withColumn(
+        "__h", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string"))
+    ).orderBy("__h").limit(n_centroids).select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("__list"),
+        F.col("__v").alias("__cent"),
     )
     for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cents)).withColumn(
@@ -254,11 +250,12 @@ def train_ivf_centroids(
                 lambda a, x: a + x,
             ),
         )
-        w = Window.partitionBy("__v").orderBy(F.col("__sim").desc(), F.col("__list"))
+        # argmax-by-similarity (tie -> lowest list id) as a plain
+        # aggregate: map-side partial combine, no per-partition sort
         best = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("__list", "__v")
+            scored.groupBy("__v")
+            .agg(F.max(F.struct("__sim", (-F.col("__list")).alias("__nl"))).alias("__b"))
+            .select("__v", (-F.col("__b.__nl")).alias("__list"))
         )
         # new centroid = renormalized element-wise mean of its members;
         # one (list, dim) aggregation, arrays rebuilt in dimension order
@@ -281,7 +278,10 @@ def train_ivf_centroids(
             .withColumn("__cent", F.transform("__cent", lambda x: x / F.col("__n")))
             .drop("__n")
         )
-        # empty clusters keep their previous centroid (deterministic)
+        # empty clusters keep their previous centroid (deterministic).
+        # Per-round eager checkpoints keep the iterative plan SHALLOW —
+        # letting 4 rounds accumulate into one nested lazy plan triples
+        # optimizer time (measured), the classic iterative-Spark trap.
         cents = (
             cents.select("__list", F.col("__cent").alias("__prev"))
             .join(means, "__list", "left")
