@@ -133,6 +133,63 @@ def _hyperplane_bits(vec_col, planes: int):
     )
 
 
+def _plane_matrix(planes: int, dim: int):
+    """The hyperplane weight matrix the JVM expression uses, rebuilt in
+    numpy: ``w[d][p] = xxhash64(p, d+1) / 2^63`` where both chain links
+    are INT-typed (the plane literal and the 1-based ``sequence`` dim
+    index) — pyxxh reproduces Spark's seed chain bit-exactly, so both
+    projection paths share the same planes."""
+    import numpy as np
+
+    from ..functions.pyxxh import xxh64_int
+
+    w = np.empty((dim, planes), dtype=np.float64)
+    for p in range(planes):
+        seed_p = xxh64_int(p)
+        for d in range(dim):
+            w[d, p] = xxh64_int(d + 1, seed_p) / float(1 << 63)
+    return w
+
+
+def _banded_np(df, ident: str, planes: int, bands: int, dim: int):
+    """mapInPandas hyperplane projection: one BLAS matmul per Arrow
+    batch replaces ``planes`` interpreted dim-length folds per row —
+    the 100x-scale path for wide vectors.  Band keys are built from the
+    sign bits with the same xxhash64 chain as the JVM path."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.pyxxh import xxh64_int
+
+    rows = planes // bands
+    w = _plane_matrix(planes, dim)
+
+    def project(batches):
+        for pdf in batches:
+            m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            bits = (m @ w) >= 0  # n x planes sign bits
+            out_id, out_v, out_band, out_key = [], [], [], []
+            for r in range(len(pdf)):
+                for bi in range(bands):
+                    # xxhash64(bi, bit...) chain over INT args, identical
+                    # to the JVM band-key construction in banded()
+                    h = xxh64_int(bi)
+                    for j in range(rows):
+                        h = xxh64_int(int(bits[r, bi * rows + j]), h)
+                    out_id.append(pdf[ident].iloc[r])
+                    out_v.append(pdf["__v"].iloc[r])
+                    out_band.append(bi)
+                    out_key.append(h)
+            yield pd.DataFrame(
+                {ident: out_id, "__v": out_v, "__band": out_band, "__bkey": out_key}
+            )
+
+    return df.mapInPandas(
+        project,
+        f"{ident} long, __v array<double>, __band int, __bkey long",
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,11 +198,21 @@ def lsh_topk(
     k: int = 10,
     planes: int = 12,
     bands: int = 4,
+    projection: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: candidates share a random-hyperplane band with
     the query, exact cosine re-rank.  Recall grows with ``bands``
     (multi-probe); corpus rows outside matching buckets are never
-    scored.  Returns (query_id, neighbor_id, rank, cos)."""
+    scored.  Returns (query_id, neighbor_id, rank, cos).
+
+    ``projection="expr"`` (default) projects corpus vectors with JVM
+    expressions — ``planes`` interpreted fold-sums per row, strictly
+    sequential FP, bit-stable across environments (what the oracle
+    pins).  ``projection="numpy"`` replaces them with one BLAS matmul
+    per Arrow batch (``_banded_np``) — the throughput path for wide
+    vectors at 100x scale; the plane weights are the same xxhash64
+    chain, so both paths bucket identically (modulo sign flips of
+    |dot| ~ 1e-15, tested absent on real data)."""
     rows = planes // bands
 
     def banded(df, ident):
@@ -164,12 +231,18 @@ def lsh_topk(
             F.posexplode(band_keys).alias("__band", "__bkey"),
         )
 
-    c = banded(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
-        ).repartition("neighbor_id"),  # parallelize hyperplane projections
-        "neighbor_id",
-    )
+    if projection not in ("expr", "numpy"):
+        raise ValueError(f"projection must be expr/numpy, got {projection!r}")
+    c_in = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+    ).repartition("neighbor_id")  # parallelize hyperplane projections
+    if projection == "numpy":
+        dim = len(
+            corpus.select(_as_double(vec_col).alias("v")).first()["v"]
+        )
+        c = _banded_np(c_in, "neighbor_id", planes, bands, dim)
+    else:
+        c = banded(c_in, "neighbor_id")
     q = banded(
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__v")),
         "query_id",
@@ -358,6 +431,124 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, query many times
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+    train_iters: int = 4,
+    seed: int = 42,
+) -> None:
+    """One-off IVF index build: train centroids, assign every corpus
+    vector to its nearest list, and persist the corpus Hive-partitioned
+    BY LIST ID — so a query that probes ``nprobe`` lists scans exactly
+    those partitions (planning-time partition pruning, asserted in
+    tests) and the other ``n_centroids - nprobe`` lists never leave
+    storage.  Centroids live in a sidecar table.  This is the 100 TB
+    shape: the expensive assignment shuffle happens once at build; each
+    query batch reads ~nprobe/n_centroids of the data."""
+    cents = train_ivf_centroids(
+        corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
+    )
+    bc = F.broadcast(
+        cents.select(F.col("__list").alias("__cent_id"), F.col("__cent"))
+    )
+    v = corpus.select(
+        F.col(id_col).alias(id_col), _as_double(vec_col).alias("__v")
+    ).repartition(id_col)
+    scored = v.crossJoin(bc).withColumn(
+        "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__csim"),
+                    (-F.col("__cent_id")).alias("__nc"),
+                    F.col("__v"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            id_col,
+            F.col("__b.__v").alias("__v"),
+            (-F.col("__b.__nc")).alias("list_id"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path + "/lists")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query to its ``nprobe``
+    nearest centroids, then scan ONLY the matching list partitions
+    (the probed list ids are collected — bounded by
+    nprobe x n_queries — and pushed as a literal partition filter so
+    pruning happens at planning time).  Returns
+    (query_id, neighbor_id, rank, cos)."""
+    cents = F.broadcast(
+        spark.read.parquet(path + "/centroids").select(
+            F.col("__list").alias("__cent_id"), F.col("__cent")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    q_scored = q.crossJoin(cents).withColumn(
+        "__csim", cosine_similarity(F.col("__qv"), F.col("__cent"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("__cent_id")
+    )
+    q_assigned = (
+        q_scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", F.col("__cent_id").alias("list_id"))
+    )
+    # literal probe set -> planning-time partition pruning on the index
+    probed = sorted(
+        {r["list_id"] for r in q_assigned.select("list_id").distinct().collect()}
+    )
+    lists = spark.read.parquet(path + "/lists").filter(
+        F.col("list_id").isin(*[int(p) for p in probed])
+    )
+    cand = (
+        lists.join(F.broadcast(q_assigned), "list_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("__cv"),
+            "__qv",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

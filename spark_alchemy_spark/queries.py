@@ -730,6 +730,43 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_indexed_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t WHERE rnk <= 10
+    """,
+)
+def ann_ivf_indexed_topk(spark, sf_dir):
+    """PERSISTED IVF index: train + assign once, write the corpus
+    Hive-partitioned by list id, then query through planning-time
+    partition pruning (only probed list partitions are scanned —
+    asserted in tests).  Probing all lists must reduce exactly to brute
+    force, so build + layout + probe + re-rank is held to the exact
+    top-k oracle; this entry times the full build+query cycle."""
+    import os
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, ivf_topk_indexed
+    from .queries_ext import _sink_name
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_index"))
+    build_ivf_index(embeddings, "vec_id", "embedding", path, n_centroids=16)
+    return ivf_topk_indexed(
+        spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

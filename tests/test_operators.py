@@ -333,3 +333,56 @@ def test_compact_table_rerunnable(spark, tmp_path):
         raise AssertionError("expected ValueError for object-store path")
     except ValueError as e:
         assert "local filesystems" in str(e)
+
+
+def test_lsh_projection_paths_identical(spark):
+    """The numpy-matmul projection (scale path) must bucket and rank
+    exactly like the JVM expression path — same xxhash64-derived
+    planes, same band keys, same top-k."""
+    from spark_alchemy_spark.operators.similarity import lsh_topk
+    from spark_alchemy_spark.sources import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = emb.filter("vec_id < 5")
+    a = sorted(tuple(r) for r in lsh_topk(emb, q, "vec_id", "embedding", k=10).collect())
+    b = sorted(
+        tuple(r)
+        for r in lsh_topk(
+            emb, q, "vec_id", "embedding", k=10, projection="numpy"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index must (a) answer exactly like brute force
+    when probing all lists, (b) prune unprobed list partitions at
+    planning time when nprobe is selective."""
+    from spark_alchemy_spark.operators.similarity import (
+        build_ivf_index,
+        brute_force_topk,
+        ivf_topk_indexed,
+    )
+    from spark_alchemy_spark.plans import partition_filters
+    from spark_alchemy_spark.sources import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = emb.filter("vec_id < 3")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+
+    exact = sorted(
+        tuple(r) for r in brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    )
+    assert full == exact
+
+    probed = ivf_topk_indexed(spark, path, q, "vec_id", "embedding", k=5, nprobe=2)
+    pf = " ".join(partition_filters(probed))
+    assert "list_id" in pf  # pruning reaches the scan
+    assert probed.count() > 0
