@@ -1,0 +1,152 @@
+"""Training-data preparation operators: chunking, deterministic
+sampling, benchmark decontamination.
+
+These are the steps between a curated corpus (operators/curate.py) and
+a tokenizer: split documents into token-bounded chunks, draw a
+reproducible weighted sample per stratum for data mixing, and drop
+documents that leak evaluation-benchmark content.  All three are pure
+DataFrame compositions — chunking is array slicing inside codegen,
+sampling is an md5-threshold comparison (exactly replayable in any SQL
+engine, which is what makes the mix reproducible across systems), and
+decontamination is one shingle semi-join.
+
+Scale notes:
+* chunking emits one row per chunk via ``posexplode`` — no Python, no
+  shuffle; downstream token accounting is a plain aggregate;
+* the sample decision is a PER-ROW hash threshold — no sort, no
+  windowing, no sampleBy scan state; changing the mix re-reads nothing
+  but the stratum column;
+* decontamination shuffles (shingle, id) pairs, not documents, and the
+  benchmark side of the semi-join is usually broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_from_tokens, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into whitespace-token chunks of at most
+    ``max_tokens`` tokens, consecutive chunks overlapping by
+    ``overlap`` tokens.  Returns (id, chunk_idx, chunk_text, n_tokens)
+    with 0-based ``chunk_idx``; empty documents yield no chunks.
+
+    The token array is materialized once; chunk starts are a
+    ``sequence`` stepped by the stride, and each chunk is a
+    ``slice`` + ``array_join`` — all codegen'd, one output row per
+    chunk via ``posexplode``.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    tk = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).withColumn("__n", F.size("__tk"))
+    starts = F.when(
+        F.col("__n") >= 1,
+        F.sequence(F.lit(1), F.col("__n"), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        tk.withColumn("__starts", starts)
+        .select(
+            id_col,
+            "__tk",
+            F.posexplode("__starts").alias("chunk_idx", "__s"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice("__tk", F.col("__s"), F.lit(max_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.size("__tk") - F.col("__s") + 1
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def sample_hash(id_col, salt: str = "mix-v1") -> Column:
+    """The sampling coordinate: first 8 hex chars of
+    ``md5(salt || ':' || id)``.  Lexicographic order on lowercase hex
+    equals numeric order, so comparing against a precomputed hex
+    threshold IS a uniform [0,1) threshold test — and md5 exists
+    everywhere, making the drawn sample byte-reproducible in Spark,
+    DuckDB, Postgres, ..."""
+    c = id_col if isinstance(id_col, Column) else F.col(id_col)
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 8)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold such that P[sample_hash < threshold] = fraction.
+
+    Comparisons are lexicographic over 8-char lowercase hex, which
+    equals numeric order ONLY at equal length — so fraction 1.0 maps to
+    ``"g"`` (sorts after every hex string) instead of the 9-digit
+    ``hex(2^32)``, which would sort before ``"ffffffff"`` and silently
+    drop almost everything."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    t = int(round(fraction * (1 << 32)))
+    if t >= 1 << 32:
+        return "g"
+    return format(t, "08x")
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the data-mixing
+    step.  Each row is kept iff its :func:`sample_hash` falls under its
+    stratum's threshold; the same (salt, id) always draws the same
+    way, so mixes are reproducible and auditable by ANY engine that
+    has md5 (no RNG state, no sampleBy non-determinism)."""
+    thr = F.lit(fraction_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(sample_hash(id_col, salt) < thr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Drop every document sharing at least one word-``n``-gram with
+    the benchmark corpus (eval-set leakage guard).  One inverted-index
+    semi-join on the shingle key: documents never shuffle, only
+    (id, shingle) pairs do, and the benchmark shingle set is typically
+    small enough to broadcast."""
+    bench_text_col = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
+        ).alias("__s")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(text_col), n))
+        ).alias("__s"),
+    )
+    contaminated = doc_sh.join(bench_sh, "__s", "left_semi").select(id_col).distinct()
+    return docs.join(contaminated, id_col, "left_anti")

@@ -1099,3 +1099,111 @@ def text_subword_token_stats(spark, sf_dir):
         F.sum("n_ws").cast("bigint").alias("ws_tokens"),
         F.round(F.sum("n_sub") * 1.0 / F.sum("n_ws"), 4).alias("expansion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: chunking, deterministic mixing, decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, u.s AS start,
+             (u.s - 1) // 112 AS chunk_idx, ws
+      FROM toks, UNNEST([s for s in range(1, len(ws) + 1, 112)]) AS u(s)
+      WHERE len(ws) >= 1)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(ws, start, start + 127), ' ') AS chunk_text,
+           CAST(least(128, len(ws) - start + 1) AS INTEGER) AS n_tokens
+    FROM chunks
+    """,
+)
+def prep_chunk_documents(spark, sf_dir):
+    """Token-bounded chunking with overlap (128-token chunks, 16-token
+    overlap -> stride 112): one codegen'd slice per chunk, one row per
+    chunk via posexplode; the oracle replays the slicing value-for-value
+    (operators/prep.py::chunk_documents)."""
+    from .operators.prep import chunk_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(documents, "doc_id", "text", max_tokens=128, overlap=16)
+
+
+@query(
+    "prep_weighted_sample",
+    """
+    WITH thr AS (
+      SELECT doc_id, lang, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             CASE lang WHEN 'en' THEN 'b3333333' WHEN 'de' THEN '80000000'
+                       WHEN 'fr' THEN '40000000' ELSE '0ccccccd' END AS threshold
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM thr
+    WHERE substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) < threshold
+    GROUP BY lang
+    """,
+)
+def prep_weighted_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli mix (en 70%, de 50%,
+    fr 25%, rest 5%) via an md5 hex threshold — the SAME rows are drawn
+    by any engine with md5, which is what makes a training mix
+    reproducible and auditable; the oracle re-draws the sample in
+    DuckDB and must agree on every stratum's doc and token counts
+    (operators/prep.py::weighted_sample)."""
+    from .functions.text import token_count
+    from .operators.prep import weighted_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sampled = weighted_sample(
+        documents,
+        "lang",
+        "doc_id",
+        {"en": 0.7, "de": 0.5, "fr": 0.25},
+        default_fraction=0.05,
+        salt="mix-v1",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "prep_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
+    SELECT count(*) AS n_clean, CAST(sum(len(ws)) AS BIGINT) AS clean_tokens
+    FROM toks
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def prep_decontaminate(spark, sf_dir):
+    """Benchmark-leakage guard: drop every document sharing a word
+    trigram with the 'benchmark' set (docs 0-9 stand in for an eval
+    suite); one shingle semi-join, documents never shuffle
+    (operators/prep.py::decontaminate)."""
+    from .functions.text import token_count
+    from .operators.prep import decontaminate
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") < 10)
+    clean = decontaminate(documents, bench, "doc_id", "text", n=3)
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum(token_count("text")).cast("bigint").alias("clean_tokens"),
+    )
