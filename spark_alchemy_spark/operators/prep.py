@@ -150,3 +150,54 @@ def decontaminate(
     )
     contaminated = doc_sh.join(bench_sh, "__s", "left_semi").select(id_col).distinct()
     return docs.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + reproducible training order
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain for common PII.  Patterns are kept in
+#: the RE2-compatible subset (no backrefs/lookarounds) so the exact
+#: same rewrite runs under Spark's Java regex AND RE2 engines
+#: (DuckDB/Go) — the scrub is auditable cross-engine like the sampler.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def scrub_pii(col, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Chained ``regexp_replace`` redaction of emails, IPs, phone
+    numbers and SSNs — entirely codegen'd JVM string work, zero Python
+    in the hot path.  Order matters (emails before phones so digits in
+    local parts never half-match); extend ``patterns`` per corpus."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def training_order(
+    df: DataFrame, id_col: str, salt: str = "order-v1"
+) -> DataFrame:
+    """Reproducible global shuffle for training: position = rank of
+    ``md5(salt || id)``.  Same salt -> byte-identical order in any
+    engine (the md5 trick from :func:`sample_hash`); a new salt is a
+    fresh epoch-level reshuffle with zero RNG state to checkpoint.
+    Adds a ``position`` column (0-based).
+
+    Scale note: a global rank is a global sort — at 100 TB this is the
+    range-partitioned sort Spark already does for ``orderBy``, and the
+    sort key is a tiny fixed-width hash, not the document.  Downstream
+    writers usually persist bucketed/sorted by ``position`` once per
+    epoch mix.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), (F.col(id_col)).cast("string"))
+    )
+    w = Window.orderBy(h, F.col(id_col))
+    return df.withColumn("position", F.row_number().over(w) - 1)

@@ -1207,3 +1207,66 @@ def prep_decontaminate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clean"),
         F.sum(token_count("text")).cast("bigint").alias("clean_tokens"),
     )
+
+
+@query(
+    "prep_pii_scrub",
+    """
+    WITH injected AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.1.2.3 call 415-555-2671 ssn 123-45-6789'
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b(?:\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+)
+def prep_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/IPs/phones/SSNs) as chained codegen'd
+    regexp_replace; deterministic PII is injected per document and the
+    oracle re-runs the SAME RE2-safe patterns in DuckDB, comparing
+    md5(scrubbed text) per row — engine-for-engine rewrite parity
+    (operators/prep.py::scrub_pii)."""
+    from .operators.prep import scrub_pii
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    injected = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.1.2.3 call 415-555-2671 ssn 123-45-6789"),
+        ).alias("t"),
+    )
+    return injected.select("doc_id", F.md5(scrub_pii("t")).alias("scrubbed_md5"))
+
+
+@query(
+    "prep_training_order",
+    """
+    SELECT CAST(row_number() OVER (
+             ORDER BY md5('order-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS position,
+           doc_id
+    FROM documents
+    """,
+)
+def prep_training_order(spark, sf_dir):
+    """Reproducible global training order: position = rank of a salted
+    md5 over the doc id — the oracle independently derives the
+    byte-identical permutation, proving epoch shuffles are portable
+    across engines with zero RNG state
+    (operators/prep.py::training_order)."""
+    from .operators.prep import training_order
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return training_order(documents, "doc_id", salt="order-v1").select(
+        F.col("position").cast("bigint").alias("position"), "doc_id"
+    )

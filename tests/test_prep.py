@@ -84,3 +84,32 @@ def test_decontaminate_drops_overlapping_docs(spark):
         for r in decontaminate(docs, bench, "doc_id", "text", n=3).collect()
     )
     assert clean == [2, 3]  # doc 1 shares the 'the quick brown' trigram
+
+
+def test_scrub_pii_patterns(spark):
+    from spark_alchemy_spark.operators.prep import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.io, ip 192.168.0.1, call (415) 555-2671 "
+          "or +1 415-555-2671, ssn 123-45-6789, keep 1.2 and v1.2.3",)],
+        "t string",
+    )
+    out = df.select(scrub_pii("t").alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<SSN>" in out
+    assert out.count("<PHONE>") == 2
+    assert "@" not in out and "192.168" not in out and "123-45-6789" not in out
+    assert "1.2 and v1.2.3" in out  # short dotted numbers survive
+
+
+def test_training_order_reproducible(spark):
+    from spark_alchemy_spark.operators.prep import training_order
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in training_order(df, "doc_id").orderBy("position").collect()]
+    b = [r["doc_id"] for r in training_order(df, "doc_id").orderBy("position").collect()]
+    assert a == b and a != sorted(a)  # stable and actually shuffled
+    c = [
+        r["doc_id"]
+        for r in training_order(df, "doc_id", salt="epoch-2").orderBy("position").collect()
+    ]
+    assert c != a  # new salt = new epoch order
