@@ -1270,3 +1270,8 @@ def prep_training_order(spark, sf_dir):
     return training_order(documents, "doc_id", salt="order-v1").select(
         F.col("position").cast("bigint").alias("position"), "doc_id"
     )
+
+
+# The remaining TPC-H query shapes (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q15/
+# Q16/Q20/Q21 adapted to the synthetic schema) register on import.
+from . import queries_tpch2  # noqa: E402,F401  (registration side effect)
