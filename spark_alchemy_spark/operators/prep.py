@@ -201,3 +201,153 @@ def training_order(
     )
     w = Window.orderBy(h, F.col(id_col))
     return df.withColumn("position", F.row_number().over(w) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + deterministic splits + repetition screening
+# ---------------------------------------------------------------------------
+
+
+def _with_shard(df: DataFrame, id_col: str, num_shards: int) -> DataFrame:
+    """Shard assignment for packing: ``pmod(id, num_shards)``.  Portable
+    to any engine (the oracle replays it), uniform for the dense
+    integer ids the corpus tables carry; pass a pre-computed ``shard``
+    column for string ids."""
+    return df.withColumn(
+        "shard", F.pmod(F.col(id_col).cast("long"), F.lit(num_shards))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 32,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Contiguous (block) sequence packing: rows are laid out in a
+    deterministic order within hash shards and cut into packs of
+    ``budget`` tokens by exclusive-cumulative-sum division.  Adds
+    ``shard`` and ``pack_id`` columns.
+
+    A row whose tokens straddle a cut stays in the pack it started in,
+    so a pack can overshoot by at most ``max(row_tokens) - 1`` — run
+    :func:`chunk_documents` first to bound row size.  Everything is a
+    window cumsum inside one shuffle per shard; no Python.  At 100 TB
+    the shard count is the parallelism knob — each shard's window sort
+    is independent, so there is no global-sort bottleneck (contrast
+    :func:`training_order`, which buys a global order for one sort).
+    """
+    order_cols = order_cols or [id_col]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(*order_cols)
+    t = F.col(token_col).cast("long")
+    sharded = _with_shard(df, id_col, num_shards)
+    return sharded.withColumn(
+        "pack_id",
+        F.floor((F.sum(t).over(w) - t) / F.lit(budget)).cast("long"),
+    )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 32,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-fit greedy packing: within each shard's deterministic
+    order, a row joins the current pack unless that would exceed
+    ``budget``, in which case it opens a new pack.  Unlike
+    :func:`pack_sequences` no pack ever exceeds ``budget`` — except a
+    single oversize row, which gets a pack of its own.
+
+    The per-shard scan is inherently sequential, so it runs as one
+    Arrow ``applyInPandas`` pass per shard (shards are independent =
+    full parallelism; the Python work is a single integer loop per
+    shard, not per-token).  The recurrence is deliberately simple
+    enough to replay as a recursive SQL CTE for the oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order_cols = order_cols or [id_col]
+    sharded = _with_shard(df, id_col, num_shards)
+    # StructType.add mutates in place — never call it on a DataFrame's
+    # cached .schema (the DF would then claim the column exists).
+    out_schema = StructType(
+        list(sharded.schema.fields) + [StructField("pack_id", LongType())]
+    )
+    tok_name, oc = token_col, list(order_cols)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(oc, kind="mergesort").reset_index(drop=True)
+        packs = []
+        acc = 0
+        pack = 0
+        for i, t in enumerate(pdf[tok_name].astype("int64")):
+            if i == 0:
+                acc = t
+            elif acc + t <= budget:
+                acc += t
+            else:
+                pack += 1
+                acc = t
+            packs.append(pack)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return sharded.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: the same
+    md5-threshold coordinate as :func:`weighted_sample`, cut into
+    cumulative bands — every engine with md5 reproduces the exact
+    membership, and re-running never migrates a document between
+    splits.  The last split takes the remainder band so weights that
+    sum to 1.0 partition exactly.  Adds a ``split`` column."""
+    if not weights:
+        raise ValueError("need at least one split")
+    names = list(weights)
+    h = sample_hash(id_col, salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bands = []
+    for name in names[:-1]:
+        cum += weights[name]
+        bands.append((name, fraction_threshold(cum)))
+    for name, thr in reversed(bands):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Within-document repetition screening (the Gopher-style quality
+    gate): word-``n``-gram totals, distincts, the hottest n-gram's
+    count, and the duplicate fraction ``1 - distinct/total`` (4dp).
+    Documents with fewer than ``n`` tokens emit nothing.
+
+    Two map-side-combinable aggregations over exploded shingles; the
+    document text itself never shuffles."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(tokens(text_col), n)).alias("__s"),
+    )
+    per_gram = sh.groupBy(id_col, "__s").agg(F.count(F.lit(1)).alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__c").alias("max_rep"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("__c"), 4).alias("dup_frac"),
+    )

@@ -1,0 +1,235 @@
+"""Battery extension: trainer-facing prep operators — sequence
+packing (contiguous + greedy first-fit), deterministic splits,
+repetition screening — and lexical ranking (TF-IDF, BM25).
+
+Oracle notes:
+* both packing modes replay exactly in SQL — contiguous is a window
+  cumsum, greedy is a recursive CTE walking each shard's deterministic
+  order one row at a time (fine at oracle scale; the Spark side runs
+  the same recurrence as one Arrow pass per shard);
+* the split oracle re-derives the md5 band thresholds from the same
+  ``fraction_threshold`` helper the operator uses, so the SQL text and
+  the Column expression can never drift apart;
+* ranking scores are snapped to a 1e-6 grid before ranking/summing on
+  BOTH sides — ln/division ULP differences across engines otherwise
+  flip tie-adjacent top-k rows; non-binary-exact SQL constants (1.2,
+  2.2) are cast to DOUBLE so DuckDB's decimal literals don't take an
+  exact-arithmetic path Spark's doubles can't follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.prep import fraction_threshold
+from .queries import _t, query
+
+# DuckDB token-array fragment shared by the oracles below.
+_WS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+_T1 = fraction_threshold(0.8)
+_T2 = fraction_threshold(0.9)
+
+
+@query(
+    "prep_pack_contiguous",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_WS}) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS excl
+      FROM t
+    )
+    SELECT shard, CAST(floor(excl / 512) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(tok) AS pack_tokens
+    FROM c GROUP BY shard, pack_id
+    """,
+)
+def prep_pack_contiguous(spark, sf_dir):
+    """Contiguous block packing of documents into 512-token training
+    sequences across 8 independent shards (no global sort), summarized
+    per pack."""
+    from .functions.text import token_count
+    from .operators.prep import pack_sequences
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    items = documents.select("doc_id", token_count("text").alias("tok"))
+    packed = pack_sequences(
+        items, "doc_id", "tok", budget=512, num_shards=8, order_cols=["doc_id"]
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
+    )
+
+
+@query(
+    "prep_pack_greedy",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_WS}) AS tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    s AS (
+      SELECT shard, rn, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.tok,
+             CASE WHEN s.acc + t.tok <= 512 THEN s.acc + t.tok ELSE t.tok END,
+             CASE WHEN s.acc + t.tok <= 512 THEN s.pack ELSE s.pack + 1 END
+      FROM s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+    )
+    SELECT shard, pack AS pack_id, count(*) AS n_docs, sum(tok) AS pack_tokens
+    FROM s GROUP BY shard, pack
+    """,
+)
+def prep_pack_greedy(spark, sf_dir):
+    """First-fit greedy packing (no pack exceeds the 512 budget except
+    a lone oversize row) — same shards/order as the contiguous entry;
+    the oracle replays the recurrence as a recursive CTE."""
+    from .functions.text import token_count
+    from .operators.prep import pack_sequences_greedy
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    items = documents.select("doc_id", token_count("text").alias("tok"))
+    packed = pack_sequences_greedy(
+        items, "doc_id", "tok", budget=512, num_shards=8, order_cols=["doc_id"]
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
+    )
+
+
+@query(
+    "prep_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3
+    ),
+    pg AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+    SELECT doc_id, sum(c) AS n_ngrams, count(*) AS n_distinct,
+           max(c) AS max_rep, round(1 - count(*) / sum(c), 4) AS dup_frac
+    FROM pg GROUP BY doc_id
+    """,
+)
+def prep_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition screen: duplicate
+    word-trigram fraction per document."""
+    from .operators.prep import repetition_stats
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return repetition_stats(documents, "doc_id", "text", n=3)
+
+
+@query(
+    "prep_train_split",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id,
+             CASE WHEN substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '{_T1}' THEN 'train'
+                  WHEN substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '{_T2}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs, sum(doc_id) AS id_sum
+    FROM s GROUP BY split, lang
+    """,
+)
+def prep_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment (md5 band
+    membership — engine-independent, never migrates a document),
+    audited per language stratum with an id checksum."""
+    from .operators.prep import train_split
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    split = train_split(
+        documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v1",
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_WS}) AS term FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term,
+             round(tf * ln(n_docs / dfreq), 6) AS s6
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, s6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s6 DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, term, round(s6, 4) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the representative-term
+    extraction step of a corpus analysis pass."""
+    from .operators.ranking import tfidf_top_terms
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(documents, "doc_id", "text", k=3)
+
+
+@query(
+    "text_bm25_search",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_WS}) AS term FROM documents
+      ) WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, len({_WS}) AS dl FROM documents),
+    sc AS (SELECT count(*) AS n_docs, avg(len({_WS})) AS avgdl
+           FROM documents),
+    per AS (
+      SELECT tf.doc_id AS doc_id,
+             ln(1 + CAST(n_docs - dfreq + 0.5 AS DOUBLE)
+                    / CAST(dfreq + 0.5 AS DOUBLE))
+               * tf * CAST(2.2 AS DOUBLE)
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (1 - 0.75 + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+      FROM tf
+      JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN sc
+    ),
+    agg AS (SELECT doc_id, round(sum(s), 6) AS s6 FROM per GROUP BY doc_id)
+    SELECT doc_id, round(s6, 4) AS score
+    FROM agg ORDER BY s6 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 lexical search for 'hash join filter' — top-10 documents,
+    the keyword-retrieval baseline beside the ANN entries."""
+    from .operators.ranking import bm25_scores
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        documents, "doc_id", "text", ["hash", "join", "filter"], topk=10
+    )

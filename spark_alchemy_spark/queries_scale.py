@@ -1275,3 +1275,6 @@ def prep_training_order(spark, sf_dir):
 # The remaining TPC-H query shapes (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q15/
 # Q16/Q20/Q21 adapted to the synthetic schema) register on import.
 from . import queries_tpch2  # noqa: E402,F401  (registration side effect)
+
+# Trainer-facing prep (packing, splits, repetition) + lexical ranking.
+from . import queries_prep  # noqa: E402,F401  (registration side effect)

@@ -113,3 +113,109 @@ def test_training_order_reproducible(spark):
         for r in training_order(df, "doc_id", salt="epoch-2").orderBy("position").collect()
     ]
     assert c != a  # new salt = new epoch order
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Every row assigned, no pack exceeds the budget (except a lone
+    oversize row), packs are contiguous in shard order, and repartition
+    of the input doesn't change the assignment."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.prep import pack_sequences_greedy
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        # lengths 1..97 plus a few oversize rows (> budget 100)
+        (F.pmod(F.col("id") * 37 + 11, F.lit(97)) + 1
+         + F.when(F.pmod(F.col("id"), 100) == 7, 300).otherwise(0)
+         ).alias("tok"),
+    )
+    packed = pack_sequences_greedy(
+        df, "doc_id", "tok", budget=100, num_shards=4, order_cols=["doc_id"]
+    ).cache()
+    assert packed.count() == 400  # nothing dropped or duplicated
+
+    sums = packed.groupBy("shard", "pack_id").agg(
+        F.sum("tok").alias("s"), F.count("*").alias("n")
+    )
+    over = sums.filter((F.col("s") > 100) & (F.col("n") > 1)).count()
+    assert over == 0  # only singleton (oversize) packs may exceed budget
+
+    # packs are contiguous and start at 0 within each shard
+    rows = packed.orderBy("shard", "doc_id").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for ids in by_shard.values():
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+    again = pack_sequences_greedy(
+        df.repartition(13), "doc_id", "tok",
+        budget=100, num_shards=4, order_cols=["doc_id"],
+    )
+    assert (
+        sorted(map(tuple, packed.collect()))
+        == sorted(map(tuple, again.collect()))
+    )  # deterministic under any input partitioning
+    packed.unpersist()
+
+
+def test_pack_contiguous_matches_cumsum(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.prep import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 13 + 5, F.lit(60)) + 1).alias("tok"),
+    )
+    packed = pack_sequences(
+        df, "doc_id", "tok", budget=128, num_shards=4, order_cols=["doc_id"]
+    )
+    rows = packed.orderBy("shard", "doc_id").collect()
+    cum = {}
+    for r in rows:
+        before = cum.get(r["shard"], 0)
+        assert r["pack_id"] == before // 128
+        cum[r["shard"]] = before + r["tok"]
+
+
+def test_train_split_deterministic_and_partitioned(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.prep import train_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = train_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # exact partition, no overlap/loss
+    assert abs(counts["train"] - 1600) < 100  # roughly the asked mix
+    # same ids land in the same split on a re-run
+    again = train_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (
+        out.select("doc_id", "split").subtract(
+            again.select("doc_id", "split")
+        ).count() == 0
+    )
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    from spark_alchemy_spark.operators.ranking import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash hash hash join"),
+            (2, "hash join filter scan merge sort group window agg batch"),
+            (3, "scan merge sort"),
+            (4, "filter"),
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_scores(df, "doc_id", "text", ["hash", "join"], topk=4).collect()
+    ids = [r["doc_id"] for r in top]
+    assert ids[0] == 1            # densest match wins
+    assert 3 not in ids           # no query term, no score
+    assert all(r["score"] > 0 for r in top)
