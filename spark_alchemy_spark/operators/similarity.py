@@ -267,6 +267,39 @@ def lsh_topk(
     )
 
 
+def _lloyd_local(spark, sample_df, n_centroids: int, iters: int, seed: int):
+    """Lloyd rounds over the (parameter-bounded, already unit-norm)
+    collected sample in numpy.  Init = the ``n_centroids`` lowest
+    second-salt hashes of the normalized vectors, the same
+    deterministic choice as the distributed path; ties in assignment
+    go to the lowest list id (``argmax`` keeps the first maximum);
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
+    rows = sample_df.withColumn(
+        "__h2", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string"))
+    ).collect()
+    m = np.array([r["__v"] for r in rows], dtype=np.float64)
+    h2 = np.array([r["__h2"] for r in rows], dtype=np.int64)
+    init = np.argsort(h2, kind="stable")[:n_centroids]
+    cents = m[init].copy()
+    for _ in range(iters):
+        best = np.argmax(m @ cents.T, axis=1)
+        nxt = cents.copy()
+        for j in range(len(cents)):
+            members = m[best == j]
+            if len(members):
+                mu = members.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 0:
+                    nxt[j] = mu / n
+        cents = nxt
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "__list long, __cent array<double>",
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -274,18 +307,27 @@ def train_ivf_centroids(
     iters: int = 4,
     seed: int = 42,
     sample_per_centroid: int = 256,
+    distributed: bool = False,
 ) -> DataFrame:
-    """Seeded spherical k-means over ``vec_col``: deterministic
-    hash-ordered sample init (k-means||-style oversampled seeding
-    without the driver round-trips), then ``iters`` Lloyd rounds run
-    entirely as DataFrame aggregates — assignment is a broadcast
-    cross-join (corpus never shuffles), the new means are one
-    (centroid, dimension) aggregation, and ``localCheckpoint`` cuts the
-    iterative lineage each round.
+    """Seeded spherical k-means over ``vec_col``.
 
-    Training reads at most ``n_centroids * sample_per_centroid``
-    hash-sampled rows per round, so cost is independent of corpus size
-    — at 100 TB the sample is a scan + top-n, not a full k-means pass.
+    The training set is a deterministic hash-ordered sample of at most
+    ``n_centroids * sample_per_centroid`` vectors — BOUNDED BY
+    PARAMETERS, independent of corpus size, so at 100 TB training is
+    one distributed scan + top-n, never a full k-means pass.
+
+    Because that sample is parameter-bounded (a few thousand rows), the
+    default runs the Lloyd rounds in numpy on the collected sample —
+    the same bounded-broadcast-set pattern as the ANN query side, and
+    ~10x faster than ``iters`` sequential Spark jobs over a tiny
+    DataFrame.  ``distributed=True`` keeps every round as DataFrame
+    aggregates instead (assignment via broadcast cross-join, means as
+    one (centroid, dimension) aggregation, ``localCheckpoint`` cutting
+    the iterative lineage) for callers who raise the sample bound past
+    driver comfort.  Both paths share the recurrence: argmax cosine
+    with ties to the lowest list id, renormalized element-wise means,
+    empty clusters keeping their previous centroid.
+
     Returns a tiny (``__list``, ``__cent``) DataFrame of unit-norm
     centroids, safe to broadcast.
     """
@@ -297,7 +339,9 @@ def train_ivf_centroids(
         .limit(n_centroids * sample_per_centroid)
         .drop("__h")
     )
-    # unit-normalize once: spherical k-means (cosine == dot on the sphere)
+    # unit-normalize once: spherical k-means (cosine == dot on the sphere).
+    # Shared by both paths so the seeded init (hash of the NORMALIZED
+    # vector) picks identical seeds either way.
     v = (
         v.withColumn(
             "__n",
@@ -306,6 +350,11 @@ def train_ivf_centroids(
         .filter(F.col("__n") > 0)
         .withColumn("__v", F.transform("__v", lambda x: x / F.col("__n")))
         .drop("__n")
+    )
+    if not distributed:
+        return _lloyd_local(corpus.sparkSession, v, n_centroids, iters, seed)
+    v = (
+        v.repartition(16)  # the sample arrives single-partition from limit
         .localCheckpoint(eager=True)  # sample reused every Lloyd round
     )
     cents = v.withColumn(
