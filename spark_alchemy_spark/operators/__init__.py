@@ -15,6 +15,7 @@ from .dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_fingerprints,
     simhash_pairs,
 )
 from .curate import curate_corpus, curation_report
@@ -32,6 +33,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_fingerprints",
     "simhash_pairs",
     "cosine_similarity",
     "embedding_near_dup_pairs",

@@ -328,6 +328,44 @@ def simhash64(token_col: Column) -> Column:
     return F.aggregate(masked, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(__id, __fp) SimHash fingerprints via one token explode and 64
+    codegen'd ``sum(CASE)`` vote aggregates — bit-identical to
+    :func:`simhash64` but entirely whole-stage-codegen JVM work
+    (the expression form is ~60 interpreted lambda frames per token;
+    this shuffles only (id, hash64) pairs and map-side-combines).
+    ``explode_outer`` keeps tokenless documents (all-zero votes →
+    fingerprint 0), matching the expression form."""
+    from functools import reduce
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokens(text_col)).alias("__tok"),
+    ).select("__id", F.xxhash64("__tok").alias("__h"), F.col("__tok").isNull().alias("__pad"))
+    votes = [
+        F.sum(
+            F.when(F.col("__pad"), 0)
+            .when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("__id").agg(*votes)
+    fp = reduce(
+        Column.bitwiseOR,
+        [
+            F.when(
+                F.col(f"__v{j}") > 0,
+                F.lit(1 << j if j < 63 else -(2**63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(64)
+        ],
+    )
+    return agg.select("__id", fp.alias("__fp"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -340,11 +378,7 @@ def simhash_pairs(
     Hamming 3 shares a chunk; larger radii trade recall) — candidates
     verified with ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
     """
-    fp = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .repartition("__id")  # parallelize the 64-bit vote aggregation
-        .select("__id", simhash64(tokens("__t")).alias("__fp"))
-    )
+    fp = simhash_fingerprints(df, id_col, text_col)
     chunks = F.array(
         *[
             F.shiftright("__fp", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
