@@ -351,3 +351,103 @@ def repetition_stats(
         F.max("__c").alias("max_rep"),
         F.round(1 - F.count(F.lit(1)) / F.sum("__c"), 4).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture construction: temperature reweighting, fixed-size strata,
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def temperature_fractions(
+    counts: dict[str, int], alpha: float = 0.5, scale_to: float = 1.0
+) -> dict[str, float]:
+    """Multinomial temperature reweighting (the mT5/data-mixing rule):
+    stratum probability ∝ count^alpha, turned into per-stratum keep
+    fractions whose LARGEST is ``scale_to`` — i.e. the dominant
+    stratum after reweighting is kept at ``scale_to`` and every other
+    stratum is downsampled proportionally.  alpha=1 keeps the natural
+    mix, alpha=0 equalizes strata; alpha≈0.3-0.7 is the usual
+    low-resource boost."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    weights = {s: (c ** alpha) / c for s, c in counts.items() if c > 0}
+    peak = max(weights.values())
+    return {s: scale_to * w / peak for s, w in weights.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic temperature-reweighted mixture: counts each
+    stratum (one tiny aggregate), converts them to keep-fractions with
+    :func:`temperature_fractions`, and applies the same md5-threshold
+    Bernoulli draw as :func:`weighted_sample`.  The counts collect is
+    one row per stratum — bounded by stratum cardinality, never by
+    corpus size."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = temperature_fractions(counts, alpha=alpha)
+    return weighted_sample(df, strata_col, id_col, fractions, salt=salt)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "fixed-v1",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (or all rows of a
+    smaller stratum), chosen by md5 order — the deterministic
+    fixed-size eval-set / few-shot-pool draw.  A per-stratum window
+    top-n: one shuffle on the stratum key; the md5 coordinate makes
+    the choice reproducible in any engine, and adding documents later
+    only ever displaces the highest-hash members."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def token_budget_take(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    token_col: str,
+    budget_per_stratum: int,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Greedy token-budget selection per stratum: walk each stratum in
+    md5 order and keep every document that STARTS under the budget
+    (exclusive running sum < budget) — the "fill each source's token
+    allowance" step of corpus assembly.  Like the packing operators
+    the overshoot is bounded by one document.  One window cumsum per
+    stratum; deterministic and engine-reproducible."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, salt), F.col(id_col)
+    )
+    t = F.col(token_col).cast("long")
+    return (
+        df.withColumn("__cum_excl", F.sum(t).over(w) - t)
+        .filter(F.col("__cum_excl") < budget_per_stratum)
+        .drop("__cum_excl")
+    )

@@ -233,3 +233,102 @@ def text_bm25_search(spark, sf_dir):
     return bm25_scores(
         documents, "doc_id", "text", ["hash", "join", "filter"], topk=10
     )
+
+
+@query(
+    "prep_temperature_mix",
+    """
+    WITH cnt AS (SELECT source AS s, count(*) AS c FROM documents GROUP BY source),
+    wt AS (SELECT s, pow(c, 0.5) / c AS w FROM cnt),
+    pk AS (SELECT max(w) AS peak FROM wt),
+    thr AS (
+      SELECT s, CASE WHEN w / peak >= 1 THEN 'g'
+                     ELSE lpad(to_hex(CAST(round(w / peak * 4294967296) AS BIGINT)),
+                               8, '0') END AS t
+      FROM wt CROSS JOIN pk
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN thr ON thr.s = d.source
+      WHERE substring(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) < thr.t
+    )
+    SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+    FROM kept GROUP BY source
+    """,
+)
+def prep_temperature_mix(spark, sf_dir):
+    """Temperature-reweighted (alpha=0.5) source mixture: stratum
+    keep-fractions ∝ count^alpha / count, normalized so the dominant
+    stratum keeps everything, drawn with the engine-reproducible md5
+    Bernoulli — the oracle recomputes the thresholds entirely in SQL."""
+    from .operators.prep import temperature_mix
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    mixed = temperature_mix(documents, "source", "doc_id", alpha=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@query(
+    "prep_stratified_fixed_n",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5('fixed-v1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 40
+    """,
+)
+def prep_stratified_fixed_n(spark, sf_dir):
+    """Exactly-40-per-language deterministic draw (md5 order) — the
+    fixed-size eval-set selection."""
+    from .operators.prep import stratified_fixed_n
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return stratified_fixed_n(documents, "lang", "doc_id", 40).select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "prep_token_budget_take",
+    f"""
+    WITH items AS (
+      SELECT source, doc_id, len({_WS}) AS tok FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             sum(tok) OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('budget-v1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) - tok AS excl
+      FROM items
+    )
+    SELECT source, count(*) AS n_docs, sum(tok) AS sum_tokens
+    FROM c WHERE excl < 3000 GROUP BY source
+    """,
+)
+def prep_token_budget_take(spark, sf_dir):
+    """Per-source token allowances: walk each source in md5 order and
+    keep documents starting under a 3000-token budget (overshoot
+    bounded by one document)."""
+    from .functions.text import token_count
+    from .operators.prep import token_budget_take
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    items = documents.select(
+        "source", "doc_id", token_count("text").alias("tok")
+    )
+    taken = token_budget_take(
+        items, "source", "doc_id", "tok", budget_per_stratum=3000
+    )
+    return taken.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tokens")
+    )

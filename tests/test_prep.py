@@ -219,3 +219,64 @@ def test_bm25_prefers_term_dense_docs(spark):
     assert ids[0] == 1            # densest match wins
     assert 3 not in ids           # no query term, no score
     assert all(r["score"] > 0 for r in top)
+
+
+def test_temperature_fractions_math():
+    from spark_alchemy_spark.operators.prep import temperature_fractions
+
+    counts = {"a": 10000, "b": 100, "c": 1}
+    # alpha=1: natural mix — every stratum kept fully
+    assert temperature_fractions(counts, alpha=1.0) == {"a": 1.0, "b": 1.0, "c": 1.0}
+    # alpha=0: equalize — keep-fraction inversely proportional to count
+    eq = temperature_fractions(counts, alpha=0.0)
+    assert eq["c"] == 1.0 and abs(eq["a"] - 1e-4) < 1e-12
+    # alpha=0.5: rare strata boosted relative to natural share
+    mid = temperature_fractions(counts, alpha=0.5)
+    assert mid["c"] == 1.0 and mid["a"] == 0.01 and mid["b"] == 0.1
+
+
+def test_stratified_fixed_n_exact_and_stable(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.prep import stratified_fixed_n
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias("g"),
+    )
+    out = stratified_fixed_n(df, "g", "doc_id", 25)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"rare": 25, "common": 25}
+    # smaller stratum than n: keep everything
+    tiny = stratified_fixed_n(df.filter("doc_id < 30"), "g", "doc_id", 25)
+    got = {r["g"]: r["n"] for r in
+           tiny.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got["rare"] == 3  # only 3 rare rows exist below 30
+    # deterministic: re-run selects the same ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_fixed_n(df, "g", "doc_id", 25).collect())
+    assert a == b
+
+
+def test_token_budget_take_bounds(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.prep import token_budget_take
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 3)).cast("string").alias("src"),
+        (F.pmod(F.col("id") * 7 + 3, F.lit(50)) + 1).alias("tok"),
+    )
+    out = token_budget_take(df, "src", "doc_id", "tok", budget_per_stratum=300)
+    per = {r["src"]: (r["s"], r["m"]) for r in
+           out.groupBy("src").agg(F.sum("tok").alias("s"), F.max("tok").alias("m")).collect()}
+    for s, (total, biggest) in per.items():
+        assert total < 300 + biggest  # overshoot bounded by one document
+        assert total >= 300 - 50      # budget actually filled
+    # deterministic membership
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               token_budget_take(df, "src", "doc_id", "tok", 300).collect())
+    assert a == b
