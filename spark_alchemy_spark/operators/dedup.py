@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_from_tokens, tokens
+from ..functions.text import exploded_shingles, shingles_from_tokens, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -91,17 +91,14 @@ def ngram_jaccard_pairs(
     desired semantics for near-dup mining.  ``max_shingle_df=None``
     disables the guard (pure exact mode).
     """
-    sh = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .repartition("__id")  # parallelize shingle construction across cores
-        .select("__id", tokens("__t").alias("__tk"))  # one regex pass
-        .select(
-            "__id",
-            F.explode(F.array_distinct(shingles_from_tokens("__tk", n))).alias(
-                "__s"
-            ),
-        )
-    )
+    # codegen shingle rows (window-lead builder); the per-doc distinct
+    # rides the window's id-partitioning — no extra exchange
+    sh = exploded_shingles(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        n,
+    ).dropDuplicates(["__id", "__s"])
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     if max_shingle_df is not None:
@@ -210,34 +207,22 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     # Stage the pipeline around two explicit exchanges:
-    # 1. repartition raw (id, shingles) rows so the 64-permutation
-    #    signature computes in parallel (a single parquet split would
-    #    otherwise serialize it into one task), with the shingle array
-    #    materialized once as a column (not re-evaluated per permutation);
+    # 1. the window-lead shingle builder's exchange on __id (which a
+    #    single parquet split needs anyway for parallelism); the hash
+    #    dedup AND the num_perm codegen'd min-aggregates both ride that
+    #    same partitioning — signature computation adds no exchange;
     # 2. repartition banded rows on the join keys so the self-join reuses
     #    ONE exchange (identical canonical subplans) instead of computing
     #    signatures once per side and re-shuffling.
-    # Each stage materializes what the next references repeatedly
-    # (HOF lambdas are interpreted — no subexpression elimination):
-    # one regex pass -> one string-hash pass -> exploded longs.  The
-    # signature itself is num_perm codegen'd min-aggregates over the
-    # exploded hashes, grouped on the already-partitioned __id (no
-    # second exchange), instead of num_perm interpreted array passes.
     hashed = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .repartition("__id")
-        .select("__id", tokens("__t").alias("__tk"))
-        .select(
+        exploded_shingles(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
             "__id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        shingles_from_tokens("__tk", n),
-                        lambda s: F.xxhash64(s),
-                    )
-                )
-            ).alias("__h"),
+            "__t",
+            n,
         )
+        .select("__id", F.xxhash64("__s").alias("__h"))
+        .dropDuplicates(["__id", "__h"])
     )
     sigd = hashed.groupBy("__id").agg(
         F.array(

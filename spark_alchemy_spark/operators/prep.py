@@ -136,18 +136,18 @@ def decontaminate(
     semi-join on the shingle key: documents never shuffle, only
     (id, shingle) pairs do, and the benchmark shingle set is typically
     small enough to broadcast."""
+    from ..functions.text import exploded_shingles
+
     bench_text_col = bench_text_col or text_col
+    # benchmark side: small (broadcastable) — the array builder is fine
     bench_sh = benchmark.select(
         F.explode(
             F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
         ).alias("__s")
     ).distinct()
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles_from_tokens(tokens(text_col), n))
-        ).alias("__s"),
-    )
+    # corpus side: window-lead builder (codegen; per-doc duplicates are
+    # harmless for a semi-join, so no distinct pass)
+    doc_sh = exploded_shingles(docs, id_col, text_col, n)
     contaminated = doc_sh.join(bench_sh, "__s", "left_semi").select(id_col).distinct()
     return docs.join(contaminated, id_col, "left_anti")
 
@@ -338,13 +338,16 @@ def repetition_stats(
     count, and the duplicate fraction ``1 - distinct/total`` (4dp).
     Documents with fewer than ``n`` tokens emit nothing.
 
-    Two map-side-combinable aggregations over exploded shingles; the
+    The shingle rows come from the codegen window-lead builder, whose
+    id-partitioning both aggregations reuse (no further exchange); the
     document text itself never shuffles."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens(tokens(text_col), n)).alias("__s"),
+    from ..functions.text import exploded_shingles
+
+    per_gram = (
+        exploded_shingles(docs, id_col, text_col, n)
+        .groupBy(id_col, "__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
-    per_gram = sh.groupBy(id_col, "__s").agg(F.count(F.lit(1)).alias("__c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("__c").alias("n_ngrams"),
         F.count(F.lit(1)).alias("n_distinct"),
