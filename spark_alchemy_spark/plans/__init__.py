@@ -83,9 +83,15 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 
 def num_exchanges(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (each is a full network round)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning",
-                          formatted_plan(df)))
+    """Shuffle exchanges in the plan (each is a full network round).
+    Counts both renderings: the formatted node line ``(n) Exchange``
+    (arguments follow on a separate line) and the simple-format inline
+    ``Exchange hashpartitioning(...)``.  Broadcast exchanges are not
+    counted — they are not shuffles."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan)) + len(
+        re.findall(r"\bExchange (?:hash|range)partitioning", plan)
+    )
 
 
 def num_reused_exchanges(df: DataFrame) -> int:

@@ -98,3 +98,41 @@ def test_sketch_aggregates_pure_jvm(spark):
     for name in ("theta_reaggregate_users", "kll_quantiles_quantity"):
         df = QUERIES[name](spark, SF)
         assert plans.python_eval_ops(df) == [], name
+
+
+def test_tpch2_dims_broadcast(spark):
+    """The adapted TPC-H matrix must broadcast every dimension side:
+    no shuffle join against nation/region/part/supplier."""
+    for name in ("q2_min_cost_supplier", "q8_market_share", "q9_product_profit"):
+        df = QUERIES[name](spark, SF)
+        plans.assert_broadcast_join(df)
+
+
+def test_q6_style_pushdown_in_new_matrix(spark):
+    """Selective date predicates must reach the lineitem scan."""
+    df = QUERIES["q15_top_supplier"](spark, SF)
+    plans.assert_filter_pushed(df, "l_shipdate")
+
+
+def test_q21_single_fact_aggregation_no_python(spark):
+    """The Q21 (NOT-)EXISTS rewrite must stay pure JVM (no correlated
+    re-scans via Python, no Python eval at all)."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF)
+    assert plans.python_eval_ops(df) == []
+
+
+def test_packing_and_ranking_stay_jvm(spark):
+    """Contiguous packing and both ranking entries are pure-JVM plans;
+    greedy packing's only Python is the Arrow applyInPandas pass."""
+    for name in ("prep_pack_contiguous", "text_tfidf_top_terms", "text_bm25_search"):
+        assert plans.python_eval_ops(QUERIES[name](spark, SF)) == [], name
+    ops = plans.python_eval_ops(QUERIES["prep_pack_greedy"](spark, SF))
+    assert ops and all(op == "FlatMapGroupsInPandas" for op in ops)
+
+
+def test_repetition_stats_single_exchange(spark):
+    """The window-lead shingle builder's id-exchange must be the ONLY
+    exchange in repetition stats — both downstream aggregations reuse
+    its partitioning."""
+    df = QUERIES["prep_repetition_stats"](spark, SF)
+    assert plans.num_exchanges(df) == 1
