@@ -306,6 +306,70 @@ def source_python_datasource(spark, sf_dir):
     """Custom Python data source (Spark 4 DataSource API): a partitioned
     deterministic generator planned like any other scan; the closed-form
     row formula is reproduced exactly by the DuckDB oracle."""
+    return _python_datasource_agg(spark)
+
+
+@query(
+    "source_python_stream_datasource",
+    """
+    WITH synth AS (
+      SELECT i AS event_id,
+             (i * 2654435761) % 200 AS user_id,
+             ['click','view','purchase','signup','error'][1 + (i * 40503) % 5]
+               AS event_type,
+             ((i * 37) % 1000) / 10.0 AS value
+      FROM generate_series(0, 4999) t(i))
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+           round(sum(value), 2) AS sum_value
+    FROM synth GROUP BY event_type
+    """,
+)
+def source_python_stream_datasource(spark, sf_dir):
+    """STREAMING Python data source (Spark 4 SimpleDataSourceStreamReader):
+    the same closed-form generator emitted as 1000-row micro-batches,
+    drained through a memory sink (5 batches; offsets are row indices,
+    so recovery replay is exact), then aggregated and held to the
+    identical DuckDB closed form as the batch entry."""
+    import time
+
+    from .queries_ext import _sink_name
+    from .sources import pyds
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("synth_events")
+        .option("n", 5000)
+        .option("n_users", 200)
+        .option("batchsize", 1000)
+        .load()
+    )
+    sink = _sink_name("pyds_stream")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(sink).count() >= 5000:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _python_datasource_agg(spark):
     from .sources import pyds
 
     pyds.register(spark)

@@ -23,7 +23,12 @@ Row formula (i = global row index, Knuth multiplicative hashing):
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -43,6 +48,13 @@ class SynthEventsDataSource(DataSource):
             n=int(self.options.get("n", 1000)),
             n_users=int(self.options.get("n_users", 100)),
             num_partitions=int(self.options.get("numpartitions", 8)),
+        )
+
+    def simpleStreamReader(self, schema) -> "SynthEventsSimpleStreamReader":
+        return SynthEventsSimpleStreamReader(
+            n=int(self.options.get("n", 1000)),
+            n_users=int(self.options.get("n_users", 100)),
+            batch=int(self.options.get("batchsize", 500)),
         )
 
 
@@ -88,3 +100,42 @@ def oracle_sql(n: int, n_users: int) -> str:
            ((i * 37) % 1000) / 10.0 AS value
     FROM generate_series(0, {n - 1}) t(i)
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: the same closed-form generator as a Structured
+# Streaming source (Spark 4 SimpleDataSourceStreamReader).
+# ---------------------------------------------------------------------------
+
+
+class SynthEventsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batches of ``batchsize`` rows from the same row formula as
+    the batch reader; offsets are just the next global row index, so
+    replay (``readBetweenOffsets``) regenerates any batch exactly —
+    the deterministic-replay contract Structured Streaming recovery
+    assumes, with zero state beyond the offset."""
+
+    def __init__(self, n: int, n_users: int, batch: int):
+        self.n, self.n_users, self.batch = n, n_users, batch
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for i in range(lo, hi):
+            yield (
+                i,
+                (i * 2654435761) % self.n_users,
+                TYPES[(i * 40503) % 5],
+                ((i * 37) % 1000) / 10.0,
+            )
+
+    def read(self, start):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.n)
+        # materialized list, not a generator: the simple-reader protocol
+        # pickles the prefetched batch for replay
+        return list(self._rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return list(self._rows(int(start["i"]), int(end["i"])))

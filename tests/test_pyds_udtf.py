@@ -54,3 +54,28 @@ def test_udtf_tokenize_positions_and_nulls(spark):
         (1, 1, "b"),
         (1, 2, "c"),
     ]
+
+
+def test_python_stream_source_replay_contract(spark):
+    """Streaming flavor of the synth source: micro-batch drain equals
+    the batch read, and readBetweenOffsets regenerates any batch
+    byte-identically (the recovery-replay contract)."""
+    from spark_alchemy_spark.sources.pyds import SynthEventsSimpleStreamReader
+
+    r = SynthEventsSimpleStreamReader(n=2500, n_users=50, batch=1000)
+    off = r.initialOffset()
+    seen = []
+    offsets = [off]
+    while int(off["i"]) < 2500:
+        rows, off = r.read(off)
+        seen.extend(rows)
+        offsets.append(off)
+    assert len(seen) == 2500
+    assert [o["i"] for o in offsets] == [0, 1000, 2000, 2500]
+    # replay any interval: identical rows
+    assert r.readBetweenOffsets({"i": 1000}, {"i": 2000}) == seen[1000:2000]
+    # row formula parity with the batch reader
+    from spark_alchemy_spark.sources.pyds import SynthEventsReader, _Slice
+
+    batch = list(SynthEventsReader(2500, 50, 1).read(_Slice(0, 2500)))
+    assert batch == seen
