@@ -1342,3 +1342,73 @@ from . import queries_tpch2  # noqa: E402,F401  (registration side effect)
 
 # Trainer-facing prep (packing, splits, repetition) + lexical ranking.
 from . import queries_prep  # noqa: E402,F401  (registration side effect)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain — identical
+    recurrence to operators/graph.py::pagerank (no recursive-CTE
+    semantics to second-guess; constants cast to DOUBLE so both
+    engines run the same IEEE arithmetic)."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n2.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, 0) AS r
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / o.outdeg) AS contrib
+        FROM edges e
+        JOIN it{k - 1} p ON p.node = e.src
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst) s ON s.node = n2.node
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    it0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+    {",".join(its)}
+    SELECT node, round(r, 6) AS rank
+    FROM it{iters}
+    ORDER BY round(r, 6) DESC, node
+    LIMIT 20
+    """
+
+
+@query("graph_pagerank_topk", _pagerank_oracle(5))
+def graph_pagerank_topk(spark, sf_dir):
+    """PageRank over the customer<->supplier trade graph (both
+    directions of every distinct trading pair), 5 fixed rounds — the
+    iterative-analytics twin of connected components.  Top-20 hubs by
+    6dp-rounded rank."""
+    from .operators.graph import pagerank
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank(edges, "src", "dst", iters=5, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

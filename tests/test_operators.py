@@ -386,3 +386,25 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     pf = " ".join(partition_filters(probed))
     assert "list_id" in pf  # pruning reaches the scan
     assert probed.count() > 0
+
+
+def test_pagerank_star_graph(spark):
+    """On a star (everyone links to the hub, hub links back), the hub
+    must dominate; determinism across reruns; leaf ranks equal."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 9))
+    rows = [(i, 0) for i in leaves] + [(0, i) for i in leaves]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    pr = pagerank(edges, "src", "dst", iters=10).collect()
+    ranks = {r["node"]: r["rank"] for r in pr}
+    assert max(ranks, key=ranks.get) == 0
+    leaf_ranks = {round(ranks[i], 12) for i in leaves}
+    assert len(leaf_ranks) == 1  # symmetric leaves, identical rank
+    # mass is conserved (no dangling nodes in this graph)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    again = {r["node"]: r["rank"] for r in
+             pagerank(edges.repartition(7), "src", "dst", iters=10).collect()}
+    assert ranks == again
