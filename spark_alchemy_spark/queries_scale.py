@@ -1412,3 +1412,89 @@ def graph_pagerank_topk(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "scd2_customer_dimension",
+    """
+    WITH dim AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT o_custkey AS k, round(o_totalprice, 2) AS new_acctbal,
+             o_orderdate AS uts,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    u AS (SELECT k, new_acctbal, uts FROM upd WHERE rn = 1),
+    j AS (SELECT * FROM dim FULL OUTER JOIN u ON c_custkey = k),
+    untouched AS (
+      SELECT c_custkey, acctbal, c_mktsegment, valid_from, valid_to
+      FROM j WHERE c_custkey IS NOT NULL
+        AND (k IS NULL OR acctbal IS NOT DISTINCT FROM new_acctbal)
+    ),
+    closed AS (
+      SELECT c_custkey, acctbal, c_mktsegment, valid_from, uts AS valid_to
+      FROM j WHERE c_custkey IS NOT NULL AND k IS NOT NULL
+        AND acctbal IS DISTINCT FROM new_acctbal
+    ),
+    opened AS (
+      SELECT coalesce(c_custkey, k) AS c_custkey, new_acctbal AS acctbal,
+             c_mktsegment, uts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM j WHERE k IS NOT NULL
+        AND (c_custkey IS NULL OR acctbal IS DISTINCT FROM new_acctbal)
+    )
+    SELECT c_custkey, acctbal, c_mktsegment,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d'), 'current') AS valid_to
+    FROM (SELECT * FROM untouched
+          UNION ALL SELECT * FROM closed
+          UNION ALL SELECT * FROM opened) t
+    """,
+)
+def scd2_customer_dimension(spark, sf_dir):
+    """SCD type-2 apply: customer balances versioned by the latest
+    urgent 1997-H1 order — changed keys close their current row and
+    open a new one at the update date, everything else passes through.
+    The full before/after dimension is hash-compared."""
+    from .operators.scd import scd2_apply
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    dim = customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round("o_totalprice", 2).alias("acctbal"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    applied = scd2_apply(
+        dim, updates, key="c_custkey", tracked=["acctbal"],
+        ts_col="ts", tiebreak="o_orderkey",
+    )
+    return applied.select(
+        "c_custkey",
+        "acctbal",
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd"), F.lit("current")
+        ).alias("valid_to"),
+    )

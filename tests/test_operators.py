@@ -408,3 +408,48 @@ def test_pagerank_star_graph(spark):
     again = {r["node"]: r["rank"] for r in
              pagerank(edges.repartition(7), "src", "dst", iters=10).collect()}
     assert ranks == again
+
+
+def test_scd2_apply_cases(spark):
+    """New key, changed key, unchanged key, multi-update tiebreak, and
+    history pass-through — all four SCD2 cases in one batch."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.scd import scd2_apply
+
+    TS = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            # key 1: history row + current row (will change)
+            (1, 100.0, "A", TS(2020, 1, 1), TS(2021, 1, 1)),
+            (1, 110.0, "A", TS(2021, 1, 1), None),
+            # key 2: current row, update carries the SAME value
+            (2, 50.0, "B", TS(2020, 1, 1), None),
+            # key 3: current row, no update at all
+            (3, 70.0, "C", TS(2020, 1, 1), None),
+        ],
+        "k long, bal double, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 120.0, TS(2022, 6, 1), 1),   # older update (loses)
+            (1, 130.0, TS(2022, 6, 1), 2),   # tiebreak winner
+            (2, 50.0, TS(2022, 6, 1), 3),    # unchanged value
+            (9, 40.0, TS(2022, 6, 1), 4),    # brand-new key
+        ],
+        "k long, bal double, ts timestamp, seq long",
+    )
+    out = scd2_apply(
+        dim, updates, key="k", tracked=["bal"], ts_col="ts", tiebreak="seq"
+    )
+    rows = {(r["k"], r["bal"], r["valid_to"] is None): r for r in out.collect()}
+    assert out.count() == 6  # 1 history + closed + new + 2 untouched + opened
+    assert (1, 130.0, True) in rows           # tiebreak winner opened
+    closed = rows[(1, 110.0, False)]
+    assert closed["valid_to"] == TS(2022, 6, 1)
+    assert (2, 50.0, True) in rows            # unchanged key untouched
+    assert (3, 70.0, True) in rows            # no-update key untouched
+    new = rows[(9, 40.0, True)]
+    assert new["seg"] is None and new["valid_from"] == TS(2022, 6, 1)
