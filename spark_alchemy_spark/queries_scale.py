@@ -1498,3 +1498,143 @@ def scd2_customer_dimension(spark, sf_dir):
             F.date_format("valid_to", "yyyy-MM-dd"), F.lit("current")
         ).alias("valid_to"),
     )
+
+
+@query(
+    "profile_lineitem_columns",
+    """
+    SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(round(min(l_quantity), 4) AS VARCHAR) AS min_value,
+           CAST(round(max(l_quantity), 4) AS VARCHAR) AS max_value,
+           round(avg(l_quantity), 4) AS mean_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_extendedprice),
+           CAST(round(min(l_extendedprice), 4) AS VARCHAR),
+           CAST(round(max(l_extendedprice), 4) AS VARCHAR),
+           round(avg(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*),
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark, sf_dir):
+    """One-pass data profiling over mixed column types (numeric,
+    string, timestamp): counts, nulls, exact distincts, min/max,
+    means — the table-audit step before any pipeline run."""
+    from .operators.profile import profile_table
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    prof = profile_table(
+        lineitem,
+        ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+    # timestamps render as 'yyyy-MM-dd HH:mm:ss' on both engines
+    return prof
+
+
+@query(
+    "mor_customer_current_view",
+    """
+    WITH base AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_mktsegment,
+             TIMESTAMP '1990-01-01' AS ts, CAST(-1 AS BIGINT) AS seq,
+             false AS _deleted
+      FROM customer
+    ),
+    upserts AS (
+      SELECT o.o_custkey AS c_custkey, round(o.o_totalprice, 2) AS acctbal,
+             c.c_mktsegment, o.o_orderdate AS ts, o.o_orderkey AS seq,
+             false AS _deleted
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    deletes AS (
+      SELECT o.o_custkey AS c_custkey, CAST(NULL AS DOUBLE) AS acctbal,
+             CAST(NULL AS VARCHAR) AS c_mktsegment, o.o_orderdate AS ts,
+             o.o_orderkey AS seq, true AS _deleted
+      FROM orders o
+      WHERE o.o_orderpriority = '5-LOW'
+        AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upserts
+      UNION ALL SELECT * FROM deletes
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY ts DESC, seq DESC) AS rn
+      FROM all_rows
+    )
+    SELECT c_custkey, acctbal, c_mktsegment
+    FROM ranked WHERE rn = 1 AND NOT _deleted
+    """,
+)
+def mor_customer_current_view(spark, sf_dir):
+    """Merge-on-read upsert table: base customer snapshot + an
+    append-only change log (urgent-1997H1 full-row upserts,
+    low-priority-1997H2 tombstones) merged at read time, latest change
+    per key winning — the lakehouse MoR pattern as one keyed window."""
+    from .sources.upsert import merge_on_read
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    base = customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+        F.lit("1990-01-01").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    upserts = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            F.round("o_totalprice", 2).alias("acctbal"),
+            "c_mktsegment",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.lit(False).alias("_deleted"),
+        )
+    )
+    deletes = orders.filter(
+        (F.col("o_orderpriority") == "5-LOW")
+        & (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit(None).cast("double").alias("acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(True).alias("_deleted"),
+    )
+    log = upserts.unionByName(deletes)
+    return merge_on_read(base, log, "c_custkey", "ts", tiebreak="seq")

@@ -65,3 +65,32 @@ def test_bucketed_join_results_match_plain(spark, bucketed):
         .collect()
     )
     assert plain == bucked
+
+
+def test_merge_on_read_and_compact(spark, tmp_path):
+    """Upsert wins over base, tombstone deletes, compact round-trips
+    to the same view."""
+    import datetime as dt
+
+    from spark_alchemy_spark.sources.upsert import compact, merge_on_read
+
+    TS = dt.datetime
+    base = spark.createDataFrame(
+        [(1, "a", TS(2020, 1, 1), -1, False),
+         (2, "b", TS(2020, 1, 1), -1, False),
+         (3, "c", TS(2020, 1, 1), -1, False)],
+        "k long, v string, ts timestamp, seq long, _deleted boolean",
+    )
+    log = spark.createDataFrame(
+        [(1, "a2", TS(2021, 1, 1), 1, False),   # update
+         (1, "a3", TS(2021, 1, 1), 2, False),   # same ts, higher seq wins
+         (2, None, TS(2021, 1, 1), 3, True),    # tombstone
+         (9, "new", TS(2021, 1, 1), 4, False)], # insert
+        "k long, v string, ts timestamp, seq long, _deleted boolean",
+    )
+    view = merge_on_read(base, log, "k", "ts", tiebreak="seq")
+    got = {r["k"]: r["v"] for r in view.collect()}
+    assert got == {1: "a3", 3: "c", 9: "new"}
+    assert view.columns == ["k", "v"]  # bookkeeping columns dropped
+    snap = compact(base, log, "k", "ts", str(tmp_path / "snap"), tiebreak="seq")
+    assert {r["k"]: r["v"] for r in snap.collect()} == got
