@@ -1638,3 +1638,39 @@ def mor_customer_current_view(spark, sf_dir):
     )
     log = upserts.unionByName(deletes)
     return merge_on_read(base, log, "c_custkey", "ts", tiebreak="seq")
+
+
+@query(
+    "source_zorder_buckets",
+    """
+    WITH z AS (
+      SELECT (
+        -- Morton interleave of (o_custkey % 256, epoch-day % 256)
+        -- NB every shift term parenthesized: DuckDB gives << and | equal
+        -- precedence (left-assoc), unlike Java/Spark
+        (SELECT bit_or(
+           (((( o_custkey % 256) >> j) & 1) << (2 * j))
+           | ((((CAST(epoch(o_orderdate) AS BIGINT) // 86400 % 256) >> j) & 1)
+              << (2 * j + 1)))
+         FROM range(8) t(j)) ) AS zval
+      FROM orders
+    )
+    SELECT zval >> 8 AS z_bucket, count(*) AS n
+    FROM z GROUP BY z_bucket
+    """,
+)
+def source_zorder_buckets(spark, sf_dir):
+    """Z-order clustering key (8-bit Morton interleave of customer and
+    order-day): bucket histogram of the interleaved key — the layout
+    coordinate behind multi-dimensional data skipping.  The DuckDB
+    oracle rebuilds the interleave bit-by-bit."""
+    from .sources.zorder import zorder_key
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long")
+    z = zorder_key(F.col("o_custkey"), day, bits=8)
+    return (
+        orders.select(F.shiftright(z, 8).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
