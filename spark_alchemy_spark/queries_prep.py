@@ -332,3 +332,32 @@ def prep_token_budget_take(spark, sf_dir):
     return taken.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tokens")
     )
+
+
+@query(
+    "text_vocab_topk",
+    """
+    WITH sub AS (
+      SELECT unnest(regexp_extract_all(
+               text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM sub GROUP BY tok)
+    SELECT tok, n FROM counts
+    ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary seeding: top-50 subword pretokens by corpus
+    frequency (the BPE-ish pretokenizer from functions/text.py) — one
+    explode + one map-side-combinable count."""
+    from .functions.text import subword_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(subword_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )

@@ -144,3 +144,55 @@ def test_audio_wav_roundtrip_features(spark):
     # byte-level: header says PCM16 mono 16kHz
     buf = synth_wav_bytes(3)
     assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" and len(buf) == 44 + 2000
+
+
+def test_python_stream_source_checkpoint_recovery(spark, tmp_path):
+    """Kill a streaming query mid-run, restart from the checkpoint:
+    the exactly-once file sink + the source's offset-replay contract
+    must deliver every row exactly once across the restart."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.sources import pyds
+
+    pyds.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("synth_events")
+            .option("n", 4000).option("n_users", 100).option("batchsize", 400)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def rows_written():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and rows_written() < 800:
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream (some batches committed, some not)
+    partial = rows_written()
+    assert partial < 4000, "stopped too late to exercise recovery"
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and rows_written() < 4000:
+        time.sleep(0.3)
+    q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 4000                      # no loss, no dupes
+    assert got.select("event_id").distinct().count() == 4000
+    # value spot-check: the closed-form formula survived the restart
+    r = got.filter(F.col("event_id") == 3999).collect()[0]
+    assert r["user_id"] == (3999 * 2654435761) % 100
