@@ -171,3 +171,85 @@ def sessionize(
         | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev) > gap_seconds)
     ).cast("long")
     return df.withColumn(session_col, F.sum(new_session).over(w))
+
+
+def ewma(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    order_tiebreak: str | None = None,
+):
+    """Per-key exponentially-weighted moving average, the classic
+    order-recursive time-series feature Spark has no built-in for:
+
+        s_1 = x_1;   s_i = alpha * x_i + (1 - alpha) * s_{i-1}
+
+    Runs as one Arrow ``applyInPandas`` pass per key (the recurrence is
+    inherently sequential WITHIN a key; keys are independent = full
+    parallelism), with the loop written as the literal recurrence so a
+    recursive SQL CTE replays it bit-identically (same float ops, same
+    order — no pandas ``ewm`` variants, which use a different update
+    form).  Adds an ``ewma`` column."""
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+
+    def _scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        out = []
+        s = None
+        for x in pdf[value_col].astype("float64"):
+            s = x if s is None else alpha * x + (1.0 - alpha) * s
+            out.append(s)
+        pdf["ewma"] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_scan, schema=out_schema)
+
+
+def funnel_counts(
+    events,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+):
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 strictly after their first step 1, then step 3 strictly
+    after that, ...  Returns one row per step (step_idx, step, users).
+
+    Each stage is a filtered min-timestamp aggregate joined on the user
+    key — stages co-partition on the user after the first shuffle, and
+    each stage's frontier (first qualifying timestamp) is all later
+    stages need, so raw events are scanned once per step, never
+    cross-joined."""
+    from pyspark.sql import functions as F
+
+    frontier = None
+    rows = []
+    for idx, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__t")
+        )
+        if frontier is not None:
+            stage = stage.join(frontier, "__u").filter(
+                F.col("__t") > F.col("__ft")
+            )
+        frontier = stage.groupBy("__u").agg(F.min("__t").alias("__ft"))
+        rows.append(
+            frontier.agg(
+                F.lit(idx + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -361,3 +361,81 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "tok")
         .limit(50)
     )
+
+
+@query(
+    "timeseries_ewma_users",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CAST(0.3 AS DOUBLE) * e.value + CAST(0.7 AS DOUBLE) * s.ewma
+      FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT user_id, max(rn) AS n_events,
+           round(max_by(ewma, rn), 6) AS final_ewma
+    FROM s GROUP BY user_id
+    """,
+)
+def timeseries_ewma_users(spark, sf_dir):
+    """Per-user EWMA (alpha=0.3) over event values in time order —
+    the sequential recurrence runs as one Arrow pass per user and the
+    oracle replays it as a recursive CTE, bit-identically (same float
+    ops in the same order)."""
+    from .operators.temporal import ewma
+
+    (events,) = _t(spark, sf_dir, "events")
+    scanned = ewma(
+        events.select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", alpha=0.3, order_tiebreak="event_id",
+    )
+    return scanned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias(
+            "final_ewma"
+        ),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ft FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS ft
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.ft
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS ft
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ft
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase, each step
+    strictly after the user's first qualifying prior step)."""
+    from .operators.temporal import funnel_counts
+
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )

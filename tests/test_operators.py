@@ -453,3 +453,41 @@ def test_scd2_apply_cases(spark):
     assert (3, 70.0, True) in rows            # no-update key untouched
     new = rows[(9, 40.0, True)]
     assert new["seg"] is None and new["valid_from"] == TS(2022, 6, 1)
+
+
+def test_ewma_recurrence_and_determinism(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.temporal import ewma
+
+    TS = dt.datetime
+    rows = [(1, TS(2020, 1, 1, 0, m), m, float(m + 1)) for m in range(5)]
+    rows += [(2, TS(2020, 1, 1, 0, 0), 9, 10.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, x double")
+    out = ewma(df, "k", "ts", "x", alpha=0.5, order_tiebreak="eid")
+    got = {(r["k"], r["eid"]): r["ewma"] for r in out.collect()}
+    # hand-rolled recurrence: 1, 1.5, 2.25, 3.125, 4.0625
+    assert [got[(1, m)] for m in range(5)] == [1.0, 1.5, 2.25, 3.125, 4.0625]
+    assert got[(2, 9)] == 10.0  # first value seeds the series
+    again = ewma(df.repartition(5), "k", "ts", "x", 0.5, "eid")
+    assert got == {(r["k"], r["eid"]): r["ewma"] for r in again.collect()}
+
+
+def test_funnel_counts_strict_order(spark):
+    import datetime as dt
+
+    from spark_alchemy_spark.operators.temporal import funnel_counts
+
+    TS = dt.datetime
+    rows = [
+        (1, "a", TS(2020, 1, 1)), (1, "b", TS(2020, 1, 2)),   # converts
+        (2, "b", TS(2020, 1, 1)), (2, "a", TS(2020, 1, 2)),   # b BEFORE a: no
+        (3, "a", TS(2020, 1, 1)),                              # a only
+        (4, "a", TS(2020, 1, 3)), (4, "b", TS(2020, 1, 3)),   # same ts: strict
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    out = {r["step"]: r["users"] for r in
+           funnel_counts(df, "u", "t", "ts", ["a", "b"]).collect()}
+    assert out == {"a": 4, "b": 1}
