@@ -439,3 +439,122 @@ def funnel_view_click_purchase(spark, sf_dir):
     return funnel_counts(
         events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
     )
+
+
+@query(
+    "window_range_frame_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS nearby_orders,
+           round(sum(o_totalprice) OVER w, 2) AS nearby_revenue
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
+    """,
+)
+def window_range_frame_revenue(spark, sf_dir):
+    """VALUE-based window frame (RANGE BETWEEN +-30 days on the epoch
+    second): each order aggregated with the same customer's orders in
+    a sliding time band — the frame type rows-based entries can't
+    express."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 30 * 86400)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("nearby_orders"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_revenue"),
+    )
+
+
+@query(
+    "scalar_correlated_subqueries",
+    """
+    SELECT n_name,
+           (SELECT count(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+           (SELECT round(avg(s_acctbal), 2) FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey) AS avg_supp_bal
+    FROM nation n
+    """,
+)
+def scalar_correlated_subqueries(spark, sf_dir):
+    """Correlated scalar subqueries in the SELECT list, submitted as
+    SQL text — Catalyst decorrelates both into outer-joined aggregates
+    (no per-row re-execution); empty correlation groups yield NULL,
+    matching ANSI semantics on both engines."""
+    customer, supplier, nation = _t(
+        spark, sf_dir, "customer", "supplier", "nation"
+    )
+    customer.createOrReplaceTempView("customer")
+    supplier.createOrReplaceTempView("supplier")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+               (SELECT round(avg(s_acctbal), 2) FROM supplier s
+                WHERE s.s_nationkey = n.n_nationkey) AS avg_supp_bal
+        FROM nation n
+        """
+    )
+
+
+@query(
+    "ansi_try_and_null_semantics",
+    """
+    SELECT l_linenumber,
+           count(*) AS n,
+           sum(CASE WHEN l_discount = 0 THEN NULL
+                    ELSE round(l_extendedprice / nullif(l_discount, 0), 2)
+               END IS NULL::INT) AS null_ratios,
+           sum((l_returnflag IS NOT DISTINCT FROM 'R')::INT) AS r_flags,
+           sum((try_cast(substr(l_comment_like, 1, 2) AS INTEGER)
+                IS NOT NULL)::INT) AS numeric_prefixes
+    FROM (
+      SELECT l_linenumber, l_extendedprice, l_discount, l_returnflag,
+             CAST(l_partkey AS VARCHAR) AS l_comment_like
+      FROM lineitem) t
+    GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+def ansi_try_and_null_semantics(spark, sf_dir):
+    """ANSI-strict error semantics with the try_* escape hatches:
+    division guarded by nullif (ANSI mode errors on /0), try_cast of
+    non-numeric text to NULL instead of failing, and null-safe
+    comparison (IS NOT DISTINCT FROM / <=>) — the semantics layer a
+    SQL-first user hits immediately under ``spark.sql.ansi.enabled``."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    ratio = F.when(
+        F.col("l_discount") == 0, F.lit(None)
+    ).otherwise(
+        F.round(
+            F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0))), 2
+        )
+    )
+    return (
+        lineitem.select(
+            "l_linenumber",
+            ratio.isNull().cast("int").alias("__nullratio"),
+            F.col("l_returnflag").eqNullSafe("R").cast("int").alias("__rflag"),
+            F.try_to_number(
+                F.substring(F.col("l_partkey").cast("string"), 1, 2), F.lit("99")
+            ).isNotNull().cast("int").alias("__numpref"),
+        )
+        .groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__nullratio").alias("null_ratios"),
+            F.sum("__rflag").alias("r_flags"),
+            F.sum("__numpref").alias("numeric_prefixes"),
+        )
+        .orderBy("l_linenumber")
+    )
