@@ -558,3 +558,104 @@ def ansi_try_and_null_semantics(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(floor(CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+                        / 604800.0
+                        - CAST(epoch(c.cohort_week) AS BIGINT) / 604800.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.ts >= c.cohort_week
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(*) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-signup week,
+    counted in each subsequent week they were active — the
+    product-analytics staple.  One aggregate for cohorts (broadcastable
+    per-user frontier), one distinct per (user, week) pass for
+    activity."""
+    (events,) = _t(spark, sf_dir, "events")
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    wk = F.lit(604800)
+    activity = (
+        events.join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("week", F.col("ts"))) / wk
+                - F.unix_timestamp("cohort_week") / wk
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "decile_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM rev
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(sum(revenue), 2) AS decile_revenue,
+           round(min(revenue), 2) AS floor_revenue
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def decile_customer_revenue(spark, sf_dir):
+    """Decile (whale-curve) analysis: customers ranked by lifetime
+    revenue, cut into ntile(10) bands with per-band totals — the
+    quantile-bucketed reporting pattern (deterministic tiebreak keeps
+    the tile frontier engine-stable)."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("decile_revenue"),
+            F.round(F.min("revenue"), 2).alias("floor_revenue"),
+        )
+        .orderBy("decile")
+    )
