@@ -153,3 +153,51 @@ def kll_rank(sketch, value: float) -> Column:
 def kll_count(sketch) -> Column:
     """Total weight (row count) the sketch has absorbed."""
     return F.kll_sketch_get_n_double(_c(sketch)).cast("bigint")
+
+
+def register_sql(spark) -> None:
+    """Register the theta/KLL scalar surface under this engine's SQL
+    names (the sketch-family extension of the reference's registry
+    pattern, NativeFunctionRegistration.scala:20-26): pure SQL macros
+    over the JVM built-ins — Catalyst inlines them, zero Python.  The
+    aggregate forms already have SQL names (``theta_sketch_agg``,
+    ``theta_union_agg``, ``kll_sketch_agg_double`` ...); these macros
+    add the null algebra the DataFrame wrappers guarantee."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION theta_cardinality(sk BINARY) "
+        "RETURNS BIGINT RETURN CASE WHEN sk IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(theta_sketch_estimate(sk) AS BIGINT) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION theta_union_row(a BINARY, b BINARY) "
+        "RETURNS BINARY RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a "
+        "ELSE theta_union(a, b) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION theta_intersection_row("
+        "a BINARY, b BINARY) RETURNS BINARY RETURN "
+        "CASE WHEN a IS NOT NULL AND b IS NOT NULL "
+        "THEN theta_intersection(a, b) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION theta_difference_row("
+        "a BINARY, b BINARY) RETURNS BINARY RETURN "
+        "CASE WHEN a IS NOT NULL AND b IS NOT NULL "
+        "THEN theta_difference(a, b) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kll_row_merge(a BINARY, b BINARY) "
+        "RETURNS BINARY RETURN CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a "
+        "ELSE kll_sketch_merge_double(a, b) END"
+    )
+    # NB: the rank argument of the JVM built-in must be FOLDABLE, so a
+    # rank-parameterized macro cannot resolve; fixed-rank macros only.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kll_median(sk BINARY) "
+        "RETURNS DOUBLE RETURN "
+        "kll_sketch_get_quantile_double(sk, CAST(0.5 AS DOUBLE))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kll_count(sk BINARY) "
+        "RETURNS BIGINT RETURN CAST(kll_sketch_get_n_double(sk) AS BIGINT)"
+    )

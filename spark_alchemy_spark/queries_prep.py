@@ -659,3 +659,38 @@ def decile_customer_revenue(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "sketch_sql_surface",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS theta_suppliers,
+           count(DISTINCT l_partkey) AS theta_parts,
+           CAST(quantile_disc(l_quantity, 0.5) AS BIGINT) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_sql_surface(spark, sf_dir):
+    """The theta/KLL families driven ENTIRELY from SQL text through the
+    registered names (register_sql) — sketches built by the built-in
+    SQL aggregates, read through this engine's macros; exact below
+    capacity so the oracle is plain COUNT(DISTINCT) / quantile_disc."""
+    from .functions.sketches import register_sql
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    register_sql(spark)
+    lineitem.createOrReplaceTempView("lineitem_sk")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               theta_cardinality(theta_sketch_agg(l_suppkey, 16))
+                 AS theta_suppliers,
+               theta_cardinality(theta_sketch_agg(l_partkey, 16))
+                 AS theta_parts,
+               CAST(kll_median(kll_sketch_agg_double(
+                      CAST(l_quantity AS DOUBLE), 65535)) AS BIGINT)
+                 AS median_qty
+        FROM lineitem_sk GROUP BY l_returnflag
+        """
+    )
