@@ -641,7 +641,12 @@ def decile_customer_revenue(spark, sf_dir):
     """Decile (whale-curve) analysis: customers ranked by lifetime
     revenue, cut into ntile(10) bands with per-band totals — the
     quantile-bucketed reporting pattern (deterministic tiebreak keeps
-    the tile frontier engine-stable)."""
+    the tile frontier engine-stable).
+
+    Scale note: an unpartitioned window is a single-task sort, but its
+    input here is the POST-AGGREGATION customer relation (|customers|
+    << |orders|); for billion-key cases switch the cut to KLL decile
+    bounds (functions/sketches.py) + a broadcast range join."""
     from pyspark.sql import Window
 
     (orders,) = _t(spark, sf_dir, "orders")
