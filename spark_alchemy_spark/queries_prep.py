@@ -699,3 +699,140 @@ def sketch_sql_surface(spark, sf_dir):
         FROM lineitem_sk GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(o_totalprice) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(min(o_totalprice), 2) AS min_value,
+           round(max(o_totalprice), 2) AS max_value,
+           round(sum(o_totalprice) / count(o_totalprice), 4) AS mean_value
+    FROM orders GROUP BY month
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance: the monthly revenue rollup is
+    built from pre-2000 history ONCE, then brought current by merging
+    the state of the 2000+ delta — and must equal the full recompute
+    (the oracle) exactly, proving the state columns are mergeable
+    (the plain-measure analogue of sketch reaggregation)."""
+    from .operators.incremental import agg_state, finalize, merge_states
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+        "month"
+    )
+    rows = orders.select(month, "o_totalprice", "o_orderdate")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    old_state = agg_state(
+        rows.filter(F.col("o_orderdate") < cutoff), ["month"], "o_totalprice"
+    )
+    delta_state = agg_state(
+        rows.filter(F.col("o_orderdate") >= cutoff), ["month"], "o_totalprice"
+    )
+    return finalize(merge_states(old_state, delta_state, ["month"]), ["month"])
+
+
+@query(
+    "stream_mor_upserts",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, round(value, 2) AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_mor_upserts(spark, sf_dir):
+    """Streaming ingestion into a merge-on-read table: events replay
+    through ``foreachBatch`` appending full-row upserts (errors =
+    tombstones) to a log directory, then the MoR read merges
+    latest-per-user — equal to the batch window oracle.  The lakehouse
+    CDC write path end to end: checkpointed availableNow drain,
+    append-only log, read-time latest-wins."""
+    import os
+    import tempfile
+
+    from .queries_ext import _sink_name
+    from .sources.upsert import merge_on_read
+    from .streaming import read_events_stream
+
+    logdir = os.path.join(tempfile.gettempdir(), _sink_name("mor_log"), "log")
+    ckpt = os.path.join(os.path.dirname(logdir), "ckpt")
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").alias("_deleted"),
+    )
+
+    def _append(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(logdir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(logdir)
+    base = spark.createDataFrame([], log.schema)
+    return merge_on_read(base, log, "user_id", "ts", tiebreak="seq")
+
+
+@query(
+    "dedup_chunk_level",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM corpus),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(ws, u.s, u.s + 127), ' ')) AS fp
+      FROM toks, UNNEST([s for s in range(1, len(ws) + 1, 112)]) AS u(s)
+      WHERE len(ws) >= 1)
+    SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks
+    FROM chunks GROUP BY fp
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_chunk_level(spark, sf_dir):
+    """Sub-document (chunk-level) exact dedup: 128-token chunks
+    fingerprinted and grouped — finds boilerplate shared across
+    documents that whole-document dedup misses.  Chunks never leave
+    the row until reduced to a 128-bit fingerprint, so the shuffle
+    carries (md5, doc_id), not text."""
+    from .operators.prep import chunk_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    # the synthetic corpus has no exact text duplicates; replay a
+    # deterministic 5% of it under shifted ids so the operator's
+    # cross-document detection has ground truth on both sides
+    corpus = documents.select("doc_id", "text").unionByName(
+        documents.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    chunks = chunk_documents(corpus, "doc_id", "text", 128, 16)
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -491,3 +491,28 @@ def test_funnel_counts_strict_order(spark):
     out = {r["step"]: r["users"] for r in
            funnel_counts(df, "u", "t", "ts", ["a", "b"]).collect()}
     assert out == {"a": 4, "b": 1}
+
+
+def test_incremental_agg_states_associative(spark):
+    """merge(merge(a,b),c) == merge(a,merge(b,c)) == state(a∪b∪c)."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 1.5 + 2).alias("v"),
+        (F.col("id") % 3).alias("part"),
+    )
+    parts = [agg_state(df.filter(F.col("part") == i), ["k"], "v") for i in range(3)]
+    left = merge_states(merge_states(parts[0], parts[1], ["k"]), parts[2], ["k"])
+    right = merge_states(parts[0], merge_states(parts[1], parts[2], ["k"]), ["k"])
+    full = agg_state(df, ["k"], "v")
+    fl = sorted(map(tuple, finalize(left, ["k"]).collect()))
+    fr = sorted(map(tuple, finalize(right, ["k"]).collect()))
+    ff = sorted(map(tuple, finalize(full, ["k"]).collect()))
+    assert fl == fr == ff
