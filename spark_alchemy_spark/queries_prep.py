@@ -836,3 +836,135 @@ def dedup_chunk_level(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "quality_expectations_orders",
+    """
+    SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
+           sum((o_orderkey IS NULL)::INT) AS violations,
+           sum((o_orderkey IS NULL)::INT) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique', 'o_orderkey',
+           count(o_orderkey) - count(DISTINCT o_orderkey),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive', 'o_totalprice',
+           sum((o_totalprice IS NULL OR o_totalprice < 0
+                OR o_totalprice > 1000000)::INT),
+           sum((o_totalprice IS NULL OR o_totalprice < 0
+                OR o_totalprice > 1000000)::INT) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain', 'o_orderstatus',
+           sum((o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('F', 'O', 'P'))::INT),
+           sum((o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('F', 'O', 'P'))::INT) = 0
+    FROM orders
+    """,
+)
+def quality_expectations_orders(spark, sf_dir):
+    """Declarative data-quality gate over orders: null, uniqueness,
+    range and domain rules — all compiled into one conditional
+    aggregation pass."""
+    from .operators.expectations import check_expectations
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            {"name": "orderkey_not_null", "kind": "not_null",
+             "column": "o_orderkey"},
+            {"name": "orderkey_unique", "kind": "unique",
+             "column": "o_orderkey"},
+            {"name": "totalprice_positive", "kind": "in_range",
+             "column": "o_totalprice", "lo": 0, "hi": 1000000},
+            {"name": "status_domain", "kind": "accepted_values",
+             "column": "o_orderstatus", "values": ["F", "O", "P"]},
+        ],
+    )
+
+
+@query(
+    "drift_psi_order_values",
+    """
+    WITH pb AS (
+      SELECT least(9, greatest(0, CAST(floor((o_totalprice - 0)
+               / 60000.0) AS INT))) AS bin
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    qb AS (
+      SELECT least(9, greatest(0, CAST(floor((o_totalprice - 0)
+               / 60000.0) AS INT))) AS bin
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    p AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM pb) AS f
+          FROM pb GROUP BY bin),
+    q AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM qb) AS f
+          FROM qb GROUP BY bin),
+    grid AS (SELECT CAST(i AS INT) AS bin FROM range(10) t(i)),
+    j AS (
+      SELECT grid.bin,
+             coalesce(p.f, 0) + 1e-6 AS pp,
+             coalesce(q.f, 0) + 1e-6 AS qq
+      FROM grid LEFT JOIN p ON p.bin = grid.bin
+      LEFT JOIN q ON q.bin = grid.bin
+    )
+    SELECT bin, round(pp, 6) AS p_baseline, round(qq, 6) AS q_current,
+           round((pp - qq) * ln(pp / qq), 6) AS psi_contrib
+    FROM j
+    """,
+)
+def drift_psi_order_values(spark, sf_dir):
+    """Distribution-drift alarm: PSI of order values, pre-1998 baseline
+    vs 1998+ current, over 10 fixed bins — the snapshot-to-snapshot
+    stability check between pipeline runs."""
+    from .operators.expectations import psi_drift
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return psi_drift(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=10,
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """Markov transition counts between consecutive events per user —
+    the sequence-analytics building block (one window + one count)."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )

@@ -516,3 +516,45 @@ def test_incremental_agg_states_associative(spark):
     fr = sorted(map(tuple, finalize(right, ["k"]).collect()))
     ff = sorted(map(tuple, finalize(full, ["k"]).collect()))
     assert fl == fr == ff
+
+
+def test_expectations_detect_violations(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (2, None, "z"), (4, 120.0, "a")],
+        "k long, v double, s string",
+    )
+    out = {r["rule"]: (r["violations"], r["passed"]) for r in
+           check_expectations(df, [
+               {"name": "k_unique", "kind": "unique", "column": "k"},
+               {"name": "v_range", "kind": "in_range", "column": "v",
+                "lo": 0, "hi": 100},
+               {"name": "v_not_null", "kind": "not_null", "column": "v"},
+               {"name": "s_domain", "kind": "accepted_values", "column": "s",
+                "values": ["a", "b"]},
+           ]).collect()}
+    assert out["k_unique"] == (1, False)      # duplicated key 2
+    assert out["v_range"] == (3, False)       # -1, NULL, 120
+    assert out["v_not_null"] == (1, False)
+    assert out["s_domain"] == (1, False)      # 'z'
+    clean = check_expectations(df.filter("k = 1"), [
+        {"name": "ok", "kind": "not_null", "column": "v"}])
+    assert clean.collect()[0]["passed"] is True
+
+
+def test_psi_drift_detects_shift(spark):
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.operators.expectations import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_drift(a, a, "x", 0, 100, bins=10)
+    total_same = same.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert abs(total_same) < 1e-9                 # identical -> PSI ~ 0
+    b = a.select((F.col("x") + 50).alias("x"))    # shifted distribution
+    shifted = psi_drift(a, b, "x", 0, 100, bins=10)
+    total_shift = shifted.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert total_shift > 0.2                      # flagged as major drift
