@@ -19,6 +19,11 @@ from .dedup import (
     simhash_pairs,
 )
 from .curate import curate_corpus, curation_report
+from .expectations import check_expectations, psi_drift
+from .graph import connected_components, pagerank
+from .incremental import agg_state, finalize, merge_states
+from .profile import profile_table
+from .scd import scd2_apply
 from .similarity import brute_force_topk, brute_force_topk_np, ivf_topk, lsh_topk
 from .skew import hot_keys, salted_join
 from .temporal import as_of_join, range_pair_join, sessionize
@@ -45,4 +50,13 @@ __all__ = [
     "curation_report",
     "hot_keys",
     "salted_join",
+    "connected_components",
+    "pagerank",
+    "scd2_apply",
+    "profile_table",
+    "check_expectations",
+    "psi_drift",
+    "agg_state",
+    "merge_states",
+    "finalize",
 ]

@@ -136,3 +136,40 @@ def test_repetition_stats_single_exchange(spark):
     its partitioning."""
     df = QUERIES["prep_repetition_stats"](spark, SF)
     assert plans.num_exchanges(df) == 1
+
+
+def test_join_strategy_hints_respected(spark):
+    """Join strategy control: hints must reach the physical plan —
+    shuffle_hash -> ShuffledHashJoin, merge -> SortMergeJoin,
+    broadcast -> BroadcastHashJoin."""
+    from spark_alchemy_spark.sources import load_tables
+
+    t = load_tables(spark, SF, ("orders", "customer"))
+    big, dim = t["orders"], t["customer"]
+    cond = big.o_custkey == dim.c_custkey
+    plan_of = lambda df: plans.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan_of(big.join(dim.hint("shuffle_hash"), cond))
+    assert "SortMergeJoin" in plan_of(big.join(dim.hint("merge"), cond))
+    assert "BroadcastHashJoin" in plan_of(big.join(dim.hint("broadcast"), cond))
+
+
+def test_observation_metrics_api(spark):
+    """The observe() metrics API (accumulator-backed, zero extra scan)
+    works against engine queries — the hook a production pipeline uses
+    for row-count / checksum observability."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from spark_alchemy_spark.sources import load_tables
+
+    orders = load_tables(spark, SF, ("orders",))["orders"]
+    obs = Observation("audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    n = observed.filter(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    assert got["rows"] >= n and got["rows"] == orders.count()
+    assert got["revenue"] > 0
