@@ -968,3 +968,43 @@ def event_transition_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "nonequi_band_join_pricing",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0),
+             ('premium', 970.0, 100000.0)
+    )
+    SELECT band, count(*) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def nonequi_band_join_pricing(spark, sf_dir):
+    """PURE non-equi join (no equality key at all): parts matched to
+    price bands by interval containment — planned as a broadcast
+    nested-loop join (the only correct strategy, and the cheap one:
+    the band table is tiny).  Completes the join matrix next to
+    equi/broadcast/semi/anti/range/as-of."""
+    (part,) = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0),
+         ("premium", 970.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band")
+    )

@@ -173,3 +173,12 @@ def test_observation_metrics_api(spark):
     got = obs.get
     assert got["rows"] >= n and got["rows"] == orders.count()
     assert got["revenue"] > 0
+
+
+def test_nonequi_join_is_broadcast_nested_loop(spark):
+    """A pure non-equi join against a tiny banding table must plan as
+    BroadcastNestedLoopJoin — never a cartesian product exchange."""
+    df = QUERIES["nonequi_band_join_pricing"](spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
