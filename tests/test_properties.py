@@ -110,3 +110,82 @@ def test_salted_join_left_nulls(spark, how):
         assert out == [(1, 10, 100)]
     else:
         assert out == [(1, 10, 100), (2, 20, None)]
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_fraction_threshold_monotone_and_bounded(fracs):
+    """Bigger fraction -> lexicographically bigger hex threshold, so a
+    sample at fraction f is a SUBSET of the sample at f' > f (nested
+    samples — the property that makes mix changes incremental)."""
+    from spark_alchemy_spark.operators.prep import fraction_threshold
+
+    ts = [fraction_threshold(f) for f in fracs]
+    for f, t in zip(fracs, ts):
+        assert t == "g" or (len(t) == 8 and t <= "ffffffff")
+    pairs = sorted(zip(fracs, ts))
+    for (f1, t1), (f2, t2) in zip(pairs, pairs[1:]):
+        assert t1 <= t2
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_fractions_laws(counts, alpha):
+    """Keep-fractions are in (0, 1], the max is exactly 1 (dominant
+    stratum kept whole), and alpha=1 keeps everything."""
+    from spark_alchemy_spark.operators.prep import temperature_fractions
+
+    fr = temperature_fractions(counts, alpha=alpha)
+    assert set(fr) == set(counts)
+    assert all(0 < v <= 1.0 + 1e-12 for v in fr.values())
+    assert abs(max(fr.values()) - 1.0) < 1e-12
+    one = temperature_fractions(counts, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in one.values())
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_is_invertible(a, b):
+    """The Morton key loses nothing: de-interleaving the bits recovers
+    both coordinates exactly (bijective on the grid), so range
+    pruning on the key can never conflate distinct cells."""
+    z = 0
+    for j in range(12):
+        z |= ((a >> j) & 1) << (2 * j)
+        z |= ((b >> j) & 1) << (2 * j + 1)
+    ra = sum(((z >> (2 * j)) & 1) << j for j in range(12))
+    rb = sum(((z >> (2 * j + 1)) & 1) << j for j in range(12))
+    assert (ra, rb) == (a, b)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Column expression computes the same Morton key as the plain
+    Python interleave (the property the oracle also pins, asserted here
+    over a dense grid)."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.sources.zorder import zorder_key
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    rows = df.select("a", "b", zorder_key("a", "b", bits=4).alias("z")).collect()
+    for r in rows:
+        z = 0
+        for j in range(4):
+            z |= ((r["a"] >> j) & 1) << (2 * j)
+            z |= ((r["b"] >> j) & 1) << (2 * j + 1)
+        assert r["z"] == z
