@@ -1008,3 +1008,29 @@ def nonequi_band_join_pricing(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@query(
+    "parameterized_sql_priority",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def parameterized_sql_priority(spark, sf_dir):
+    """Named-parameter SQL (`spark.sql(..., args=...)`) — the
+    injection-safe template surface; parameters bind as literals so
+    Catalyst still constant-folds and pushes them into the scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_p WHERE o_orderpriority = :prio
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"prio": "2-HIGH"},
+    )
