@@ -318,3 +318,34 @@ def audio_features(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
         "rms double, peak int"
     )
     return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
+def ahash_bits(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints: per pixel, the
+    grayscale value is compared against the image mean and the 0/1
+    outcomes concatenate into a bit string — the classic cheap
+    image near-dup key (identical or near-identical images collide).
+
+    The threshold test is kept in INTEGER form (``n_pixels *
+    channel_sum(pixel) > sum(all pixels)``, equivalent to gray > mean)
+    so the fingerprint is exactly reproducible by any engine — no
+    float mean to drift by a ULP.  One Arrow ``mapInPandas`` pass;
+    returns (id, ahash string)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, buf in zip(pdf[id_col], pdf[data_col]):
+                img = _decode_any(bytes(buf)).astype(np.int64)
+                h, w, c = img.shape
+                s3 = img.reshape(-1, c).sum(axis=1)
+                total = int(s3.sum())
+                n = h * w
+                bits = (n * s3 > total).astype(np.uint8)
+                ids.append(i)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col, data_col).mapInPandas(
+        gen, f"{id_col} long, ahash string"
+    )

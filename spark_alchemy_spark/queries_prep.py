@@ -1034,3 +1034,50 @@ def parameterized_sql_priority(spark, sf_dir):
         """,
         args={"prio": "2-HIGH"},
     )
+
+
+@query(
+    "media_phash_near_dup",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             [ ((doc_id % 40 * 6 + 3 * j + 0) % 256)
+             + ((doc_id % 40 * 6 + 3 * j + 1) % 256)
+             + ((doc_id % 40 * 6 + 3 * j + 2) % 256)
+               for j in range(0, 64) ] AS s3
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             array_to_string(
+               [CASE WHEN 64 * s3[j + 1] > list_aggregate(s3, 'sum')
+                     THEN '1' ELSE '0' END for j in range(0, 64)], '')
+               AS ahash
+      FROM px
+    )
+    SELECT ahash, count(*) AS n_docs
+    FROM hashes GROUP BY ahash HAVING count(*) > 1
+    """,
+)
+def media_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash (aHash) image near-dup: deterministic SYNTH
+    images (one per document, 40 distinct motifs whose mod-256 wrap
+    positions differ) fingerprinted by the
+    integer-exact average hash, then grouped — colliding fingerprints
+    = duplicate imagery.  The oracle regenerates pixels from the SYNTH
+    closed form and replays the hash bit-for-bit."""
+    from .multimodal import ahash_bits, synth_image_udf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    imgs = documents.select(
+        "doc_id",
+        synth_image_udf()(
+            (F.col("doc_id") % 40) * 6, F.lit(8), F.lit(8)
+        ).alias("data"),
+    )
+    return (
+        ahash_bits(imgs, "data", "doc_id")
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
