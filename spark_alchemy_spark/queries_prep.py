@@ -1,6 +1,12 @@
 """Battery extension: trainer-facing prep operators — sequence
 packing (contiguous + greedy first-fit), deterministic splits,
-repetition screening — and lexical ranking (TF-IDF, BM25).
+repetition screening — lexical ranking (TF-IDF, BM25), and the
+engine-completeness entries added with them: time-series (EWMA,
+funnels, transitions, cohorts, deciles), data quality (expectations,
+PSI drift), warehouse maintenance (incremental aggregates, streaming
+CDC into merge-on-read), SQL-surface semantics (range frames,
+correlated scalar subqueries, ANSI try_*, named parameters, non-equi
+band joins, sketch SQL names) and perceptual-hash media dedup.
 
 Oracle notes:
 * both packing modes replay exactly in SQL — contiguous is a window
