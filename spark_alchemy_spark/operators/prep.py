@@ -225,6 +225,7 @@ def pack_sequences(
     budget: int,
     num_shards: int = 32,
     order_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Contiguous (block) sequence packing: rows are laid out in a
     deterministic order within hash shards and cut into packs of
@@ -242,7 +243,11 @@ def pack_sequences(
     order_cols = order_cols or [id_col]
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy(*order_cols)
+    # extra partition columns (e.g. a train/val/test split) keep packs
+    # from straddling logical boundaries; each (partition, shard) pair
+    # is an independent stream
+    parts = list(partition_cols or []) + ["shard"]
+    w = Window.partitionBy(*parts).orderBy(*order_cols)
     t = F.col(token_col).cast("long")
     sharded = _with_shard(df, id_col, num_shards)
     return sharded.withColumn(

@@ -1087,3 +1087,80 @@ def media_phash_near_dup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "pipeline_end_to_end_prep",
+    f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT d.doc_id, len({_WS}) AS tok
+      FROM documents d JOIN surv USING (doc_id)
+      WHERE len({_WS}) BETWEEN 20 AND 1000
+    ),
+    split AS (
+      SELECT doc_id, tok,
+             CASE WHEN substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '{_T1}' THEN 'train'
+                  WHEN substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) < '{_T2}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality
+    ),
+    packed AS (
+      SELECT split, doc_id % 4 AS shard, tok,
+             sum(tok) OVER (PARTITION BY split, doc_id % 4 ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS excl
+      FROM split
+    )
+    SELECT split, count(DISTINCT (shard, CAST(floor(excl / 512) AS BIGINT)))
+             AS n_packs,
+           count(*) AS n_docs, sum(tok) AS sum_tokens
+    FROM packed GROUP BY split ORDER BY split
+    """,
+)
+def pipeline_end_to_end_prep(spark, sf_dir):
+    """The flagship composed prep pipeline, end to end in one plan:
+    exact dedup (min-id per content hash) -> quality gate (token
+    bounds) -> deterministic 80/10/10 split -> contiguous sequence
+    packing per split — summarized per split and hash-matched against
+    a single chained SQL replay of every stage.  Each stage reuses the
+    battery-proven recipe; the composition proves they pipeline
+    without intermediate materialization."""
+    from .functions.text import token_count
+    from .operators.prep import pack_sequences, train_split
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    surv = documents.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    quality = (
+        documents.join(surv.select("doc_id"), "doc_id")
+        .select("doc_id", token_count("text").alias("tok"))
+        .filter(F.col("tok").between(20, 1000))
+    )
+    split = train_split(
+        quality, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v1",
+    )
+    packed = pack_sequences(
+        split,
+        "doc_id",
+        "tok",
+        budget=512,
+        num_shards=4,
+        order_cols=["doc_id"],
+        partition_cols=["split"],
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.countDistinct(F.struct("shard", "pack_id")).alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )
