@@ -1197,3 +1197,71 @@ def bitmap_exact_distinct_users(spark, sf_dir):
         .agg(F.sum("n").alias("exact_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "string_edit_distance_pairs",
+    """
+    SELECT levenshtein(a.p_name, b.p_name) AS dist, count(*) AS n_pairs
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 40 AND b.p_partkey <= 40
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def string_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance (Levenshtein) histogram over name pairs — the
+    fuzzy-string-matching primitive for entity resolution, on a
+    bounded self-join block."""
+    part, = _t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_partkey") <= 40).select("p_partkey", "p_name")
+    a = small.select(
+        F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
+    )
+    b = small.select(
+        F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb")
+    )
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(F.levenshtein("na", "nb").alias("dist"))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("dist")
+    )
+
+
+@query(
+    "hof_array_predicates",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(ws, w -> w = 'join')) > 0 AS has_join,
+           len(list_filter(ws, w -> len(w) >= 1)) = len(ws) AS all_nonempty,
+           list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS total_chars,
+           len(list_filter(ws, w -> len(w) > 5)) AS long_tokens
+    FROM t
+    """,
+)
+def hof_array_predicates(spark, sf_dir):
+    """Array higher-order predicates and folds (exists / forall /
+    aggregate / filter) — the lambda-expression surface over token
+    arrays, replayed with DuckDB list lambdas."""
+    from .functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ws = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.exists(ws, lambda w: w == "join").alias("has_join"),
+        F.forall(ws, lambda w: F.length(w) >= 1).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 5)).cast("long").alias(
+            "long_tokens"
+        ),
+    )
