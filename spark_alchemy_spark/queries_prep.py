@@ -1265,3 +1265,98 @@ def hof_array_predicates(spark, sf_dir):
             "long_tokens"
         ),
     )
+
+
+@query(
+    "timeseries_forward_fill",
+    """
+    WITH holes AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(coalesce(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 2)
+             AS filled
+    FROM holes
+    """,
+)
+def timeseries_forward_fill(spark, sf_dir):
+    """Forward-fill imputation: every 7th reading nulled, then healed
+    with the last non-null value per user in time order
+    (``last_value(... ignoreNulls)`` over a running frame) — the
+    standard gap-repair step before feature extraction; leading gaps
+    fall back to a sentinel."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    holes = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return holes.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 2
+        ).alias("filled"),
+    )
+
+
+@query(
+    "semistructured_xml_and_maps",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS xml_status,
+           round(o_totalprice, 2) AS xml_price,
+           o_orderpriority AS tag_priority,
+           CAST(year(o_orderdate) AS VARCHAR) AS tag_year
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def semistructured_xml_and_maps(spark, sf_dir):
+    """Semi-structured ingestion beyond JSON: an XML document per row
+    parsed with ``from_xml``, and a ``k=v,k=v`` tag string parsed with
+    ``str_to_map`` — both rebuilt from relational columns, so the
+    oracle is the source table itself (parse(render(x)) == x)."""
+    from pyspark.sql.types import StructType
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_orderkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<order><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.lit("</price></order>"),
+    )
+    tags = F.concat(
+        F.lit("priority="),
+        F.col("o_orderpriority"),
+        F.lit(",year="),
+        F.year("o_orderdate").cast("string"),
+    )
+    schema = "status STRING, price DOUBLE"
+    parsed = sel.select(
+        "o_orderkey",
+        F.from_xml(xml, schema).alias("x"),
+        F.str_to_map(tags, F.lit(","), F.lit("=")).alias("m"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.status").alias("xml_status"),
+        F.round("x.price", 2).alias("xml_price"),
+        F.col("m").getItem("priority").alias("tag_priority"),
+        F.col("m").getItem("year").alias("tag_year"),
+    )
