@@ -36,3 +36,38 @@ class Tokenize:
 
 def register(spark) -> None:
     spark.udtf.register("tokenize_udtf", Tokenize)
+    spark.udtf.register("longest_streak_udtf", LongestStreak)
+
+
+@udtf(returnType="user_id bigint, best_type string, best_streak int, n_rows int")
+class LongestStreak:
+    """Per-partition table-argument UDTF: consumes one user's events
+    (``TABLE(...) PARTITION BY user_id ORDER BY ts``) and emits that
+    user's longest run of consecutive identical event types — the
+    imperative per-group scan SQL can't express without window
+    gymnastics, showing the Spark 4 polymorphic-table-function seam.
+
+    Ties resolve to the streak seen first in time order (deterministic
+    given the ORDER BY)."""
+
+    def __init__(self):
+        self._user = None
+        self._prev = None
+        self._run = 0
+        self._best = 0
+        self._best_type = None
+        self._n = 0
+
+    def eval(self, row):
+        self._user = row["user_id"]
+        self._n += 1
+        t = row["event_type"]
+        self._run = self._run + 1 if t == self._prev else 1
+        self._prev = t
+        if self._run > self._best:
+            self._best = self._run
+            self._best_type = t
+
+    def terminate(self):
+        if self._user is not None:
+            yield (self._user, self._best_type, self._best, self._n)

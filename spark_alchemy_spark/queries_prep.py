@@ -1360,3 +1360,57 @@ def semistructured_xml_and_maps(spark, sf_dir):
         F.col("m").getItem("priority").alias("tag_priority"),
         F.col("m").getItem("year").alias("tag_year"),
     )
+
+
+@query(
+    "udtf_partitioned_streaks",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s
+    ),
+    runs AS (
+      SELECT user_id, event_type, grp, count(*) AS len,
+             min(ts) AS t0, min(event_id) AS e0
+      FROM g GROUP BY user_id, event_type, grp
+    ),
+    best AS (
+      SELECT user_id, event_type AS best_type, len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, t0, e0) AS rn
+      FROM runs
+    ),
+    n AS (SELECT user_id, count(*) AS nr FROM events GROUP BY user_id)
+    SELECT b.user_id, best_type, CAST(len AS INT) AS best_streak,
+           CAST(nr AS INT) AS n_rows
+    FROM best b JOIN n ON n.user_id = b.user_id WHERE rn = 1
+    """,
+)
+def udtf_partitioned_streaks(spark, sf_dir):
+    """Polymorphic table function over a PARTITIONED TABLE argument
+    (Spark 4 UDTF): each user's events stream through one UDTF
+    instance in time order, which emits the longest same-type streak —
+    imperative per-group logic at the SQL level; the oracle rebuilds
+    it with gap-group windows."""
+    from .functions import udtfs
+
+    (events,) = _t(spark, sf_dir, "events")
+    udtfs.register(spark)
+    events.createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        """
+        SELECT * FROM longest_streak_udtf(
+          TABLE(SELECT user_id, event_type, ts, event_id FROM events_udtf_v)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
