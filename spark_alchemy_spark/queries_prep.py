@@ -1414,3 +1414,73 @@ def udtf_partitioned_streaks(spark, sf_dir):
           PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )
+
+
+@query(
+    "transpose_flag_metrics",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS key,
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'A') AS A,
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'N') AS N,
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'avg_disc',
+           (SELECT avg_disc FROM m WHERE l_returnflag = 'A'),
+           (SELECT avg_disc FROM m WHERE l_returnflag = 'N'),
+           (SELECT avg_disc FROM m WHERE l_returnflag = 'R')
+    """,
+)
+def transpose_flag_metrics(spark, sf_dir):
+    """DataFrame.transpose (Spark 4): metric rows become columns keyed
+    by the former index column — the report-layout flip done by the
+    engine instead of driver-side pivoting."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    m = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return m.transpose("l_returnflag")
+
+
+@query(
+    "collation_case_insensitive_groups",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment, count(*) AS n
+    FROM mixed GROUP BY lower(seg) ORDER BY segment
+    """,
+)
+def collation_case_insensitive_groups(spark, sf_dir):
+    """String collations (Spark 4): grouping under ``UTF8_LCASE``
+    unifies case variants at the COMPARISON level (no normalization of
+    the data) — half the segments are upper-cased, yet the collated
+    grouping matches the lowercase oracle."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    mixed = customer.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.col("c_mktsegment")).alias("seg")
+    )
+    return (
+        mixed.groupBy(F.collate("seg", "UTF8_LCASE").alias("segc"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.lower("seg")).alias("segment"),
+        )
+        .select("segment", "n")
+        .orderBy("segment")
+    )
