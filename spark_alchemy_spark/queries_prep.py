@@ -1484,3 +1484,46 @@ def collation_case_insensitive_groups(spark, sf_dir):
         .select("segment", "n")
         .orderBy("segment")
     )
+
+
+@query(
+    "csv_and_url_parsing",
+    """
+    SELECT n_nationkey,
+           n_name AS csv_name,
+           n_regionkey AS csv_region,
+           'warehouse.example.com' AS url_host,
+           '/nation/' || n_name AS url_path,
+           CAST(n_nationkey AS VARCHAR) AS url_id
+    FROM nation
+    """,
+)
+def csv_and_url_parsing(spark, sf_dir):
+    """Text-codec surfaces: a CSV line per row parsed with
+    ``from_csv``, and a URL parsed with ``parse_url``
+    (host/path/query-parameter extraction) — both rendered from
+    relational columns so the oracle is the source table (parse of
+    render must round-trip)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    csv_line = F.concat_ws(
+        ",", F.col("n_name"), F.col("n_regionkey").cast("string")
+    )
+    url = F.concat(
+        F.lit("https://warehouse.example.com/nation/"),
+        F.col("n_name"),
+        F.lit("?id="),
+        F.col("n_nationkey").cast("string"),
+    )
+    parsed = nation.select(
+        "n_nationkey",
+        F.from_csv(csv_line, "name STRING, region INT").alias("c"),
+        url.alias("u"),
+    )
+    return parsed.select(
+        "n_nationkey",
+        F.col("c.name").alias("csv_name"),
+        F.col("c.region").alias("csv_region"),
+        F.parse_url("u", F.lit("HOST")).alias("url_host"),
+        F.parse_url("u", F.lit("PATH")).alias("url_path"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("id")).alias("url_id"),
+    )
