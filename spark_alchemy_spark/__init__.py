@@ -9,9 +9,19 @@ UDFs where Spark has no built-in (per-row sketch bytes, byte-format
 interop, stubbed media decoders).
 """
 
-from . import functions
+from . import functions, multimodal, operators, sources, streaming
 from .functions import register
+from .session import build_session
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["functions", "register", "__version__"]
+__all__ = [
+    "functions",
+    "operators",
+    "sources",
+    "streaming",
+    "multimodal",
+    "register",
+    "build_session",
+    "__version__",
+]
