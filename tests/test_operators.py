@@ -558,3 +558,20 @@ def test_psi_drift_detects_shift(spark):
     shifted = psi_drift(a, b, "x", 0, 100, bins=10)
     total_shift = shifted.agg(F.sum("psi_contrib")).collect()[0][0]
     assert total_shift > 0.2                      # flagged as major drift
+
+
+def test_profile_table_null_handling(spark):
+    """Nulls counted, excluded from distincts/min/max/mean; string and
+    numeric columns share the one output schema."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, None), (3.0, "b")],
+        "x double, s string",
+    )
+    from spark_alchemy_spark.operators.profile import profile_table
+
+    rows = {r["column"]: r for r in profile_table(df, ["x", "s"]).collect()}
+    x, s = rows["x"], rows["s"]
+    assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (4, 1, 2)
+    assert (x["min_value"], x["max_value"], x["mean_value"]) == ("1.0", "3.0", 2.3333)
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_value"], s["max_value"], s["mean_value"]) == ("a", "b", None)
