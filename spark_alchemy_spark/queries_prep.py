@@ -1527,3 +1527,119 @@ def csv_and_url_parsing(spark, sf_dir):
         F.parse_url("u", F.lit("PATH")).alias("url_path"),
         F.parse_url("u", F.lit("QUERY"), F.lit("id")).alias("url_id"),
     )
+
+
+@query(
+    "ann_filtered_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id AND c.label = 1
+      WHERE q.vec_id < 3
+    )
+    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t WHERE rnk <= 5
+    """,
+)
+def ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search (the vector-DB staple): top-k cosine
+    neighbors restricted to a metadata predicate (label = 1).  The
+    filter composes BEFORE the distance scan, so selectivity cuts the
+    scored corpus — with the IVF index this is the partition-pruned
+    probe plus a residual predicate."""
+    from .operators.similarity import brute_force_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3)
+    corpus = embeddings.filter(F.col("label") == 1)
+    return brute_force_topk(
+        corpus, queries_df, "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "hybrid_rrf_search",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_WS}) AS term FROM documents
+      ) WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, len({_WS}) AS dl FROM documents),
+    sc AS (SELECT count(*) AS n_docs, avg(len({_WS})) AS avgdl FROM documents),
+    per AS (
+      SELECT tf.doc_id AS doc_id,
+             ln(1 + CAST(n_docs - dfreq + 0.5 AS DOUBLE)
+                    / CAST(dfreq + 0.5 AS DOUBLE))
+               * tf * CAST(2.2 AS DOUBLE)
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (1 - 0.75 + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+      FROM tf JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN sc
+    ),
+    bm AS (
+      -- rank on the 4dp score the Spark side exposes (round of the 6dp
+      -- grid), so rank ties break identically in both engines
+      SELECT doc_id, row_number() OVER (
+               ORDER BY round(round(sum(s), 6), 4) DESC, doc_id) AS r_bm
+      FROM per GROUP BY doc_id
+      ORDER BY round(round(sum(s), 6), 4) DESC, doc_id LIMIT 50
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    vec AS (
+      SELECT neighbor_id, row_number() OVER (ORDER BY cos DESC, neighbor_id)
+               AS r_v
+      FROM (
+        SELECT c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0) t
+      ORDER BY cos DESC, neighbor_id LIMIT 50
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, vec.neighbor_id) AS doc_id,
+             round(coalesce(1.0 / (60 + r_bm), 0)
+                   + coalesce(1.0 / (60 + r_v), 0), 6) AS rrf
+      FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.neighbor_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """HYBRID retrieval: BM25 keyword ranks fused with embedding
+    cosine ranks by reciprocal-rank fusion (1/(60+rank) per list) —
+    the standard lexical+vector search combination, composed entirely
+    from this engine's ranking and ANN operators."""
+    from pyspark.sql import Window
+
+    from .operators.ranking import bm25_scores
+    from .operators.similarity import brute_force_topk
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    bm_top = bm25_scores(
+        documents, "doc_id", "text", ["hash", "join", "filter"], topk=50
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm = bm_top.select("doc_id", F.row_number().over(w).alias("r_bm"))
+    vec = brute_force_topk(
+        embeddings, embeddings.filter(F.col("vec_id") == 0),
+        "vec_id", "embedding", k=50,
+    ).select(F.col("neighbor_id"), F.col("rank").alias("r_v"))
+    fused = bm.join(
+        vec, bm["doc_id"] == vec["neighbor_id"], "full_outer"
+    ).select(
+        F.coalesce(bm["doc_id"], vec["neighbor_id"]).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_v")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
