@@ -1643,3 +1643,60 @@ def hybrid_rrf_search(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "hof_comparator_and_finish",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(ws, w -> {'k': len(w), 'w': w})),
+               s -> s.w),
+             ' ') AS by_length,
+           round(CASE WHEN len(ws) = 0 THEN NULL
+                      ELSE list_aggregate(list_transform(ws, w -> len(w)),
+                                          'sum') * 1.0 / len(ws) END,
+                 4) AS mean_len
+    FROM t
+    """,
+)
+def hof_comparator_and_finish(spark, sf_dir):
+    """The last higher-order-function shapes: ``array_sort`` with a
+    CUSTOM comparator lambda (tokens ordered by length then value) and
+    3-argument ``aggregate`` with a FINISH lambda (running (sum, count)
+    struct finished into a mean) — the oracle emulates the comparator
+    with a sortable struct projection."""
+    from .functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ws = tokens("text")
+    cmp_sorted = F.array_sort(
+        ws,
+        lambda a, b: F.when(F.length(a) < F.length(b), -1)
+        .when(F.length(a) > F.length(b), 1)
+        .when(a < b, -1)
+        .when(a > b, 1)
+        .otherwise(0),
+    )
+    mean_len = F.aggregate(
+        ws,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("c")
+        ),
+        lambda acc, w: F.struct(
+            (acc["s"] + F.length(w)).alias("s"), (acc["c"] + 1).alias("c")
+        ),
+        lambda acc: F.when(
+            acc["c"] > 0, F.round(acc["s"] * 1.0 / acc["c"], 4)
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        F.array_join(cmp_sorted, " ").alias("by_length"),
+        mean_len.alias("mean_len"),
+    )
