@@ -19,3 +19,19 @@ def test_error_precedence_chain(spark):
         assert _lg_k(0.05) == 9  # explicit arg wins
     finally:
         spark.conf.unset(DEFAULT_ERROR_CONF_KEY)
+
+
+def test_docs_battery_count_in_sync():
+    """README's battery-count claim must match the registered battery
+    (drift here would misreport coverage to a reviewer)."""
+    import re
+
+    from spark_alchemy_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) == set(QUERIES)  # every entry has its oracle
+    readme = open("README.md").read()
+    m = re.search(r"`queries\(\)` \((\d+) battery\nentries\)", readme)
+    assert m, "README battery-count sentence missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README claims {m.group(1)} entries, registry has {len(QUERIES)}"
+    )
