@@ -575,3 +575,17 @@ def test_profile_table_null_handling(spark):
     assert (x["min_value"], x["max_value"], x["mean_value"]) == ("1.0", "3.0", 2.3333)
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
     assert (s["min_value"], s["max_value"], s["mean_value"]) == ("a", "b", None)
+
+
+def test_tfidf_surfaces_distinctive_terms(spark):
+    from spark_alchemy_spark.operators.ranking import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common apple apple"), (2, "common banana"), (3, "common cherry")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears everywhere (idf=0) — never the top term
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    assert all(r["rank"] == 1 for r in out)
