@@ -24,12 +24,14 @@ def test_error_precedence_chain(spark):
 def test_docs_battery_count_in_sync():
     """README's battery-count claim must match the registered battery
     (drift here would misreport coverage to a reviewer)."""
+    import os
     import re
 
     from spark_alchemy_spark.queries import ORACLES, QUERIES
 
     assert set(ORACLES) == set(QUERIES)  # every entry has its oracle
-    readme = open("README.md").read()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
     m = re.search(r"`queries\(\)` \((\d+) battery\nentries\)", readme)
     assert m, "README battery-count sentence missing"
     assert int(m.group(1)) == len(QUERIES), (
