@@ -1700,3 +1700,44 @@ def hof_comparator_and_finish(spark, sf_dir):
         F.array_join(cmp_sorted, " ").alias("by_length"),
         mean_len.alias("mean_len"),
     )
+
+
+@query(
+    "map_algebra_events",
+    """
+    SELECT user_id, upper(event_type) AS k, count(*) AS n,
+           round(sum(value), 2) AS s
+    FROM events GROUP BY user_id, upper(event_type)
+    """,
+)
+def map_algebra_events(spark, sf_dir):
+    """Map-column algebra: per-user maps built with
+    ``map_from_entries``, keys rewritten with ``transform_keys`` and
+    two maps merged value-wise with ``map_zip_with``, then exploded
+    back to rows — which must equal the plain grouped aggregation the
+    oracle computes (map construction round-trips losslessly)."""
+    (events,) = _t(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "s"))
+        ).alias("m2"),
+    )
+    upper_keys = lambda m: F.transform_keys(m, lambda k, v: F.upper(k))
+    zipped = maps.select(
+        "user_id",
+        F.map_zip_with(
+            upper_keys(F.col("m1")),
+            upper_keys(F.col("m2")),
+            lambda k, a, b: F.struct(a.alias("n"), b.alias("s")),
+        ).alias("zm"),
+    )
+    return zipped.select(
+        "user_id", F.explode("zm").alias("k", "v")
+    ).select("user_id", "k", F.col("v.n").alias("n"), F.col("v.s").alias("s"))
