@@ -1741,3 +1741,59 @@ def map_algebra_events(spark, sf_dir):
     return zipped.select(
         "user_id", F.explode("zm").alias("k", "v")
     ).select("user_id", "k", F.col("v.n").alias("n"), F.col("v.s").alias("s"))
+
+
+@query(
+    "nested_struct_operations",
+    """
+    SELECT o_orderkey, 'price' AS metric,
+           round(o_totalprice, 2) AS value, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'priority_rank',
+           CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) AS DOUBLE),
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def nested_struct_operations(spark, sf_dir):
+    """Nested-struct surgery + the ``inline`` generator: a struct per
+    order is extended with ``withField``, trimmed with ``dropFields``,
+    packed into an array of metric structs and exploded back to rows —
+    ending exactly where the oracle's flat UNION starts (nesting
+    round-trips losslessly)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_orderkey") % 100 == 0)
+    base = sel.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("s"),
+    )
+    reshaped = base.withColumn(
+        "s",
+        F.col("s")
+        .withField(
+            "priority_rank",
+            F.substring("s.prio", 1, 1).cast("int").cast("double"),
+        )
+        .dropFields("prio"),
+    )
+    metrics = reshaped.select(
+        "o_orderkey",
+        F.col("s.status").alias("status"),
+        F.array(
+            F.struct(
+                F.lit("price").alias("metric"), F.col("s.price").alias("value")
+            ),
+            F.struct(
+                F.lit("priority_rank").alias("metric"),
+                F.col("s.priority_rank").alias("value"),
+            ),
+        ).alias("ms"),
+    )
+    return metrics.select(
+        "o_orderkey", F.inline("ms"), "status"
+    ).select("o_orderkey", "metric", "value", "status")
