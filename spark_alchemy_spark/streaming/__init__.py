@@ -38,9 +38,22 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
-    return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Driver testdata has shipped ts as either TIMESTAMP(NANOS) (surfacing
+    # as BIGINT nanos under nanosAsLong) or plain timestamp[us]; guard on
+    # the actual type like sources.tpch.load_table does.
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # Watermarks require TIMESTAMP (with local tz); a TIMESTAMP_NTZ column
+    # is rejected with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  The NTZ→LTZ
+    # cast keeps the wall-clock reading under the session timezone, so
+    # date_format/window boundaries match the batch oracle exactly.
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_counts(
