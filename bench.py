@@ -64,6 +64,29 @@ def main():
         spark.read.format("synth_events").option("n", 64).option(
             "numPartitions", 2
         ).load().write.format("noop").mode("overwrite").save()
+
+        # Structured Streaming engine init (state-store provider, streaming
+        # listener bus, memory-sink machinery) costs ~20-30s the FIRST time
+        # a stateful stream starts in a session; warm it on a 64-row file
+        # stream so the timed stream_* entries measure their operator.
+        import tempfile
+
+        warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        tiny.write.mode("overwrite").parquet(warm_dir)
+        wstream = (
+            spark.readStream.schema("id long, g long").parquet(warm_dir)
+            .groupBy("g").count()
+        )
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            wq = (
+                wstream.writeStream.format("memory").queryName("__warm_stream")
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            wq.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     except Exception as e:  # warmup must never take down the bench
         print(f"bench warmup skipped: {e}", file=sys.stderr)
 

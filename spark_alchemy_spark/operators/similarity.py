@@ -216,17 +216,26 @@ def lsh_topk(
     rows = planes // bands
 
     def banded(df, ident):
-        bits = _hyperplane_bits(F.col("__v"), planes)
+        # Materialize the sign-bit array in its own projection: band keys
+        # reference bits via element_at 12 times, and handed the raw
+        # expression Catalyst re-inlines all `planes` interpreted dim-length
+        # folds into every reference (measured 5.5s -> ~1s at sf0.1).
+        with_bits = df.select(
+            F.col(ident).alias(ident),
+            F.col("__v"),
+            _hyperplane_bits(F.col("__v"), planes).alias("__bits"),
+        )
         band_keys = F.array(
             *[
                 F.xxhash64(
-                    F.lit(bi), *[F.element_at(bits, bi * rows + j + 1) for j in range(rows)]
+                    F.lit(bi),
+                    *[F.element_at("__bits", bi * rows + j + 1) for j in range(rows)],
                 )
                 for bi in range(bands)
             ]
         )
-        return df.select(
-            F.col(ident).alias(ident),
+        return with_bits.select(
+            F.col(ident),
             F.col("__v"),
             F.posexplode(band_keys).alias("__band", "__bkey"),
         )
@@ -536,7 +545,13 @@ def build_ivf_index(
             (-F.col("__b.__nc")).alias("list_id"),
         )
     )
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path + "/lists")
+    # cluster the write by list id: one task per list writes one file,
+    # instead of every shuffle partition writing a sliver into every
+    # list dir (32 partitions x n_centroids tiny files slows both the
+    # write and every pruned read after it)
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
 
 
