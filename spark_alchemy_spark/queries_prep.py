@@ -1797,3 +1797,9 @@ def nested_struct_operations(spark, sf_dir):
     return metrics.select(
         "o_orderkey", F.inline("ms"), "status"
     ).select("o_orderkey", "metric", "value", "status")
+
+
+# Spark 4 SQL-surface extension (recursive CTE, pipe syntax, dynamic
+# SQL, SQL UDFs, scripting, LATERAL, approx_top_k, state-store reader)
+# registers itself into the same QUERIES/ORACLES dicts on import.
+from . import queries_sql4  # noqa: E402,F401  (registration side effect)

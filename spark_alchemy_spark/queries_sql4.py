@@ -1,0 +1,291 @@
+"""Battery extension: the Spark 4 SQL surface a reference user gains by
+switching engines — recursive CTEs, SQL pipe syntax, EXECUTE IMMEDIATE
+dynamic SQL, declarative SQL UDFs, SQL scripting, LATERAL subqueries,
+approx_top_k, and the state-store reader for streaming state
+observability.
+
+The reference delegates its whole relational surface to the host engine
+(SURVEY.md §2.2 — its tests express queries over stock Spark/Postgres);
+these entries pin the NEWER SQL forms of that delegated surface so a
+user can rely on them with the same oracle guarantee as the classic
+forms.  Every entry has a DuckDB oracle expressing the identical
+semantics in classic ANSI SQL — which doubles as documentation of what
+each new form desugars to.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+from .queries_ext import _sink_name
+
+
+@query(
+    "sql_recursive_cte_chain",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+      FROM supplier
+      UNION ALL
+      SELECT leaf, node // 10, depth + 1 FROM chain WHERE node > 0
+    )
+    SELECT leaf, max(depth) AS depth_to_root,
+           CAST(sum(node) AS BIGINT) AS chain_sum
+    FROM chain GROUP BY leaf
+    """,
+)
+def sql_recursive_cte_chain(spark, sf_dir):
+    """Native recursive CTE (Spark 4): walk each supplier up a synthetic
+    decimal-digit hierarchy (parent = suppkey DIV 10) to the root,
+    returning per-leaf depth and the sum of visited node ids.  The
+    iterative-DataFrame twin of this shape is operators/graph.py —
+    this entry pins the declarative SQL form.  Depth is O(log10 n), so
+    the recursion is planner-bounded at any corpus scale."""
+    _t(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+          FROM supplier
+          UNION ALL
+          SELECT leaf, node DIV 10, depth + 1 FROM chain WHERE node > 0
+        )
+        SELECT leaf, max(depth) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS chain_sum
+        FROM chain GROUP BY leaf
+        """
+    )
+
+
+@query(
+    "sql_pipe_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_pricing(spark, sf_dir):
+    """SQL pipe syntax (|>, Spark 4): the Q1 pricing summary written as
+    a linear dataflow — FROM |> WHERE |> AGGREGATE ... GROUP BY.  Same
+    plan as the nested form (Catalyst desugars before optimization), so
+    pushdown/partial-agg behavior is identical."""
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     count(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate_param",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate_param(spark, sf_dir):
+    """Dynamic SQL: EXECUTE IMMEDIATE with positional USING parameters
+    and an IDENTIFIER() table name — the safe (injection-free) form of
+    runtime-assembled queries."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM IDENTIFIER(?) WHERE o_totalprice > ? GROUP BY o_orderpriority'
+        USING 'orders', 150000.0
+        """
+    )
+
+
+@query(
+    "sql_udf_scalar_revenue",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar_revenue(spark, sf_dir):
+    """Declarative SQL UDFs (CREATE FUNCTION ... RETURN expr, Spark 4):
+    scalar functions defined in SQL text are inlined by Catalyst into
+    the calling plan — full codegen, no serialization boundary, unlike
+    Python UDFs.  The oracle shows the inlined equivalent."""
+    _t(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_revenue(ep DOUBLE, disc DOUBLE)
+        RETURNS DOUBLE RETURN ep * (1 - disc)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(qty DOUBLE)
+        RETURNS INT RETURN CASE WHEN qty >= 30 THEN 1 ELSE 0 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_revenue(l_extendedprice, l_discount)), 2) AS revenue,
+               CAST(sum(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_scripting_threshold_bands",
+    """
+    SELECT CAST(
+      (SELECT count(*) FROM orders WHERE o_totalprice > 100000)
+      + (SELECT count(*) FROM orders WHERE o_totalprice > 200000)
+      + (SELECT count(*) FROM orders WHERE o_totalprice > 300000)
+      AS BIGINT) AS n_above_bands
+    """,
+)
+def sql_scripting_threshold_bands(spark, sf_dir):
+    """SQL scripting (BEGIN/DECLARE/WHILE, Spark 4.1): a control-flow
+    loop accumulating counts over three price thresholds; the script's
+    last statement is the result.  The oracle is the unrolled sum."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE i <= 3 DO
+            SET acc = acc + (
+              SELECT count(*) FROM orders WHERE o_totalprice > i * 100000
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT acc AS n_above_bands;
+        END
+        """
+    )
+
+
+@query(
+    "sql_lateral_topn_per_region",
+    """
+    SELECT r_name, c_name, c_acctbal FROM (
+      SELECT r.r_name, c.c_name, c.c_acctbal,
+             row_number() OVER (PARTITION BY r.r_name
+                                ORDER BY c.c_acctbal DESC, c.c_name) AS rnk
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey) t
+    WHERE rnk <= 2
+    """,
+)
+def sql_lateral_topn_per_region(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY/LIMIT: top-2 customers
+    by balance per region, written as a lateral per-row subquery.  The
+    oracle shows the window-function desugaring Catalyst applies."""
+    _t(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.c_name, t.c_acctbal
+        FROM region r, LATERAL (
+          SELECT c.c_name, c.c_acctbal
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "sketch_approx_topk_events",
+    """
+    SELECT event_type AS item, count(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, item LIMIT 5
+    """,
+)
+def sketch_approx_topk_events(spark, sf_dir):
+    """approx_top_k (Spark 4.1 frequent-items sketch): heavy hitters
+    over event_type.  At this cardinality (items ≪ sketch capacity
+    10000) the Space-Saving estimates are exact, so the oracle is the
+    exact GROUP BY — the same exact-below-capacity contract the HLL
+    entries pin."""
+    _t(spark, sf_dir, "events")
+    return (
+        spark.sql("SELECT approx_top_k(event_type, 5) AS tk FROM events")
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("est_count"),
+        )
+        .orderBy(F.col("est_count").desc(), "item")
+    )
+
+
+@query(
+    "stream_statestore_inspect",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_statestore_inspect(spark, sf_dir):
+    """Streaming state observability: drain a windowed-count stream to
+    an explicit checkpoint, then read the aggregation STATE STORE
+    itself with the Spark 4 state data source.  The state rows (one per
+    (window, event_type) group, value = running count) must equal the
+    batch aggregate — which is exactly the replay guarantee operators
+    teams audit with this reader in production."""
+    from .streaming import read_events_stream
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), _sink_name("ss_inspect"), "ckpt"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    # NB the state-store key schema keeps the grouping expression's own
+    # field name ("window"), not any alias applied in the groupBy
+    agg = stream.groupBy(
+        F.window("ts", "1 hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.date_format("key.window.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
