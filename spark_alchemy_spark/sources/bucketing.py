@@ -13,6 +13,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _clear_orphan_location(spark: SparkSession, table: str) -> None:
+    """Remove a stale managed-table directory the metastore doesn't know
+    about (a crashed prior session can leave the warehouse dir behind
+    while the fresh per-session metastore has no table entry, and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS)."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    loc = os.path.join(warehouse, table.lower())
+    if warehouse and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -22,6 +38,9 @@ def write_bucketed(
 ) -> None:
     """Persist as a managed parquet table bucketed (and by default
     sorted) by ``key`` — sorting lets sort-merge joins skip their sort."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _clear_orphan_location(spark, table)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sorted_by_key:
         writer = writer.sortBy(key)
