@@ -289,3 +289,54 @@ def stream_statestore_inspect(spark, sf_dir):
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+@query(
+    "arrow_batch_vector_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_batch_vector_norms(spark, sf_dir):
+    """mapInArrow: per-batch vectorized math straight on Arrow
+    RecordBatches — no pandas materialization at all, the leanest
+    Python boundary Spark offers (the pandas paths convert
+    Arrow->pandas->Arrow; this skips both).  Computes per-vector L2
+    norms by flattening the Arrow list column into one numpy view per
+    batch: one BLAS-ish pass per batch, zero per-row Python."""
+    import pyarrow as pa
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # zero-copy flatten: values buffer + offsets from Arrow
+            lst = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+            values = np.asarray(lst.flatten(), dtype=np.float64)
+            offsets = np.asarray(lst.offsets)
+            dims = np.diff(offsets).astype(np.int32)
+            sq = values * values
+            sums = np.add.reduceat(sq, offsets[:-1])
+            # reduceat on an empty segment returns the next value; guard
+            sums = np.where(dims == 0, 0.0, sums)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(np.round(np.sqrt(sums), 4), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, dim int, l2_norm double"
+    )
