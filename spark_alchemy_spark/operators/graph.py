@@ -107,16 +107,19 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst")
     ).localCheckpoint(eager=True)
+    # carry the out-degree ON the rank vector: per round the loop then
+    # pays ONE edge join instead of edges⋈ranks⋈outdeg (a per-iteration
+    # join against a full per-node table saved every round)
+    outdeg = e.groupBy(F.col("__src").alias("__o_node")).agg(
+        F.count(F.lit(1)).alias("__outdeg")
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .join(outdeg, F.col("node") == F.col("__o_node"), "left")
+        .select("node", F.col("__outdeg"))
         .localCheckpoint(eager=True)  # reused every round
-    )
-    outdeg = (
-        e.groupBy(F.col("__src").alias("__o_node"))
-        .agg(F.count(F.lit(1)).alias("__outdeg"))
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     base = (1.0 - damping) / n
@@ -124,7 +127,6 @@ def pagerank(
     for it in range(iters):
         contrib = (
             e.join(ranks, e["__src"] == ranks["node"])
-            .join(outdeg, e["__src"] == F.col("__o_node"))
             .groupBy(F.col("__dst").alias("__c_node"))
             .agg(F.sum(F.col("rank") / F.col("__outdeg")).alias("__contrib"))
         )
@@ -132,6 +134,7 @@ def pagerank(
             contrib, nodes["node"] == F.col("__c_node"), "left"
         ).select(
             "node",
+            "__outdeg",
             (
                 F.lit(base)
                 + damping * F.coalesce(F.col("__contrib"), F.lit(0.0))
@@ -139,4 +142,4 @@ def pagerank(
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")

@@ -340,3 +340,73 @@ def arrow_batch_vector_norms(spark, sf_dir):
     return embeddings.select("vec_id", "embedding").mapInArrow(
         norms, "vec_id long, dim int, l2_norm double"
     )
+
+
+@query(
+    "ordered_set_aggregates",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 2) AS med_price,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_quantity >= 50) AS any_big,
+           CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS key_xor,
+           round(quantile_disc(l_extendedprice, 0.25), 2) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ordered_set_aggregates(spark, sf_dir):
+    """Modern aggregate battery: median, count_if, bool_and/bool_or,
+    bit_xor, and percentile_disc WITHIN GROUP — the ordered-set and
+    filtered aggregate surface.  percentile_disc returns an actual data
+    value (discrete), unlike the interpolating percentile_cont the
+    `percentiles_quantity` entry pins; median is the 0.5 cont form.
+    mode() is deliberately absent: its tie-break is engine-unspecified,
+    so it cannot carry a cross-engine oracle."""
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(median(l_extendedprice), 2) AS med_price,
+               count_if(l_discount > 0.05) AS n_disc,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_quantity >= 50) AS any_big,
+               bit_xor(CAST(l_orderkey AS BIGINT)) AS key_xor,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                 AS p25_disc
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "interval_arithmetic_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (
+             WHERE o_orderdate + INTERVAL 90 DAY
+                   <= TIMESTAMP '1998-06-30 00:00:00') AS BIGINT) AS matured,
+           strftime(min(o_orderdate + INTERVAL 12 HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS first_plus_12h,
+           strftime(max(date_trunc('week', o_orderdate)),
+                    '%Y-%m-%d %H:%M:%S') AS last_week_start
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def interval_arithmetic_orders(spark, sf_dir):
+    """ANSI INTERVAL arithmetic on timestamps: day/hour offsets inside
+    filters and aggregates, plus week truncation — emitted as formatted
+    strings (the battery's timestamp convention)."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count_if(o_orderdate + INTERVAL 90 DAY
+                        <= TIMESTAMP '1998-06-30 00:00:00') AS matured,
+               date_format(min(o_orderdate + INTERVAL 12 HOUR),
+                           'yyyy-MM-dd HH:mm:ss') AS first_plus_12h,
+               date_format(max(date_trunc('week', o_orderdate)),
+                           'yyyy-MM-dd HH:mm:ss') AS last_week_start
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
