@@ -115,11 +115,22 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+#: conf key + provider class for the RocksDB state store — the backend a
+#: TB-state deployment runs (bounded executor heap: state lives off-heap
+#: in RocksDB with changelog checkpointing), vs the default HDFS-backed
+#: in-memory map whose state must fit the executor heap.
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain a stream with the availableNow trigger into a memory sink;
     returns the materialized result (test/bench harness).  Use
@@ -133,13 +144,22 @@ def run_to_memory(
     keeps four stores per partition), so size it to state volume:
     measured here, a 100k-row replayed join is 3.4× faster on 8
     partitions than 32, while a 1000-executor deployment with TBs of
-    state wants hundreds.  The session conf is restored after the
-    drain."""
+    state wants hundreds.
+
+    ``state_store="rocksdb"`` runs the query on the RocksDB provider
+    (off-heap state + changelog checkpointing — what TB-scale state
+    deployments use); default keeps the session's provider.  Both confs
+    are restored after the drain."""
     spark = stream_df.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)
+    old_provider = spark.conf.get(_PROVIDER_KEY, None)
     if state_partitions is not None:
         spark.conf.set(conf_key, str(state_partitions))
+    if state_store == "rocksdb":
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store {state_store!r}")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -151,6 +171,11 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set(conf_key, old)
+        if state_store == "rocksdb":
+            if old_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, old_provider)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 

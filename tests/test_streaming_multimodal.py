@@ -199,3 +199,26 @@ def test_python_stream_source_checkpoint_recovery(spark, tmp_path):
     # value spot-check: the closed-form formula survived the restart
     r = got.filter(F.col("event_id") == N - 1).collect()[0]
     assert r["user_id"] == ((N - 1) * 2654435761) % 100
+
+
+def test_streaming_rocksdb_state_store_equals_batch(spark):
+    """The RocksDB state store provider (off-heap state + changelog
+    checkpointing — the TB-state deployment backend) produces the same
+    windowed aggregate as the default HDFS-backed provider and the
+    batch twin."""
+    stream = stx.read_events_stream(spark, SF)
+    got = stx.run_to_memory(
+        stx.windowed_counts(stream),
+        "t_wc_rocksdb",
+        output_mode="complete",
+        state_partitions=4,
+        state_store="rocksdb",
+    ).collect()
+    from spark_alchemy_spark.queries import QUERIES
+
+    exp = QUERIES["tumbling_hourly_counts"](spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    # the drain restored the session provider conf
+    assert (
+        spark.conf.get(stx._PROVIDER_KEY, None) != stx._ROCKSDB_PROVIDER
+    )
