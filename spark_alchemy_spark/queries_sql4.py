@@ -410,3 +410,77 @@ def interval_arithmetic_orders(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "source_python_datasource_sink",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events WHERE event_id % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def source_python_datasource_sink(spark, sf_dir):
+    """Python data source WRITER (Spark 4): events subset written
+    through the jsonl_sink two-phase commit (task temp files -> driver
+    rename + _SUCCESS), read back with the stock JSON reader, and
+    aggregated — proving the sink publishes exactly-once per save.  The
+    oracle aggregates the same subset straight from parquet."""
+    from .sources import pyds
+
+    pyds.register_sink(spark)
+    sink_dir = os.path.join(tempfile.gettempdir(), _sink_name("jsonl_sink"))
+    (events,) = _t(spark, sf_dir, "events")
+    subset = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "event_type")
+        # size write tasks to the (small) subset: each task is one Python
+        # writer worker + one output file — 4 right-sized files beat 32
+        # slivers on both the write and the read-back
+        .coalesce(4)
+    )
+    subset.write.format("jsonl_sink").option("path", sink_dir).mode(
+        "append"
+    ).save()
+    back = spark.read.schema("event_id long, user_id long, event_type string").json(
+        sink_dir + "/part-*.jsonl"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+    )
+
+
+@query(
+    "observe_pipeline_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    """,
+)
+def observe_pipeline_metrics(spark, sf_dir):
+    """df.observe + Observation: pipeline-embedded metrics collected as
+    a side effect of one pass (no second scan), the ops-instrumentation
+    surface a production job wires into its monitoring.  The entry
+    returns the observed metrics as a row; the oracle recomputes them
+    as plain aggregates."""
+    from pyspark.sql import Observation
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    obs = Observation("pipeline_metrics")
+    observed = lineitem.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
+        "n_rows long, sum_qty double, n_discounted long",
+    )

@@ -139,3 +139,86 @@ class SynthEventsSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return list(self._rows(int(start["i"]), int(end["i"])))
+
+
+# ---------------------------------------------------------------------------
+# Python data source WRITER: a JSONL sink with the two-phase task-temp /
+# driver-commit protocol (Spark 4 DataSourceWriter API).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    newline-delimited JSON with ATOMIC publication: every task writes a
+    temp file and returns it as a commit message; the driver-side
+    ``commit`` renames all temps into place and drops a ``_SUCCESS``
+    marker, ``abort`` removes them — the same two-phase contract
+    FileOutputCommitter gives JVM sinks, here at the Python extension
+    seam.  Local/shared filesystem only (rename-based publication),
+    like sources/io.py::compact_table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options["path"], overwrite)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path, self.overwrite = path, overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            os.replace(
+                m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
