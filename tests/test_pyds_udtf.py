@@ -79,3 +79,28 @@ def test_python_stream_source_replay_contract(spark):
 
     batch = list(SynthEventsReader(2500, 50, 1).read(_Slice(0, 2500)))
     assert batch == seen
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Python data source writer: atomic publication (temp files never
+    visible after commit, _SUCCESS dropped, overwrite replaces) and
+    exact row round-trip."""
+    import os
+
+    from spark_alchemy_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as string) AS g").coalesce(3)
+    df.write.format("jsonl_sink").option("path", path).mode("append").save()
+    names = sorted(os.listdir(path))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.startswith("_tmp_")]
+    back = spark.read.schema("id long, g string").json(path + "/part-*.jsonl")
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # overwrite publishes a fresh set, never appends
+    df2 = spark.range(10).selectExpr("id", "cast(id as string) AS g").coalesce(1)
+    df2.write.format("jsonl_sink").option("path", path).mode("overwrite").save()
+    back2 = spark.read.schema("id long, g string").json(path + "/part-*.jsonl")
+    assert back2.count() == 10
