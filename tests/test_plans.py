@@ -182,3 +182,26 @@ def test_nonequi_join_is_broadcast_nested_loop(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipe_syntax_pushdown_equals_classic(spark):
+    """Pipe-syntax SQL must desugar to the same optimized scan as the
+    classic form: the shipdate filter reaches the parquet scan and
+    unused columns are pruned (pipe syntax is surface syntax, not a
+    different planner path)."""
+    df = QUERIES["sql_pipe_pricing"](spark, SF)
+    plans.assert_filter_pushed(df, "l_shipdate")
+    plans.assert_columns_pruned(
+        df,
+        required={"l_quantity", "l_extendedprice"},
+        banned={"l_tax", "l_partkey", "l_suppkey", "l_orderkey"},
+    )
+
+
+def test_recursive_cte_bounded_plan(spark):
+    """The recursive CTE entry must resolve and execute with planner-
+    bounded recursion (depth O(log10 n)) — and return one row per
+    supplier leaf."""
+    df = QUERIES["sql_recursive_cte_chain"](spark, SF)
+    n_suppliers = spark.read.parquet(SF + "/supplier.parquet").count()
+    assert df.count() == n_suppliers
