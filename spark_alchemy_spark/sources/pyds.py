@@ -138,7 +138,13 @@ class SynthEventsSimpleStreamReader(SimpleDataSourceStreamReader):
         return list(self._rows(lo, hi)), {"i": hi}
 
     def readBetweenOffsets(self, start, end):
-        return list(self._rows(int(start["i"]), int(end["i"])))
+        # MUST be an iterator, not a list: the recovery-replay runner
+        # validates with isinstance(..., Iterator) and rejects lists
+        # (DATA_SOURCE_INVALID_RETURN_TYPE) — unlike the prefetch path
+        # behind read(), which accepts any iterable.  iter() over a
+        # materialized list keeps the rows picklable AND satisfies the
+        # check.
+        return iter(list(self._rows(int(start["i"]), int(end["i"]))))
 
 
 # ---------------------------------------------------------------------------
