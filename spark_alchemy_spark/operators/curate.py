@@ -69,13 +69,51 @@ def curate_corpus(
     if near_dup_threshold is None:
         return exact
 
-    # Materialize the pair list once (it feeds both the volume guard
-    # count and whichever loser-resolution path runs), and COUNT it —
-    # the driver shortcut is gated on measured volume, not hope.
-    pairs = minhash_lsh_pairs(
-        exact, id_col, text_col, num_perm=num_perm, bands=bands,
-        threshold=near_dup_threshold,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = near_dup_pairs(
+        exact, id_col, text_col,
+        threshold=near_dup_threshold, num_perm=num_perm, bands=bands,
+    )
+    return apply_near_dedup(
+        exact, pairs, id_col, driver_pair_limit=driver_pair_limit
+    )
+
+
+def near_dup_pairs(
+    exact: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Stage 2 of the curation pipeline as a standalone operator: the
+    MATERIALIZED near-dup candidate pair list over the exact-stage
+    survivors.  Exposed separately so a production pipeline can persist
+    the pairs (they're the audit trail for every dropped doc) and so
+    composed reports don't recompute the MinHash pass per consumer —
+    the checkpoint makes every downstream read (volume-guard count,
+    loser resolution, invariant checks) reuse one computation."""
+    return (
+        minhash_lsh_pairs(
+            exact, id_col, text_col, num_perm=num_perm, bands=bands,
+            threshold=threshold,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+
+def apply_near_dedup(
+    exact: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    driver_pair_limit: int = 50_000,
+) -> DataFrame:
+    """Stage 3: resolve near-dup pairs to survivors.  COUNTS the pair
+    list first — the driver union-find shortcut is gated on measured
+    volume, not hope; above the limit, distributed connected components
+    resolve losers executor-side (nothing unbounded reaches the
+    driver)."""
     n_pairs = pairs.count()
     if n_pairs == 0:
         return exact
@@ -91,8 +129,7 @@ def curate_corpus(
 
     # Executor-side path: distributed connected components over the pair
     # graph; every node that is not its component's minimum loses.  The
-    # documents side anti-joins against the (pair-bounded) loser set —
-    # nothing unbounded ever reaches the driver.
+    # documents side anti-joins against the (pair-bounded) loser set.
     comp = connected_components(pairs, "id_a", "id_b")
     losers_df = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)

@@ -945,15 +945,17 @@ def curate_corpus_near_dedup(spark, sf_dir):
     invariants computed Spark-side — no near-dup pair has both
     endpoints surviving, and every dropped doc appears in at least one
     candidate pair."""
-    from .operators.curate import curate_corpus
-    from .operators.dedup import minhash_lsh_pairs
+    from .operators.curate import apply_near_dedup, curate_corpus, near_dup_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
-    exact = curate_corpus(documents, near_dup_threshold=None)
-    curated = curate_corpus(documents, near_dup_threshold=0.5)
-    pairs = minhash_lsh_pairs(
-        exact, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
-    ).select("id_a", "id_b")
+    # staged pipeline: each stage computed ONCE and reused by both the
+    # result and the invariant checks (the composed curate_corpus call
+    # would recompute filters+MinHash per consumer)
+    exact = curate_corpus(documents, near_dup_threshold=None).localCheckpoint(
+        eager=True
+    )
+    pairs = near_dup_pairs(exact, "doc_id", "text", threshold=0.5)
+    curated = apply_near_dedup(exact, pairs, "doc_id")
 
     surv_ids = curated.select("doc_id")
     both_survive = (
