@@ -49,6 +49,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs cross the JVM/Python boundary Arrow-batched
+        # (ArrowEvalPythonUDTF) instead of row-pickling — the last
+        # BatchEvalPython in the battery's plans goes away with this
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver testdata stores TIMESTAMP(NANOS) parquet, which Spark
         # rejects unless read as long (converted back in sources/tpch.py)

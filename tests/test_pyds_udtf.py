@@ -72,8 +72,9 @@ def test_python_stream_source_replay_contract(spark):
         offsets.append(off)
     assert len(seen) == 2500
     assert [o["i"] for o in offsets] == [0, 1000, 2000, 2500]
-    # replay any interval: identical rows
-    assert r.readBetweenOffsets({"i": 1000}, {"i": 2000}) == seen[1000:2000]
+    # replay any interval: identical rows (returned as an iterator —
+    # the runner's isinstance(..., Iterator) contract)
+    assert list(r.readBetweenOffsets({"i": 1000}, {"i": 2000})) == seen[1000:2000]
     # row formula parity with the batch reader
     from spark_alchemy_spark.sources.pyds import SynthEventsReader, _Slice
 
