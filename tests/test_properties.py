@@ -189,3 +189,49 @@ def test_zorder_key_matches_python_interleave(spark):
             z |= ((r["a"] >> j) & 1) << (2 * j)
             z |= ((r["b"] >> j) & 1) << (2 * j + 1)
         assert r["z"] == z
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@_settings
+def test_connected_components_equals_union_find(spark, edges):
+    """Distributed min-label CC and the driver-side union-find are
+    independent implementations of the same closure; on arbitrary
+    graphs (self-loops, cycles, duplicate edges, empty) both must
+    assign every node the same min-id component."""
+    from spark_alchemy_spark.operators.curate import _pair_losers
+    from spark_alchemy_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    # reference: python union-find over the same pairs
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+    assert cc == expected
+    # and the curate driver-shortcut derives exactly the non-min losers
+    losers = _pair_losers(df)
+    assert losers == {n for n, c in expected.items() if n != c}
