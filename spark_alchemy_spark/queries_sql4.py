@@ -484,3 +484,35 @@ def observe_pipeline_metrics(spark, sf_dir):
         [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
         "n_rows long, sum_qty double, n_discounted long",
     )
+
+
+@query(
+    "argmax_aggregates",
+    """
+    SELECT l_returnflag, best_key, worst_key FROM (
+      SELECT l_returnflag,
+             first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC)
+               AS best_key,
+             first(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC)
+               AS worst_key
+      FROM lineitem GROUP BY l_returnflag) t
+    """,
+)
+def argmax_aggregates(spark, sf_dir):
+    """max_by / min_by (argmax aggregates): the row-valued answer to
+    "WHICH order has the extreme price" without a join-back or window.
+    Tie-broken deterministically by pairing the ordering value with the
+    key in a struct (struct comparison is lexicographic), since bare
+    max_by tie-breaks are engine-unspecified.  The oracle states the
+    same thing as DuckDB ordered-first aggregates."""
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               max_by(l_orderkey, struct(l_extendedprice, l_orderkey))
+                 AS best_key,
+               min_by(l_orderkey, struct(l_extendedprice, l_orderkey))
+                 AS worst_key
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
