@@ -516,3 +516,82 @@ def argmax_aggregates(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "string_mask_pii",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+             AS masked_custom
+    FROM customer
+    """,
+)
+def string_mask_pii(spark, sf_dir):
+    """Built-in mask() (Spark 3.4+): character-class redaction — the
+    codegen'd complement to operators/prep.py::scrub_pii's pattern
+    scrubbing.  Default masks upper->X lower->x digit->n; the custom
+    form overrides all three.  Oracle replays as per-class
+    regexp_replace chains."""
+    _t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               mask(c_name) AS masked_default,
+               mask(c_name, 'U', 'l', '#') AS masked_custom
+        FROM customer
+        """
+    )
+
+
+@query(
+    "array_functions_v2",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    ab AS (
+      SELECT doc_id, ws[1:4] AS a, ws[5:8] AS b FROM toks
+      WHERE len(ws) >= 8)
+    SELECT doc_id,
+           list_sort(list_distinct(a || b)) AS u,
+           list_sort([x FOR x IN list_distinct(a) IF list_contains(b, x)]) AS i,
+           list_sort([x FOR x IN list_distinct(a) IF NOT list_contains(b, x)]) AS e,
+           a || ['<eos>'] AS appended,
+           ['<bos>'] || a AS prepended,
+           len([x FOR x IN a IF x IS NOT NULL]) AS n_compact,
+           a[2:4] || [a[1]] AS rotated
+    FROM ab
+    """,
+)
+def array_functions_v2(spark, sf_dir):
+    """Array function battery v2 (Spark 3.4/3.5 additions): set algebra
+    (union/intersect/except — sorted on both engines, since set results
+    are order-unspecified values), append/prepend, compact, and an
+    array_insert/slice rotation.  All codegen'd collection
+    expressions."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    ab = toks.filter(F.size("ws") >= 8).select(
+        "doc_id",
+        F.slice("ws", 1, 4).alias("a"),
+        F.slice("ws", 5, 4).alias("b"),
+    )
+    return ab.select(
+        "doc_id",
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_intersect("a", "b")).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("e"),
+        F.array_append("a", F.lit("<eos>")).alias("appended"),
+        F.array_prepend("a", F.lit("<bos>")).alias("prepended"),
+        F.size(F.array_compact("a")).alias("n_compact"),
+        F.concat(F.slice("a", 2, 3), F.array(F.element_at("a", 1))).alias(
+            "rotated"
+        ),
+    )
