@@ -595,3 +595,51 @@ def array_functions_v2(spark, sf_dir):
             "rotated"
         ),
     )
+
+
+@query(
+    "source_jdbc_roundtrip",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_jdbc_roundtrip(spark, sf_dir):
+    """JDBC source/sink round trip — the reference's actual I/O leg
+    (PostgresInteropTest writes/reads Postgres over JDBC; no container
+    runs here, so the bundled embedded Derby stands in).  Customers are
+    written to a JDBC table and read BACK with a partitioned parallel
+    read (partitionColumn/numPartitions — the cluster-scale JDBC scan
+    shape, one executor per key range), then aggregated; the oracle
+    aggregates the same rows straight from parquet."""
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:memory:{_sink_name('jdbc_rt')};create=true"
+    (customer,) = _t(spark, sf_dir, "customer")
+    cols = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    (
+        cols.coalesce(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_rt")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    n = cols.count()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_rt")
+        .option("driver", driver)
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "0")
+        .option("upperBound", str(max(n, 1)))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
