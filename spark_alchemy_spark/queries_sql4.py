@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from .functions import hll
 from .queries import _t, query
 from .queries_ext import _sink_name
 
@@ -642,4 +643,51 @@ def source_jdbc_roundtrip(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "hll_jdbc_sketch_store",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_jdbc_sketch_store(spark, sf_dir):
+    """The reference's headline interop pipeline
+    (hll/PostgresInteropTest.scala:73-98) against a real database:
+    fine-grained HLL sketches per (event_type, day) are WRITTEN to a
+    JDBC table (binary sketch column -> BLOB), read BACK, and
+    re-aggregated with hll_merge + hll_cardinality — proving sketch
+    bytes survive database storage and stay re-mergeable, which is the
+    whole point of sketch-in-warehouse architectures.  Embedded Derby
+    stands in for Postgres (no container runtime here); estimates are
+    exact at these cardinalities (lgK 20), so the oracle is exact
+    COUNT(DISTINCT)."""
+    from .queries import _EXACT_SD
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:memory:{_sink_name('hll_store')};create=true"
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(hll.hll_init_agg("user_id", _EXACT_SD).alias("users_hll"))
+    (
+        daily.coalesce(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "daily_sketches")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "daily_sketches")
+        .option("driver", driver)
+        .load()
+    )
+    return back.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("users_hll")).alias("approx_users")
     )
