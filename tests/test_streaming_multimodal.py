@@ -222,3 +222,44 @@ def test_streaming_rocksdb_state_store_equals_batch(spark):
     assert (
         spark.conf.get(stx._PROVIDER_KEY, None) != stx._ROCKSDB_PROVIDER
     )
+
+
+def test_events_stream_handles_both_ts_encodings(spark, tmp_path):
+    """Driver testdata has shipped events.ts as TIMESTAMP(NANOS)
+    (surfacing as BIGINT nanos under nanosAsLong) in rounds 1-2 and as
+    timestamp[us] in round 3+; the stream reader must handle BOTH (and
+    produce identical wall-clock hours)."""
+    import os
+
+    src = stx.read_events_stream(spark, SF)
+    base = stx.run_to_memory(
+        stx.windowed_counts(src), "t_enc_base", output_mode="complete"
+    ).collect()
+
+    # re-encode the same events with ts as BIGINT nanoseconds (what the
+    # nanos parquet surfaces as) and stream that directory instead
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    nanos_dir = str(tmp_path / "nanos")
+    staging = str(tmp_path / "staging")
+    (
+        ev.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    # the driver ships events.parquet as a single FILE (pathGlobFilter
+    # matches leaf files); reproduce that layout
+    import shutil
+
+    os.makedirs(nanos_dir, exist_ok=True)
+    part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(staging, part), os.path.join(nanos_dir, "events.parquet")
+    )
+    src2 = stx.read_events_stream(spark, nanos_dir)
+    got = stx.run_to_memory(
+        stx.windowed_counts(src2), "t_enc_long", output_mode="complete"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
