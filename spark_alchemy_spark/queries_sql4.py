@@ -1,16 +1,20 @@
-"""Battery extension: the Spark 4 SQL surface a reference user gains by
+"""Battery extension: the Spark 4 surface a reference user gains by
 switching engines — recursive CTEs, SQL pipe syntax, EXECUTE IMMEDIATE
 dynamic SQL, declarative SQL UDFs, SQL scripting, LATERAL subqueries,
-approx_top_k, and the state-store reader for streaming state
-observability.
+approx_top_k, the state-store reader for streaming state observability,
+mapInArrow, ordered-set/argmax aggregates, INTERVAL arithmetic, mask()
+redaction, the array-v2 function set, the Python data source WRITER,
+observe() metrics, and the JDBC leg (plain round trip + the
+sketch-in-database pipeline of hll/PostgresInteropTest.scala:73-98,
+against embedded Derby).
 
 The reference delegates its whole relational surface to the host engine
 (SURVEY.md §2.2 — its tests express queries over stock Spark/Postgres);
-these entries pin the NEWER SQL forms of that delegated surface so a
-user can rely on them with the same oracle guarantee as the classic
-forms.  Every entry has a DuckDB oracle expressing the identical
-semantics in classic ANSI SQL — which doubles as documentation of what
-each new form desugars to.
+these entries pin the NEWER forms of that delegated surface so a user
+can rely on them with the same oracle guarantee as the classic forms.
+Every entry has a DuckDB oracle expressing the identical semantics in
+classic ANSI SQL — which doubles as documentation of what each new form
+desugars to.
 """
 
 from __future__ import annotations

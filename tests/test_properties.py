@@ -235,3 +235,56 @@ def test_connected_components_equals_union_find(spark, edges):
     # and the curate driver-shortcut derives exactly the non-min losers
     losers = _pair_losers(df)
     assert losers == {n for n, c in expected.items() if n != c}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 30), min_size=5, max_size=40),
+        min_size=2,
+        max_size=4,
+    )
+)
+@_settings
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    """MinHash(64) signature similarity must track exact shingle-set
+    Jaccard within the sketch's statistical envelope (std ~
+    sqrt(j(1-j)/64) <= 0.0625; 4 std = 0.25) on arbitrary token
+    streams — the law that justifies signature-only verification in
+    minhash_lsh_pairs."""
+    from spark_alchemy_spark.operators.dedup import minhash_signature
+
+    texts = [" ".join(f"w{t}" for t in d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    n = 3
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id",
+            minhash_signature(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+                    )
+                ),
+                num_perm=64,
+            ).alias("sig"),
+        ).collect()
+    }
+
+    def shingles(d):
+        toks = [f"w{t}" for t in d]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            if not sa or not sb or sigs[a] is None or sigs[b] is None:
+                continue
+            exact = len(sa & sb) / len(sa | sb)
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64.0
+            assert abs(est - exact) <= 0.25, (exact, est)
