@@ -31,13 +31,21 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     static = spark.read.parquet(path)
-    # file streams take a directory: stream the sf dir, globbed to events
-    reader = spark.readStream.schema(static.schema).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    # events.parquet may be a single FILE (driver testdata) or a
+    # DIRECTORY of part files (Spark-written).  File streams take a
+    # directory; pathGlobFilter matches LEAF files only — so for the
+    # single-file layout stream the parent dir globbed to the file,
+    # and for the directory layout stream the directory itself (the
+    # glob would silently match nothing and drain an empty stream).
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     # Driver testdata has shipped ts as either TIMESTAMP(NANOS) (surfacing
     # as BIGINT nanos under nanosAsLong) or plain timestamp[us]; guard on
     # the actual type like sources.tpch.load_table does.
