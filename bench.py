@@ -69,6 +69,7 @@ def main():
         # listener bus, memory-sink machinery) costs ~20-30s the FIRST time
         # a stateful stream starts in a session; warm it on a 64-row file
         # stream so the timed stream_* entries measure their operator.
+        import shutil
         import tempfile
 
         warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
@@ -87,6 +88,7 @@ def main():
             wq.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            shutil.rmtree(warm_dir, ignore_errors=True)
     except Exception as e:  # warmup must never take down the bench
         print(f"bench warmup skipped: {e}", file=sys.stderr)
 

@@ -119,7 +119,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_shingle_df)
             .select("__s")
         )
-        if hot_set.limit(1).count() == 0:
+        # NB isEmpty() is an EAGER action at plan-construction time (one
+        # aggregation pass over the shingles) — the price of choosing
+        # the plan from measured hot-key volume, same as skew.py.
+        if hot_set.isEmpty():
             idx, hot = sh, None
         else:
             idx = sh.join(F.broadcast(hot_set), "__s", "left_anti")

@@ -327,11 +327,20 @@ def arrow_batch_vector_norms(spark, sf_dir):
             # zero-copy flatten: values buffer + offsets from Arrow
             lst = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
             values = np.asarray(lst.flatten(), dtype=np.float64)
+            # flatten() honors slicing but offsets keep the base offset;
+            # rebase so they index into `values`
             offsets = np.asarray(lst.offsets)
+            offsets = offsets - offsets[0]
             dims = np.diff(offsets).astype(np.int32)
             sq = values * values
-            sums = np.add.reduceat(sq, offsets[:-1])
-            # reduceat on an empty segment returns the next value; guard
+            # reduceat quirks guarded: an index == len(values) (trailing
+            # empty list) raises IndexError, and an empty segment returns
+            # the NEXT value — clamp the starts, then zero empty dims.
+            if len(values) == 0:
+                sums = np.zeros(len(dims))
+            else:
+                starts = np.minimum(offsets[:-1], len(values) - 1)
+                sums = np.add.reduceat(sq, starts)
             sums = np.where(dims == 0, 0.0, sums)
             yield pa.RecordBatch.from_arrays(
                 [

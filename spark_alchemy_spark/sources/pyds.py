@@ -186,7 +186,12 @@ class JsonlSinkDataSource(DataSource):
 
 class JsonlWriter(DataSourceWriter):
     def __init__(self, path: str, overwrite: bool):
+        import uuid
+
         self.path, self.overwrite = path, overwrite
+        # unique per save: append-mode commits must never collide with
+        # (and os.replace over) part files published by an earlier save
+        self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json
@@ -211,7 +216,8 @@ class JsonlWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, name))
         for i, m in enumerate(messages):
             os.replace(
-                m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                m.tmp_path,
+                os.path.join(self.path, f"part-{self.commit_id}-{i:05d}.jsonl"),
             )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")

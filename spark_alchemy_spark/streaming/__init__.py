@@ -158,6 +158,10 @@ def run_to_memory(
     (off-heap state + changelog checkpointing — what TB-scale state
     deployments use); default keeps the session's provider.  Both confs
     are restored after the drain."""
+    if state_store not in (None, "rocksdb"):
+        # validate BEFORE touching session conf — raising between a
+        # conf.set and the restoring finally would leak the setting
+        raise ValueError(f"unknown state_store {state_store!r}")
     spark = stream_df.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)
@@ -166,8 +170,6 @@ def run_to_memory(
         spark.conf.set(conf_key, str(state_partitions))
     if state_store == "rocksdb":
         spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
-    elif state_store is not None:
-        raise ValueError(f"unknown state_store {state_store!r}")
     try:
         q = (
             stream_df.writeStream.format("memory")

@@ -100,6 +100,15 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.schema("id long, g string").json(path + "/part-*.jsonl")
     assert back.count() == 100
     assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # a SECOND append must add rows, never os.replace earlier part files
+    df1b = (
+        spark.range(100, 150)
+        .selectExpr("id", "cast(id as string) AS g")
+        .coalesce(2)
+    )
+    df1b.write.format("jsonl_sink").option("path", path).mode("append").save()
+    back_both = spark.read.schema("id long, g string").json(path + "/part-*.jsonl")
+    assert sorted(r["id"] for r in back_both.collect()) == list(range(150))
     # overwrite publishes a fresh set, never appends
     df2 = spark.range(10).selectExpr("id", "cast(id as string) AS g").coalesce(1)
     df2.write.format("jsonl_sink").option("path", path).mode("overwrite").save()

@@ -241,10 +241,16 @@ def test_events_stream_handles_both_ts_encodings(spark, tmp_path):
     ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
     nanos_dir = str(tmp_path / "nanos")
     staging = str(tmp_path / "staging")
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        # source already ships bigint nanos (rounds-1-2 layout) — a bare
+        # cast('timestamp') would misread nanos as SECONDS
+        nanos_ts = F.col("ts")
+    else:
+        nanos_ts = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
     (
-        ev.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
-        )
+        ev.withColumn("ts", nanos_ts)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(staging)
