@@ -704,3 +704,107 @@ def hll_jdbc_sketch_store(spark, sf_dir):
     return back.groupBy("event_type").agg(
         hll.hll_cardinality(hll.hll_merge("users_hll")).alias("approx_users")
     )
+
+
+@query(
+    "generator_outer_variants",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 60
+                  THEN list_filter(string_split(substring(text, 1, 40), ' '),
+                                   w -> w <> '')
+                  ELSE [] END AS ws
+      FROM documents),
+    ex AS (
+      SELECT t.doc_id, u.w,
+             CAST(u.p - 1 AS INTEGER) AS pos
+      FROM toks t LEFT JOIN LATERAL (
+        SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS p) u ON true)
+    SELECT doc_id, pos, w FROM ex
+    """,
+)
+def generator_outer_variants(spark, sf_dir):
+    """OUTER generators (posexplode_outer): rows with an empty/NULL
+    collection survive as a single null-element row instead of
+    vanishing — the generator form joins need when the left side must
+    be preserved.  Docs shorter than 60 chars get an empty token array
+    on purpose so both branches are exercised.  Oracle: LEFT JOIN
+    LATERAL unnest."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        F.when(
+            F.length("text") >= 60,
+            F.filter(
+                F.split(F.substring("text", 1, 40), " "), lambda w: w != ""
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("ws"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode_outer("ws").alias("pos", "w")
+    )
+
+
+@query(
+    "stack_generator_metrics",
+    """
+    SELECT o_orderkey, 'total' AS metric, round(o_totalprice, 2) AS value
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'acctbal_sign',
+           CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS DOUBLE)
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'key_mod', CAST(o_orderkey % 7 AS DOUBLE)
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def stack_generator_metrics(spark, sf_dir):
+    """stack(n, ...): the row-generator unpivot primitive (the SQL
+    engine's lowest-level wide->long operator, beneath the UNPIVOT
+    syntax the `unpivot_pricing_metrics` entry pins).  Oracle is the
+    UNION ALL desugaring."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, metric, value FROM (
+          SELECT o_orderkey,
+                 stack(3,
+                       'total', round(o_totalprice, 2),
+                       'acctbal_sign',
+                       CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+                            AS DOUBLE),
+                       'key_mod', CAST(o_orderkey % 7 AS DOUBLE))
+                   AS (metric, value)
+          FROM orders WHERE o_orderkey % 100 = 0)
+        """
+    )
+
+
+@query(
+    "binary_codec_functions",
+    """
+    SELECT p_partkey,
+           to_base64(encode(p_name)) AS b64,
+           lower(hex(encode(p_brand))) AS hx,
+           decode(from_base64(to_base64(encode(p_name)))) AS rt,
+           CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes
+    FROM part
+    """,
+)
+def binary_codec_functions(spark, sf_dir):
+    """Binary codec battery: base64 / hex round trips and byte-length
+    over UTF-8 encoded strings — the encode/decode surface data
+    interchange relies on (all codegen'd)."""
+    _t(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               base64(encode(p_name, 'utf-8')) AS b64,
+               lower(hex(encode(p_brand, 'utf-8'))) AS hx,
+               decode(unbase64(base64(encode(p_name, 'utf-8'))), 'utf-8') AS rt,
+               octet_length(p_name) AS n_bytes
+        FROM part
+        """
+    )
