@@ -603,3 +603,87 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim shared-span detection (exact substring overlap)
+# ---------------------------------------------------------------------------
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_span_tokens: int = 10,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Pairs of documents sharing a VERBATIM token span of at least
+    ``min_span_tokens`` tokens — exact substring overlap, the signal
+    behind suffix-array training-data dedup (set-overlap Jaccard can't
+    see it: two long documents sharing one copied paragraph have tiny
+    Jaccard but a long shared span).
+
+    Positional k-gram inverted index -> matches land on diagonals
+    (pos_a - pos_b constant for a contiguous copy) -> gaps-and-islands
+    per (pair, diagonal) turns consecutive matching k-grams into runs;
+    a run of r k-grams certifies a span of r + k - 1 verbatim tokens.
+    All codegen window/join work; one self-join shuffle on the k-gram
+    key, hot-k-gram guarded like :func:`ngram_jaccard_pairs`.
+
+    Returns (id_a, id_b, max_span_tokens, n_spans).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__p", "__w"),
+    )
+    w = Window.partitionBy("__id").orderBy("__p")
+    parts = [F.col("__w")] + [F.lead("__w", j).over(w) for j in range(1, k)]
+    sh = (
+        tk.select(
+            "__id",
+            "__p",
+            F.concat_ws(" ", *parts).alias("__s"),
+            F.lead("__w", k - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__s")
+        )
+        if not hot.isEmpty():
+            # boilerplate k-grams would quadratically blow the self-join;
+            # dropping them can only SPLIT a span, never invent one
+            sh = sh.join(F.broadcast(hot), "__s", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__p").alias("pa"),
+        F.col("b.__p").alias("pb"),
+    )
+    m = m.withColumn("diag", F.col("pa") - F.col("pb"))
+    w2 = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w2))
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .withColumn("span_tokens", F.col("__run") + F.lit(k - 1))
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )

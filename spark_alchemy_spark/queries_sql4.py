@@ -808,3 +808,48 @@ def binary_codec_functions(spark, sf_dir):
         FROM part
         """
     )
+
+
+@query(
+    "dedup_shared_spans",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    pos AS (
+      SELECT t.doc_id, u.p - 1 AS p,
+             array_to_string(t.ws[u.p : u.p + 5], ' ') AS s
+      FROM tok t, LATERAL (SELECT generate_subscripts(ws, 1) AS p) u
+      WHERE u.p + 5 <= len(t.ws)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb,
+             a.p - b.p AS diag
+      FROM pos a JOIN pos b ON a.s = b.s AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT id_a, id_b, diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m),
+    spans AS (
+      SELECT id_a, id_b, count(*) + 5 AS span_tokens
+      FROM runs GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) + 5 >= 10)
+    SELECT id_a, id_b,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           count(*) AS n_spans
+    FROM spans GROUP BY id_a, id_b
+    """,
+)
+def dedup_shared_spans(spark, sf_dir):
+    """Verbatim shared-span pairs (exact substring overlap, k=6 grams,
+    spans >= 10 tokens) — the suffix-array-dedup signal set-overlap
+    Jaccard can't see (a copied paragraph inside two long documents).
+    Positional k-gram index -> diagonal gaps-and-islands -> span runs;
+    the oracle replays the identical computation with SQL windows."""
+    from .operators.dedup import shared_span_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(
+        documents, "doc_id", "text", k=6, min_span_tokens=10
+    )
