@@ -150,7 +150,7 @@ def subword_token_count(col) -> Column:
     return F.size(subword_tokens(col)).cast("long")
 
 
-def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
+def exploded_shingles(df, id_col: str, text_col: str, n: int = 3, keep_pos: bool = False):
     """One (id, shingle) ROW per word n-gram occurrence: ``posexplode``
     the token array and stitch each n-gram with window ``lead``s —
     whole-stage codegen end to end, measured ~5x the interpreted
@@ -159,11 +159,12 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
     id-plus-key) aggregation, so per-doc distincts, n-gram counts and
     MinHash signatures add NO further exchange.
 
-    Emits (id_col, ``__s``); positions with fewer than ``n`` tokens
-    remaining are dropped, matching :func:`shingles_from_tokens`
-    (documents under ``n`` tokens emit nothing).  Prefer this for
-    operators that explode shingles anyway; keep the array form for
-    per-row set expressions."""
+    Emits (id_col, ``__s``) — plus the 0-based start position ``__p``
+    when ``keep_pos`` (the positional form shared-span detection
+    needs); positions with fewer than ``n`` tokens remaining are
+    dropped, matching :func:`shingles_from_tokens` (documents under
+    ``n`` tokens emit nothing).  Prefer this for operators that explode
+    shingles anyway; keep the array form for per-row set expressions."""
     from pyspark.sql import Window
 
     tk = df.select(
@@ -171,9 +172,10 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
     )
     w = Window.partitionBy(id_col).orderBy("__p")
     parts = [F.col("__w")] + [F.lead("__w", j).over(w) for j in range(1, n)]
+    cols = [F.col(id_col)] + ([F.col("__p")] if keep_pos else [])
     return (
         tk.select(
-            F.col(id_col),
+            *cols,
             F.concat_ws(" ", *parts).alias("__s"),
             F.lead("__w", n - 1).over(w).isNotNull().alias("__full"),
         )

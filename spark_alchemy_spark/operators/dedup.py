@@ -635,28 +635,20 @@ def shared_span_pairs(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import tokens
-
-    tk = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens(text_col)).alias("__p", "__w"),
-    )
-    w = Window.partitionBy("__id").orderBy("__p")
-    parts = [F.col("__w")] + [F.lead("__w", j).over(w) for j in range(1, k)]
-    sh = (
-        tk.select(
-            "__id",
-            "__p",
-            F.concat_ws(" ", *parts).alias("__s"),
-            F.lead("__w", k - 1).over(w).isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .drop("__full")
+    sh = exploded_shingles(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        k,
+        keep_pos=True,
     )
     if max_shingle_df is not None:
+        # true DOCUMENT frequency (distinct docs per k-gram, matching
+        # ngram_jaccard_pairs' semantics — a k-gram repeated many times
+        # inside ONE degenerate doc must not trip the guard)
         hot = (
             sh.groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(F.countDistinct("__id").alias("__df"))
             .filter(F.col("__df") > max_shingle_df)
             .select("__s")
         )

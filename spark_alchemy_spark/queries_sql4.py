@@ -846,10 +846,15 @@ def dedup_shared_spans(spark, sf_dir):
     spans >= 10 tokens) — the suffix-array-dedup signal set-overlap
     Jaccard can't see (a copied paragraph inside two long documents).
     Positional k-gram index -> diagonal gaps-and-islands -> span runs;
-    the oracle replays the identical computation with SQL windows."""
+    the oracle replays the identical computation with SQL windows, so
+    the entry runs the PURE exact mode (max_shingle_df=None); the
+    operator's default keeps the hot-k-gram guard on for production
+    corpora, where it can only split spans containing viral
+    boilerplate, never invent one."""
     from .operators.dedup import shared_span_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
     return shared_span_pairs(
-        documents, "doc_id", "text", k=6, min_span_tokens=10
+        documents, "doc_id", "text", k=6, min_span_tokens=10,
+        max_shingle_df=None,
     )
