@@ -1,0 +1,201 @@
+"""Battery extension: Catalyst RUNTIME filtering (the two scan-reduction
+mechanisms a 100 TB deployment gets from the optimizer, demonstrated
+end-to-end and plan-asserted) plus a statistical-LM quality scorer for
+the curation tier.
+
+* **Runtime bloom-filter join reduction** — Catalyst's
+  ``InjectRuntimeFilter`` rule builds a bloom filter over the join keys
+  of the SELECTIVE side and pushes ``might_contain`` into the big
+  side's scan, turning a full-fact-table shuffle join into a
+  pre-filtered one.  This is the optimizer-native version of the
+  "semi-join reducer" pattern — no hand-built filter, no extra
+  pipeline stage (the reference relies on stock Spark for all join
+  execution; SURVEY.md §2.2).
+* **Dynamic partition pruning** — with a hive-partitioned fact table,
+  a selective dim-side predicate prunes fact PARTITION DIRECTORIES at
+  runtime via a reused broadcast subquery: the dominant scan-reduction
+  mechanism for star-schema joins over partitioned lakes.
+* **Unigram-LM quality scoring** — corpus-trained unigram language
+  model scoring each document by average negative log-likelihood (the
+  CCNet-style statistical quality filter): doc-term counts first (one
+  (doc, term) shuffle, tokens never re-shuffled), vocabulary counts
+  re-aggregated FROM the doc-term table, totals joined back as a
+  1-row broadcast — never a driver-side scalar.
+
+Same determinism conventions as queries.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+from .queries_ext import _sink_name
+
+# Confs that make Catalyst's runtime bloom filter observable at battery
+# scale: the rule is on by default but gated on a 10 GB application-side
+# scan, so drop that floor and forbid broadcast (a broadcast join needs
+# no bloom — the point here is the shuffle-join reduction path).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_reduced_join(spark, sf_dir):
+    """The lazy plan: lineitem ⋈ (selective orders slice), aggregated.
+
+    Under ``_BLOOM_CONFS`` Catalyst injects
+    ``might_contain(bloom_filter_agg(xxhash64(o_orderkey)),
+    xxhash64(l_orderkey))`` below the lineitem scan — asserted in
+    tests/test_plans.py.  Callers own the conf window (the rule runs at
+    optimization time, so the confs must still be set when the plan
+    first executes)."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    joined = lineitem.join(
+        urgent, lineitem.l_orderkey == urgent.o_orderkey
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "runtime_bloom_join_reduction",
+    """
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def runtime_bloom_join_reduction(spark, sf_dir):
+    """Scan reduction by optimizer-injected runtime bloom filter (see
+    :func:`bloom_reduced_join`).  The plan-shaping confs must hold at
+    execution, so the (3-row) result is materialized inside the conf
+    window and the session's join/bloom settings restored before
+    returning — no conf leaks into later battery entries."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = bloom_reduced_join(spark, sf_dir)
+        path = os.path.join(tempfile.gettempdir(), _sink_name("bloomjoin"))
+        out.write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)
+
+
+@query(
+    "dpp_partitioned_star_join",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    JOIN (VALUES ('purchase', 'conversion'), ('signup', 'conversion'),
+                 ('click', 'engagement'), ('view', 'engagement'),
+                 ('error', 'ops')) AS d(event_type, tier)
+      USING (event_type)
+    WHERE tier = 'conversion'
+    GROUP BY event_type
+    """,
+)
+def dpp_partitioned_star_join(spark, sf_dir):
+    """Dynamic partition pruning over a hive-partitioned fact table:
+    events partitioned by event_type, joined to a tiny tier dimension
+    filtered on a NON-partition attribute.  Catalyst turns the dim
+    filter into a runtime pruning subquery on the fact scan (reusing
+    the join's broadcast), so only the matching partition directories
+    are ever opened — the star-schema scan reducer at lake scale.
+    Plan asserted in tests/test_plans.py (``dynamicpruning`` present)."""
+    from .sources.io import write_partitioned
+
+    (events,) = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("events_dpp"))
+    write_partitioned(events, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    tiers = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("error", "ops"),
+        ],
+        "event_type string, tier string",
+    )
+    return (
+        fact.join(tiers, "event_type")
+        .filter(F.col("tier") == "conversion")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "quality_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    dw AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY doc_id, w),
+    v AS (SELECT w, sum(k) AS c FROM dw GROUP BY w),
+    t AS (SELECT sum(c) AS n FROM v)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+           round(-sum(k * ln(c / n)) / sum(k), 4) AS nll
+    FROM dw JOIN v USING (w) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def quality_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM quality score: per-document average
+    negative log-likelihood under the corpus's own token distribution
+    (low = templated/repetitive boilerplate, high = rare-token noise —
+    the CCNet-style statistical filter between the heuristic
+    text_quality tier and a real LM).
+
+    Scale shape: tokens collapse to doc-term counts FIRST (the only
+    shuffle that sees per-token rows is the (doc_id, term) groupBy);
+    the vocabulary is then a re-aggregation of that much smaller table,
+    and the corpus total joins back as a literal 1-row broadcast —
+    no driver-side scalar, no second pass over the raw tokens."""
+    from .functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    dw = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    vocab = dw.groupBy("w").agg(F.sum("k").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        dw.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("k") * F.log(F.col("c") / F.col("n")))
+                / F.sum("k"),
+                4,
+            ).alias("nll"),
+        )
+    )

@@ -858,3 +858,7 @@ def dedup_shared_spans(spark, sf_dir):
         documents, "doc_id", "text", k=6, min_span_tokens=10,
         max_shingle_df=None,
     )
+
+
+# Runtime-filtering + LM-quality battery registers itself on import.
+from . import queries_runtime  # noqa: E402,F401  (registration side effect)

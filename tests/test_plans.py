@@ -205,3 +205,44 @@ def test_recursive_cte_bounded_plan(spark):
     df = QUERIES["sql_recursive_cte_chain"](spark, SF)
     n_suppliers = spark.read.parquet(SF + "/supplier.parquet").count()
     assert df.count() == n_suppliers
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Under the entry's conf window, Catalyst must inject the runtime
+    bloom filter: bloom_filter_agg built over the selective orders
+    slice, might_contain pushed below the lineitem side of the shuffle
+    join (the optimizer-native semi-join reducer)."""
+    from spark_alchemy_spark.queries_runtime import _BLOOM_CONFS, bloom_reduced_join
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_reduced_join(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dpp_subquery_on_partitioned_fact(spark):
+    """The partitioned star join must carry a dynamic-partition-pruning
+    subquery on the fact scan: partition directories are selected at
+    runtime from the filtered dim, not enumerated statically."""
+    df = QUERIES["dpp_partitioned_star_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_unigram_logprob_stays_jvm(spark):
+    """The LM quality scorer is pure built-in expression work — no
+    Python eval anywhere in the plan."""
+    from spark_alchemy_spark import plans
+
+    df = QUERIES["quality_unigram_logprob"](spark, SF)
+    assert plans.python_eval_ops(df) == []
