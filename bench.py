@@ -65,6 +65,26 @@ def main():
             "numPartitions", 2
         ).load().write.format("noop").mode("overwrite").save()
 
+        # The iterative dedup/graph family (window-lead shingle builder,
+        # sort-merge self-join, localCheckpoint/MemoryStore, broadcast
+        # machinery) costs ~15-17s of one-time session init that would
+        # otherwise land entirely on whichever family entry runs FIRST
+        # (measured: curate_canonical_docs 21.6s cold vs 4.5s warm).
+        # Warm it on a 64-document slice.
+        from spark_alchemy_spark.operators.dedup import ngram_jaccard_pairs
+        from spark_alchemy_spark.operators.graph import connected_components
+
+        docs64 = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .limit(64)
+        )
+        wpairs = ngram_jaccard_pairs(
+            docs64, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+        )
+        connected_components(wpairs, "id_a", "id_b", max_iter=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
         # Structured Streaming engine init (state-store provider, streaming
         # listener bus, memory-sink machinery) costs ~20-30s the FIRST time
         # a stateful stream starts in a session; warm it on a 64-row file

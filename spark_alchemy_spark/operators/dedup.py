@@ -328,33 +328,53 @@ def simhash64(token_col: Column) -> Column:
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(__id, __fp) SimHash fingerprints via one token explode and 64
-    codegen'd ``sum(CASE)`` vote aggregates — bit-identical to
-    :func:`simhash64` but entirely whole-stage-codegen JVM work
-    (the expression form is ~60 interpreted lambda frames per token;
-    this shuffles only (id, hash64) pairs and map-side-combines).
-    ``explode_outer`` keeps tokenless documents (all-zero votes →
-    fingerprint 0), matching the expression form."""
+    """(__id, __fp) SimHash fingerprints via one token explode and
+    LANE-PACKED vote aggregates — bit-identical to :func:`simhash64`
+    but entirely whole-stage-codegen JVM work.
+
+    Instead of 64 separate ``sum(±1)`` aggregates (whose generated
+    aggregate class costs ~4-5s of janino compile the first time and
+    shuffles 64 longs per doc), each token packs 4 of its hash bits
+    into the four 16-bit lanes of one long (lane value 0/1, so lane
+    sums never borrow across lanes below 65 536 tokens/doc); 16 packed
+    ``sum`` aggregates + one token count reconstruct every bit's ones
+    count: bit j is set iff ``2*ones_j > n`` ⟺ the ±1 vote sum is
+    positive — the same tie-to-zero rule as the expression form.
+    ``explode_outer`` keeps tokenless documents (n = 0 → fingerprint
+    0), matching the expression form."""
     from functools import reduce
 
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode_outer(tokens(text_col)).alias("__tok"),
     ).select("__id", F.xxhash64("__tok").alias("__h"), F.col("__tok").isNull().alias("__pad"))
-    votes = [
-        F.sum(
-            F.when(F.col("__pad"), 0)
-            .when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__v{j}")
-        for j in range(64)
+
+    def packed(i: int) -> Column:
+        # lanes k=0..3 hold bit (4i+k) of the token hash, one bit per
+        # 16-bit lane; pad rows contribute 0 to every lane
+        lanes = [
+            F.shiftleft(
+                F.shiftright("__h", 4 * i + k).bitwiseAND(F.lit(1)), 16 * k
+            )
+            for k in range(4)
+        ]
+        v = reduce(Column.bitwiseOR, lanes)
+        return F.when(F.col("__pad"), F.lit(0).cast("long")).otherwise(v)
+
+    aggs = [F.sum(packed(i)).alias(f"__s{i}") for i in range(16)] + [
+        F.sum(F.when(F.col("__pad"), 0).otherwise(1)).alias("__n")
     ]
-    agg = toks.groupBy("__id").agg(*votes)
+    agg = toks.groupBy("__id").agg(*aggs)
     fp = reduce(
         Column.bitwiseOR,
         [
             F.when(
-                F.col(f"__v{j}") > 0,
+                # ones_j = lane (j%4) of packed sum j//4
+                F.shiftright(F.col(f"__s{j // 4}"), 16 * (j % 4)).bitwiseAND(
+                    F.lit(0xFFFF)
+                )
+                * 2
+                > F.col("__n"),
                 F.lit(1 << j if j < 63 else -(2**63)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             for j in range(64)

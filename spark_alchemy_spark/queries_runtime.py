@@ -199,3 +199,143 @@ def quality_unigram_logprob(spark, sf_dir):
             ).alias("nll"),
         )
     )
+
+
+@query(
+    "session_window_native",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+    per AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE batch session windows (``F.session_window``, the
+    same merging-interval operator Structured Streaming uses for
+    session state) — vs the manual gaps-and-islands form in
+    ``sessionize_users``.  One shuffle on the session key; window
+    merging happens inside the aggregate, no lag/window pre-pass.
+    Oracle: gaps-and-islands fixpoint (a new session starts at gap >=
+    30 min, matching session_window's exclusive window end)."""
+    (events,) = _t(spark, sf_dir, "events")
+    per = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )
+
+
+@query(
+    "sliding_window_counts",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, event_type,
+           count(*) AS n
+    FROM (SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY ws, event_type
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) time windows in batch: 2-hour windows every
+    hour via ``F.window(ts, '2 hours', '1 hour')`` — each event lands
+    in exactly two windows; the generator runs inside the scan
+    projection (no join against a calendar table).  Oracle: explicit
+    2-element unnest of the covering window starts."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "hll_union_mixed_precision",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_union_mixed_precision(spark, sf_dir):
+    """Mixed-precision sketch reaggregation: historical slices sketched
+    at a COARSER precision (relative_sd 0.002 -> lgK 19) union cleanly
+    with fresh slices at the battery's fine precision (0.0015 -> lgK
+    20) — ``hll_merge`` passes allowDifferentLgConfigK so the union
+    downgrades to the smaller lgK instead of erroring (the
+    cross-precision story the reference handles via its per-call
+    relativeSD argument; HLLFunctions.scala:67-70).  Both precisions
+    stay in Datasketches' exact coupon range at battery cardinalities,
+    so the estimate equals exact COUNT DISTINCT."""
+    from .functions import hll
+    from .queries import _EXACT_SD
+
+    (events,) = _t(spark, sf_dir, "events")
+    cut = F.col("user_id") % 2 == 0
+    old_slice = events.filter(cut).groupBy("event_type").agg(
+        hll.hll_init_agg("user_id", 0.002).alias("users_hll")
+    )
+    new_slice = events.filter(~cut).groupBy("event_type").agg(
+        hll.hll_init_agg("user_id", _EXACT_SD).alias("users_hll")
+    )
+    merged = old_slice.unionAll(new_slice)
+    return merged.groupBy("event_type").agg(
+        hll.hll_cardinality(hll.hll_merge("users_hll")).alias(
+            "approx_users"
+        )
+    )
+
+
+@query(
+    "stream_sliding_window_counts",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, event_type,
+           count(*) AS n
+    FROM (SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_window_counts(spark, sf_dir):
+    """Streaming SLIDING windows (2-hour window, 1-hour hop) replayed
+    with availableNow: overlapping window state (2 live aggregates per
+    event at any time), watermark-bounded, must equal the batch
+    covering-window expansion exactly — the streaming twin of
+    ``sliding_window_counts``."""
+    from .queries_ext import _sink_name
+    from .streaming import read_events_stream, run_to_memory, sliding_windowed_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        sliding_windowed_counts(stream),
+        _sink_name("slide_counts"),
+        output_mode="complete",
+        state_partitions=8,
+    )

@@ -82,6 +82,28 @@ def windowed_counts(
     )
 
 
+def sliding_windowed_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window counts per event type: each event
+    contributes to window/slide overlapping windows, so streaming state
+    holds that many concurrent aggregates per key — the watermark still
+    bounds total state because windows close slide-by-slide."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def windowed_hll_users(
     events: DataFrame,
     window: str = "1 hour",

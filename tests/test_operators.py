@@ -62,6 +62,34 @@ def test_simhash_identical_distance_zero(docs):
     assert got[(1, 2)] == 0
 
 
+def test_simhash_packed_aggregate_matches_expression_form(spark):
+    """The lane-packed vote aggregate (simhash_fingerprints) must stay
+    bit-identical to the reference expression form (simhash64) — ties,
+    pads and tokenless docs included."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.functions.text import tokens
+    from spark_alchemy_spark.operators.dedup import (
+        simhash64,
+        simhash_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, "one"), (100004, "a b a b")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    fp = simhash_fingerprints(docs, "doc_id", "text")
+    expr = docs.select(
+        F.col("doc_id").alias("__id"), simhash64(tokens("text")).alias("__e")
+    )
+    assert (
+        fp.join(expr, "__id").filter(F.col("__fp") != F.col("__e")).count()
+        == 0
+    )
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 
