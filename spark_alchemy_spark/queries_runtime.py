@@ -339,3 +339,67 @@ def stream_sliding_window_counts(spark, sf_dir):
         output_mode="complete",
         state_partitions=8,
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def source_xml_roundtrip(spark, sf_dir):
+    """Spark 4's NATIVE XML file format (reader + writer, no external
+    package): part written as <row> documents and read back under the
+    original schema (explicit schema on read — XML carries no types),
+    proven identical via the brand aggregate.  Completes the
+    self-describing-format matrix next to parquet/ORC/CSV/JSON;
+    ``from_xml`` string parsing is covered separately by
+    ``semistructured_xml_and_maps``."""
+    (part,) = _t(spark, sf_dir, "part")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("xml_rt"))
+    part.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(part.schema)
+        .load(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "source_file_metadata_columns",
+    """
+    SELECT 8 AS n_files, count(*) AS n_rows, 0 AS min_row_index
+    FROM lineitem
+    """,
+)
+def source_file_metadata_columns(spark, sf_dir):
+    """The hidden ``_metadata`` file columns (file_name, row_index) a
+    lake pipeline uses for row-level lineage and incremental-load
+    bookkeeping: lineitem fragmented into 8 files, read back with
+    per-row provenance, and audited — 8 distinct source files, full
+    row count, row indexes starting at 0 in every file.  The metadata
+    struct is generated by the scan itself (no join against a file
+    listing)."""
+    from .queries_ext import _sink_name
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("meta_cols"))
+    lineitem.repartition(8).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    return back.agg(
+        F.countDistinct("fname").cast("int").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ridx").cast("int").alias("min_row_index"),
+    )
