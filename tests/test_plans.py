@@ -246,3 +246,15 @@ def test_unigram_logprob_stays_jvm(spark):
 
     df = QUERIES["quality_unigram_logprob"](spark, SF)
     assert plans.python_eval_ops(df) == []
+
+
+def test_bloom_entry_restores_session_confs(spark):
+    """The bloom entry shapes plans via session confs; it must restore
+    every one before returning (a leaked autoBroadcastJoinThreshold=-1
+    would silently de-broadcast every later battery entry)."""
+    from spark_alchemy_spark.queries_runtime import _BLOOM_CONFS
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    QUERIES["runtime_bloom_join_reduction"](spark, SF).collect()
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    assert after == before
