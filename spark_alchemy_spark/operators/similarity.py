@@ -616,3 +616,205 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample_size: int = 4096,
+):
+    """Per-subspace k-means codebooks for product quantization.
+
+    The vector space is split into ``m_subspaces`` contiguous blocks;
+    each block gets its own ``n_codes``-centroid L2 codebook, so a
+    corpus vector compresses to ``m_subspaces`` small codes (here 8
+    codes for a 64-float vector: 32x smaller than float32 storage) —
+    the standard memory lever for billion-vector ANN, where full
+    vectors no longer fit executor memory but codes do.
+
+    Training mirrors :func:`train_ivf_centroids`'s scale discipline:
+    a deterministic hash-ordered sample BOUNDED BY ``sample_size``
+    (independent of corpus size), unit-normalized (scoring is inner
+    product on the sphere), Lloyd rounds in numpy on the driver —
+    codebook bytes are ``m * k * dim`` floats, trivially closure-
+    shipped.  Seeded init = lowest-hash sample rows per subspace;
+    ties in assignment go to the lowest code id; empty codes keep
+    their previous centroid.  Returns a numpy array (m, k, dim//m).
+    """
+    import numpy as np
+
+    v = corpus.select(_as_double(vec_col).alias("__v"))
+    rows = (
+        v.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__v").cast("string")))
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    m = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    dim = m.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.empty((m_subspaces, n_codes, dsub))
+    for s in range(m_subspaces):
+        sub = m[:, s * dsub : (s + 1) * dsub]
+        cents = sub[: n_codes].copy()  # hash order IS the seeded order
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)  # first minimum -> lowest code id
+            for j in range(n_codes):
+                members = sub[best == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks
+) -> DataFrame:
+    """(neighbor_id, __codes) — each corpus vector unit-normalized and
+    quantized to its per-subspace nearest code (Arrow mapInPandas; the
+    codebook array rides the task closure).  Zero-norm vectors are
+    dropped (no defined cosine), matching every other ANN path."""
+    import numpy as np
+    import pandas as pd
+
+    mm, kk, dsub = codebooks.shape
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0
+            ids, vecs = ids[nz], vecs[nz] / norms[nz]
+            if not len(ids):
+                continue
+            codes = np.empty((len(ids), mm), dtype=np.int32)
+            for s in range(mm):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": ids, "__codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, __codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    codebooks=None,
+) -> DataFrame:
+    """PQ ANN with asymmetric-distance scoring and exact re-rank — the
+    production shape for embedding search when vectors outgrow memory:
+
+    1. corpus compressed once to per-subspace codes (32x smaller than
+       float32 here; at scale the codes table is what stays hot);
+    2. each query builds an (m x k) lookup table of partial inner
+       products against the codebooks, and every corpus item is scored
+       from its CODES ONLY — m table lookups, no vector arithmetic —
+       keeping a per-partition partial top-``shortlist``;
+    3. only the merged shortlist joins back to the full vectors for
+       exact cosine re-ranking (the expensive fetch touches
+       ``shortlist`` rows per query, not the corpus).
+
+    Deterministic end to end (seeded sampling/training, first-minimum
+    code assignment, id tiebreaks).  Returns
+    (query_id, neighbor_id, rank, cos) with exact re-ranked cosine."""
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m_subspaces=m_subspaces, n_codes=n_codes, seed=seed
+        )
+    mm, kk, dsub = codebooks.shape
+    codes = pq_encode(corpus, id_col, vec_col, codebooks)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qn == 0, 1.0, qn)
+    # LUT[q, s, c] = <query subvector s, codebook centroid c of s>
+    luts = np.einsum(
+        "qsd,scd->qsc", qm.reshape(len(q_ids), mm, dsub), codebooks
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            codes_m = np.array(pdf["__codes"].tolist(), dtype=np.int64)
+            if not len(ids):
+                continue
+            for qi, qid in enumerate(q_ids):
+                # ADC: sum of m lookups per corpus item
+                s = luts[qi][np.arange(mm)[None, :], codes_m].sum(axis=1)
+                mask = ids != qid
+                top = np.argsort(-s[mask], kind="stable")[:shortlist]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[mask][top],
+                        "__spq": s[mask][top],
+                    }
+                )
+
+    partial = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, __spq double"
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("__spq").desc(), F.col("neighbor_id")
+    )
+    short = (
+        partial.withColumn("__r", F.row_number().over(w0))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: fetch full vectors for the shortlist only
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+    )
+    rer = (
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

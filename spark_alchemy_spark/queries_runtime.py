@@ -403,3 +403,54 @@ def source_file_metadata_columns(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.min("ridx").cast("int").alias("min_row_index"),
     )
+
+
+@query(
+    "ann_pq_topk",
+    """
+    SELECT vec_id AS query_id, 10 AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    corpus compressed to 16 4-bit subspace codes (32x smaller than
+    float32), scored in the COMPRESSED domain via per-query lookup
+    tables (ADC), exact cosine re-rank on the merged shortlist only —
+    the billion-vector memory lever next to the IVF scan lever.
+    Oracle = derived deterministic invariant: every query's PQ top-10
+    recovers >= 60% of the exact cosine top-10 (measured 0.9-1.0 at
+    sf0.01, 0.7-1.0 at sf0.1; seeded training + first-minimum code
+    assignment make the per-query hit counts stable integers)."""
+    from .operators.similarity import brute_force_topk, pq_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(
+        embeddings, queries_df, "vec_id", "embedding", k=10
+    )
+    pq = pq_topk(
+        embeddings,
+        queries_df,
+        "vec_id",
+        "embedding",
+        k=10,
+        m_subspaces=16,
+        n_codes=16,
+        shortlist=100,
+    )
+    hits = (
+        exact.join(
+            pq.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(10).alias("k"),
+        (F.coalesce("__n_hit", F.lit(0)) >= 6).alias("recall_ok"),
+    )

@@ -205,10 +205,19 @@ def test_ann_variants_recall_vs_brute_force(spark):
             out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return out
 
+    from spark_alchemy_spark.operators.similarity import pq_topk
+
     exact = topk_sets(brute_force_topk(emb, queries, "vec_id", "embedding", k=k))
     for name, approx_df in (
         ("lsh", lsh_topk(emb, queries, "vec_id", "embedding", k=k)),
         ("ivf", ivf_topk(emb, queries, "vec_id", "embedding", k=k)),
+        (
+            "pq",
+            pq_topk(
+                emb, queries, "vec_id", "embedding", k=k,
+                m_subspaces=16, n_codes=16, shortlist=25,
+            ),
+        ),
     ):
         approx = topk_sets(approx_df)
         recalls = [
