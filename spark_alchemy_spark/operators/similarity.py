@@ -666,6 +666,11 @@ def train_pq_codebooks(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     dsub = dim // m_subspaces
+    if len(m) < n_codes:
+        raise ValueError(
+            f"PQ training needs >= n_codes non-zero vectors "
+            f"(got {len(m)} < {n_codes})"
+        )
     books = np.empty((m_subspaces, n_codes, dsub))
     for s in range(m_subspaces):
         sub = m[:, s * dsub : (s + 1) * dsub]
@@ -795,6 +800,140 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     # exact re-rank: fetch full vectors for the shortlist only
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+    )
+    rer = (
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    m_subspaces: int = 16,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ composed — the production billion-vector layout
+    (FAISS-style IVFPQ, flat quantization): the IVF assignment bounds
+    WHICH vectors a query touches (~nprobe/n_centroids of the corpus),
+    PQ codes bound WHAT is read per touched vector (codes, not
+    floats), and only the merged shortlist fetches full vectors for
+    exact cosine re-ranking.
+
+    One Arrow pass assigns each corpus vector to its nearest centroid
+    AND encodes its subspace codes (both models ride the task
+    closure); query-side probe lists are a tiny broadcast join; ADC
+    scoring runs per query group over its probed candidates only.
+    Deterministic end to end (seeded training, first-minimum
+    assignment, id tiebreaks).  Returns
+    (query_id, neighbor_id, rank, cos)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cents_df = train_ivf_centroids(
+        corpus, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    cents_rows = sorted(cents_df.collect(), key=lambda r: r["__list"])
+    cents = np.array([r["__cent"] for r in cents_rows], dtype=np.float64)
+    books = train_pq_codebooks(
+        corpus, vec_col, m_subspaces=m_subspaces, n_codes=n_codes, seed=seed
+    )
+    mm, kk, dsub = books.shape
+
+    def assign_encode(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0
+            ids, vecs = ids[nz], vecs[nz] / norms[nz]
+            if not len(ids):
+                continue
+            # nearest centroid by cosine (unit vectors: argmax dot);
+            # ties -> lowest list id (first maximum)
+            lists = np.argmax(vecs @ cents.T, axis=1)
+            codes = np.empty((len(ids), mm), dtype=np.int32)
+            for s in range(mm):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": ids, "__list": lists, "__codes": list(codes)}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, "neighbor_id long, __list int, __codes array<int>"
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qn == 0, 1.0, qn)
+    sims = qm @ cents.T
+    # nprobe nearest lists per query, ties -> lowest list id
+    probe_pairs = [
+        (int(q_ids[i]), int(l))
+        for i in range(len(q_ids))
+        for l in np.argsort(-sims[i], kind="stable")[:nprobe]
+    ]
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id long, __list int"
+    )
+    luts = {
+        int(q_ids[i]): np.einsum("sd,scd->sc", qm[i].reshape(mm, dsub), books)
+        for i in range(len(q_ids))
+    }
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        ids = pdf["neighbor_id"].to_numpy()
+        codes_m = np.array(pdf["__codes"].tolist(), dtype=np.int64)
+        s = luts[qid][np.arange(mm)[None, :], codes_m].sum(axis=1)
+        mask = ids != qid
+        top = np.argsort(-s[mask], kind="stable")[:shortlist]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "neighbor_id": ids[mask][top],
+                "__spq": s[mask][top],
+            }
+        )
+
+    short = (
+        assigned.join(F.broadcast(probes), "__list")
+        .groupBy("query_id")
+        .applyInPandas(
+            score_group, "query_id long, neighbor_id long, __spq double"
+        )
+        .select("query_id", "neighbor_id")
+    )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     )
