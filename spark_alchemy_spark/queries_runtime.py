@@ -22,6 +22,11 @@ the curation tier.
   re-aggregated FROM the doc-term table, totals joined back as a
   1-row broadcast — never a driver-side scalar.
 
+Also registered here: native batch session windows and sliding windows
+(plus the streaming sliding twin), mixed-precision HLL union, the
+native XML file format, the hidden ``_metadata`` provenance columns,
+and the PQ / IVF+PQ compressed-domain ANN entries.
+
 Same determinism conventions as queries.py.
 """
 
