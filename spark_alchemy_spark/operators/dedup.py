@@ -334,14 +334,18 @@ def simhash_fingerprints(
 
     Instead of 64 separate ``sum(±1)`` aggregates (whose generated
     aggregate class costs ~4-5s of janino compile the first time and
-    shuffles 64 longs per doc), each token packs 4 of its hash bits
-    into the four 16-bit lanes of one long (lane value 0/1, so lane
-    sums never borrow across lanes below 65 536 tokens/doc); 16 packed
-    ``sum`` aggregates + one token count reconstruct every bit's ones
-    count: bit j is set iff ``2*ones_j > n`` ⟺ the ±1 vote sum is
-    positive — the same tie-to-zero rule as the expression form.
-    ``explode_outer`` keeps tokenless documents (n = 0 → fingerprint
-    0), matching the expression form."""
+    shuffles 64 longs per doc), each token packs 3 of its hash bits
+    into three 21-bit lanes of one long (lane value 0/1, so the lane
+    sums are the per-bit ones counts and never carry across lanes for
+    documents below 2^21 ≈ 2.1M tokens — the top lane peaks at
+    (2^21−1)·2^42 < 2^63, so the packed sum can neither carry NOR
+    overflow the signed long under ANSI mode at any realistic document
+    size; docs beyond 2M tokens should be chunked upstream).  22
+    packed ``sum`` aggregates + one token count reconstruct every
+    bit's ones count: bit j is set iff ``2*ones_j > n`` ⟺ the ±1 vote
+    sum is positive — the same tie-to-zero rule as the expression
+    form.  ``explode_outer`` keeps tokenless documents (n = 0 →
+    fingerprint 0), matching the expression form."""
     from functools import reduce
 
     toks = df.select(
@@ -349,19 +353,23 @@ def simhash_fingerprints(
         F.explode_outer(tokens(text_col)).alias("__tok"),
     ).select("__id", F.xxhash64("__tok").alias("__h"), F.col("__tok").isNull().alias("__pad"))
 
+    n_lanes, lane_bits = 3, 21
+    n_cols = (64 + n_lanes - 1) // n_lanes  # 22 (last column: 1 lane)
+
     def packed(i: int) -> Column:
-        # lanes k=0..3 hold bit (4i+k) of the token hash, one bit per
-        # 16-bit lane; pad rows contribute 0 to every lane
+        # lanes k hold bit (3i+k) of the token hash, one bit per
+        # 21-bit lane; pad rows contribute 0 to every lane
         lanes = [
             F.shiftleft(
-                F.shiftright("__h", 4 * i + k).bitwiseAND(F.lit(1)), 16 * k
+                F.shiftright("__h", n_lanes * i + k).bitwiseAND(F.lit(1)),
+                lane_bits * k,
             )
-            for k in range(4)
+            for k in range(min(n_lanes, 64 - n_lanes * i))
         ]
         v = reduce(Column.bitwiseOR, lanes)
         return F.when(F.col("__pad"), F.lit(0).cast("long")).otherwise(v)
 
-    aggs = [F.sum(packed(i)).alias(f"__s{i}") for i in range(16)] + [
+    aggs = [F.sum(packed(i)).alias(f"__s{i}") for i in range(n_cols)] + [
         F.sum(F.when(F.col("__pad"), 0).otherwise(1)).alias("__n")
     ]
     agg = toks.groupBy("__id").agg(*aggs)
@@ -369,10 +377,10 @@ def simhash_fingerprints(
         Column.bitwiseOR,
         [
             F.when(
-                # ones_j = lane (j%4) of packed sum j//4
-                F.shiftright(F.col(f"__s{j // 4}"), 16 * (j % 4)).bitwiseAND(
-                    F.lit(0xFFFF)
-                )
+                # ones_j = lane (j % 3) of packed sum j // 3
+                F.shiftright(
+                    F.col(f"__s{j // n_lanes}"), lane_bits * (j % n_lanes)
+                ).bitwiseAND(F.lit((1 << lane_bits) - 1))
                 * 2
                 > F.col("__n"),
                 F.lit(1 << j if j < 63 else -(2**63)).cast("long"),

@@ -660,17 +660,18 @@ def train_pq_codebooks(
         .collect()
     )
     m = np.array([r["__v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m = m[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if m.ndim == 2 and len(m):
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if m.ndim != 2 or len(m) < n_codes:
+        raise ValueError(
+            f"PQ training needs >= n_codes non-zero vectors "
+            f"(got {0 if m.ndim != 2 else len(m)} < {n_codes})"
+        )
     dim = m.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     dsub = dim // m_subspaces
-    if len(m) < n_codes:
-        raise ValueError(
-            f"PQ training needs >= n_codes non-zero vectors "
-            f"(got {len(m)} < {n_codes})"
-        )
     books = np.empty((m_subspaces, n_codes, dsub))
     for s in range(m_subspaces):
         sub = m[:, s * dsub : (s + 1) * dsub]
@@ -686,6 +687,58 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_assign(vecs, codebooks):
+    """Per-subspace nearest codes for unit-norm row vectors (numpy);
+    first minimum -> lowest code id.  Shared by :func:`pq_encode` and
+    the IVFPQ assign+encode pass."""
+    import numpy as np
+
+    mm, _, dsub = codebooks.shape
+    codes = np.empty((len(vecs), mm), dtype=np.int32)
+    for s in range(mm):
+        sub = vecs[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of a (query_id, neighbor_id) shortlist:
+    full vectors are fetched for the shortlist only (broadcast semi
+    join), queries broadcast, deterministic (cos desc, id) tiebreak.
+    Shared tail of every compressed-domain ANN path."""
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+    )
+    rer = (
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def pq_encode(
     corpus: DataFrame, id_col: str, vec_col: str, codebooks
 ) -> DataFrame:
@@ -696,8 +749,6 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    mm, kk, dsub = codebooks.shape
-
     def encode(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
@@ -707,13 +758,8 @@ def pq_encode(
             ids, vecs = ids[nz], vecs[nz] / norms[nz]
             if not len(ids):
                 continue
-            codes = np.empty((len(ids), mm), dtype=np.int32)
-            for s in range(mm):
-                sub = vecs[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
-                {"neighbor_id": ids, "__codes": list(codes)}
+                {"neighbor_id": ids, "__codes": list(_pq_assign(vecs, codebooks))}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
@@ -776,10 +822,12 @@ def pq_topk(
             if not len(ids):
                 continue
             for qi, qid in enumerate(q_ids):
-                # ADC: sum of m lookups per corpus item
+                # ADC: sum of m lookups per corpus item; cutoff ties
+                # broken by neighbor id (lexsort: primary -score,
+                # secondary id) so the shortlist is row-order-free
                 s = luts[qi][np.arange(mm)[None, :], codes_m].sum(axis=1)
                 mask = ids != qid
-                top = np.argsort(-s[mask], kind="stable")[:shortlist]
+                top = np.lexsort((ids[mask], -s[mask]))[:shortlist]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -799,30 +847,7 @@ def pq_topk(
         .filter(F.col("__r") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: fetch full vectors for the shortlist only
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
-    qdf = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-        )
-    )
-    rer = (
-        vecs.join(F.broadcast(short), "neighbor_id")
-        .join(qdf, "query_id")
-        .withColumn(
-            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k)
 
 
 def ivfpq_topk(
@@ -837,6 +862,8 @@ def ivfpq_topk(
     n_codes: int = 16,
     shortlist: int = 100,
     seed: int = 42,
+    centroids: DataFrame | None = None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF + PQ composed — the production billion-vector layout
     (FAISS-style IVFPQ, flat quantization): the IVF assignment bounds
@@ -849,21 +876,28 @@ def ivfpq_topk(
     AND encodes its subspace codes (both models ride the task
     closure); query-side probe lists are a tiny broadcast join; ADC
     scoring runs per query group over its probed candidates only.
-    Deterministic end to end (seeded training, first-minimum
-    assignment, id tiebreaks).  Returns
-    (query_id, neighbor_id, rank, cos)."""
+    Both models train on seeded parameter-bounded samples unless
+    passed in pre-trained (``centroids`` as (__list, __cent),
+    ``codebooks`` as the numpy array) — at scale train once, persist,
+    and reuse across query batches instead of paying two sample scans
+    per call.  Deterministic end to end (seeded training,
+    first-minimum assignment, id tiebreaks — including at the ADC
+    shortlist cutoff).  Returns (query_id, neighbor_id, rank, cos)."""
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    cents_df = train_ivf_centroids(
-        corpus, vec_col, n_centroids=n_centroids, seed=seed
-    )
-    cents_rows = sorted(cents_df.collect(), key=lambda r: r["__list"])
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    cents_rows = sorted(centroids.collect(), key=lambda r: r["__list"])
     cents = np.array([r["__cent"] for r in cents_rows], dtype=np.float64)
-    books = train_pq_codebooks(
-        corpus, vec_col, m_subspaces=m_subspaces, n_codes=n_codes, seed=seed
-    )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m_subspaces=m_subspaces, n_codes=n_codes, seed=seed
+        )
+    books = codebooks
     mm, kk, dsub = books.shape
 
     def assign_encode(batches):
@@ -878,13 +912,12 @@ def ivfpq_topk(
             # nearest centroid by cosine (unit vectors: argmax dot);
             # ties -> lowest list id (first maximum)
             lists = np.argmax(vecs @ cents.T, axis=1)
-            codes = np.empty((len(ids), mm), dtype=np.int32)
-            for s in range(mm):
-                sub = vecs[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
-                {"neighbor_id": ids, "__list": lists, "__codes": list(codes)}
+                {
+                    "neighbor_id": ids,
+                    "__list": lists,
+                    "__codes": list(_pq_assign(vecs, books)),
+                }
             )
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(
@@ -917,7 +950,10 @@ def ivfpq_topk(
         codes_m = np.array(pdf["__codes"].tolist(), dtype=np.int64)
         s = luts[qid][np.arange(mm)[None, :], codes_m].sum(axis=1)
         mask = ids != qid
-        top = np.argsort(-s[mask], kind="stable")[:shortlist]
+        # lexsort (primary -score, secondary id): equal ADC scores at
+        # the cutoff resolve by neighbor id, not by the shuffle's
+        # intra-group row order (which Spark does not guarantee)
+        top = np.lexsort((ids[mask], -s[mask]))[:shortlist]
         return pd.DataFrame(
             {
                 "query_id": qid,
@@ -934,26 +970,4 @@ def ivfpq_topk(
         )
         .select("query_id", "neighbor_id")
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
-    qdf = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-        )
-    )
-    rer = (
-        vecs.join(F.broadcast(short), "neighbor_id")
-        .join(qdf, "query_id")
-        .withColumn(
-            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4)
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k)

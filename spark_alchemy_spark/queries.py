@@ -663,6 +663,28 @@ def ann_brute_force_topk(spark, sf_dir):
     return brute_force_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
 
 
+def _ann_recall_report(queries_df, exact, approx, min_hits: int, k: int = 10):
+    """(query_id, k, recall_ok) — per-query count of exact-top-k
+    neighbors the approximate result recovered, thresholded at
+    ``min_hits``.  Shared harness for every recall-invariant ANN
+    entry (LSH / PQ / IVFPQ)."""
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(k).alias("k"),
+        (F.coalesce("__n_hit", F.lit(0)) >= min_hits).alias("recall_ok"),
+    )
+
+
 @query(
     "ann_lsh_topk",
     """
@@ -682,21 +704,7 @@ def ann_lsh_topk(spark, sf_dir):
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
     lsh = lsh_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
-    hits = (
-        exact.join(
-            lsh.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n_hit"))
-    )
-    qids = queries_df.select(F.col("vec_id").alias("query_id"))
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        F.lit(10).alias("k"),
-        (F.coalesce("__n_hit", F.lit(0)) >= 5).alias("recall_ok"),
-    )
+    return _ann_recall_report(queries_df, exact, lsh, min_hits=5)
 
 
 @query(

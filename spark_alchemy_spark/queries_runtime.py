@@ -334,7 +334,6 @@ def stream_sliding_window_counts(spark, sf_dir):
     event at any time), watermark-bounded, must equal the batch
     covering-window expansion exactly — the streaming twin of
     ``sliding_window_counts``."""
-    from .queries_ext import _sink_name
     from .streaming import read_events_stream, run_to_memory, sliding_windowed_counts
 
     stream = read_events_stream(spark, sf_dir)
@@ -394,7 +393,6 @@ def source_file_metadata_columns(spark, sf_dir):
     row count, row indexes starting at 0 in every file.  The metadata
     struct is generated by the scan itself (no join against a file
     listing)."""
-    from .queries_ext import _sink_name
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     path = os.path.join(tempfile.gettempdir(), _sink_name("meta_cols"))
@@ -444,21 +442,9 @@ def ann_pq_topk(spark, sf_dir):
         n_codes=16,
         shortlist=100,
     )
-    hits = (
-        exact.join(
-            pq.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n_hit"))
-    )
-    qids = queries_df.select(F.col("vec_id").alias("query_id"))
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        F.lit(10).alias("k"),
-        (F.coalesce("__n_hit", F.lit(0)) >= 6).alias("recall_ok"),
-    )
+    from .queries import _ann_recall_report
+
+    return _ann_recall_report(queries_df, exact, pq, min_hits=6)
 
 
 @query(
@@ -495,18 +481,6 @@ def ann_ivfpq_topk(spark, sf_dir):
         nprobe=10,
         shortlist=150,
     )
-    hits = (
-        exact.join(
-            pq.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n_hit"))
-    )
-    qids = queries_df.select(F.col("vec_id").alias("query_id"))
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        F.lit(10).alias("k"),
-        (F.coalesce("__n_hit", F.lit(0)) >= 6).alias("recall_ok"),
-    )
+    from .queries import _ann_recall_report
+
+    return _ann_recall_report(queries_df, exact, pq, min_hits=6)

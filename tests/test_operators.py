@@ -62,6 +62,37 @@ def test_simhash_identical_distance_zero(docs):
     assert got[(1, 2)] == 0
 
 
+def test_simhash_survives_huge_documents(spark):
+    """Regression: the lane-packed vote aggregate must not overflow on
+    documents far past 32k tokens (the 4-lane/16-bit packing crashed
+    under ANSI mode there).  Expected fingerprint computed in pure
+    Python from pyxxh (bit-identical to Spark's xxhash64)."""
+    import pyspark.sql.functions as F
+
+    from spark_alchemy_spark.functions.pyxxh import xxh64_bytes
+    from spark_alchemy_spark.operators.dedup import simhash_fingerprints
+
+    # 40k tokens: one token repeated 39k times (drives its set bits'
+    # ones counts to ~39k — far past the old 32768 ANSI overflow) plus
+    # 1k distinct tail tokens
+    toks = ["boiler"] * 39000 + [f"t{i}" for i in range(1000)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = simhash_fingerprints(docs, "doc_id", "text").collect()[0]["__fp"]
+
+    votes = [0] * 64
+    for t, mult in [("boiler", 39000)] + [(f"t{i}", 1) for i in range(1000)]:
+        h = xxh64_bytes(t.encode()) & 0xFFFFFFFFFFFFFFFF
+        for j in range(64):
+            votes[j] += mult if (h >> j) & 1 else -mult
+    want = 0
+    for j in range(64):
+        if votes[j] > 0:
+            want |= 1 << j
+    if want >= 1 << 63:
+        want -= 1 << 64  # to signed long
+    assert got == want
+
+
 def test_simhash_packed_aggregate_matches_expression_form(spark):
     """The lane-packed vote aggregate (simhash_fingerprints) must stay
     bit-identical to the reference expression form (simhash64) — ties,
