@@ -484,3 +484,80 @@ def ann_ivfpq_topk(spark, sf_dir):
     from .queries import _ann_recall_report
 
     return _ann_recall_report(queries_df, exact, pq, min_hits=6)
+
+
+# Confs that make AQE's runtime skew-join splitting observable at
+# battery scale: broadcast is disabled (a broadcast join sidesteps
+# reduce-side skew entirely — the point is the SMJ path), and the skew
+# thresholds drop from their 256MB-class production defaults to match
+# the synthetic volume.
+_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+}
+
+
+def aqe_skewed_join(spark):
+    """The lazy plan: a 2M-row fact with 95% of rows on ONE join key,
+    shuffle-joined to a 100-key dimension.  Under ``_SKEW_CONFS`` AQE's
+    ``OptimizeSkewedJoin`` detects the hot reduce partition from
+    runtime map statistics and splits it across mapper ranges
+    (``SortMergeJoin(skew=true)`` in the final adaptive plan, asserted
+    in tests/test_plans.py) — the runtime complement to the MANUAL
+    salting operator in operators/skew.py, which remains the tool when
+    the skewed side must also aggregate on the hot key."""
+    f = spark.range(0, 2_000_000, 1, 8).select(
+        F.when(F.col("id") % 20 < 19, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        ((F.col("id") * 13) % 1000).cast("double").alias("val"),
+    )
+    d = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("grp"),
+    )
+    return (
+        f.join(d, "k")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val") / 10, 2).alias("amount"),
+        )
+    )
+
+
+@query(
+    "aqe_skew_join_split",
+    """
+    WITH f AS (
+      SELECT CASE WHEN id % 20 < 19 THEN 0 ELSE id % 100 END AS k,
+             CAST((id * 13) % 1000 AS DOUBLE) AS val
+      FROM range(0, 2000000) t(id)),
+    d AS (SELECT range AS k, 'g' || CAST(range % 7 AS VARCHAR) AS grp
+          FROM range(0, 100))
+    SELECT grp, count(*) AS n, round(sum(val) / 10, 2) AS amount
+    FROM f JOIN d USING (k) GROUP BY grp
+    """,
+)
+def aqe_skew_join_split(spark, sf_dir):
+    """AQE runtime skew-join splitting end to end (see
+    :func:`aqe_skewed_join`).  Like the bloom entry, the plan-shaping
+    confs must hold at execution, so the (7-row) result materializes
+    inside the conf window and the session's join/AQE settings are
+    restored before returning."""
+    old = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = aqe_skewed_join(spark)
+        path = os.path.join(tempfile.gettempdir(), _sink_name("skewjoin"))
+        out.write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)

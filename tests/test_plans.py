@@ -258,3 +258,25 @@ def test_bloom_entry_restores_session_confs(spark):
     QUERIES["runtime_bloom_join_reduction"](spark, SF).collect()
     after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     assert after == before
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Under the entry's conf window, AQE must detect the hot reduce
+    partition from runtime map stats and split it across mapper ranges:
+    the final adaptive plan carries SortMergeJoin(skew=true)."""
+    from spark_alchemy_spark.queries_runtime import _SKEW_CONFS, aqe_skewed_join
+
+    old = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = aqe_skewed_join(spark)
+        df.collect()  # skew split only exists in the FINAL adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
