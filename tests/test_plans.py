@@ -280,3 +280,29 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_entry_restores_session_confs(spark):
+    """Like the bloom entry, the AQE-skew entry shapes plans via session
+    confs and must restore every one before returning."""
+    from spark_alchemy_spark.queries_runtime import _SKEW_CONFS
+
+    before = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    QUERIES["aqe_skew_join_split"](spark, SF).collect()
+    after = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    assert after == before
+
+
+def test_committed_plan_audit_in_sync(spark):
+    """EXPLAIN_AUDIT.md (the committed battery-wide plan survey) must
+    cover every registered entry and contain zero row-pickling Python
+    boundaries — keeps the audit honest as the battery grows."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "EXPLAIN_AUDIT.md")).read()
+    rows = [ln for ln in text.splitlines() if " py=" in ln]
+    assert rows, "audit table body missing"
+    assert not [r for r in rows if "BatchEvalPython" in r]
+    missing = [n for n in QUERIES if n + " " not in text and n + "\n" not in text]
+    assert not missing, f"entries missing from EXPLAIN_AUDIT.md: {missing}"
