@@ -561,3 +561,75 @@ def aqe_skew_join_split(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(path)
+
+
+@query(
+    "quality_band_trim",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    dw AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY doc_id, w),
+    v AS (SELECT w, sum(k) AS c FROM dw GROUP BY w),
+    t AS (SELECT sum(c) AS n FROM v),
+    scored AS (
+      SELECT doc_id, round(-sum(k * ln(c / n)) / sum(k), 4) AS nll
+      FROM dw JOIN v USING (w) CROSS JOIN t GROUP BY doc_id),
+    hist AS (
+      SELECT nll, count(*) AS cnt FROM scored GROUP BY nll),
+    cdf AS (
+      SELECT nll, sum(cnt) OVER (ORDER BY nll
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT count(*) FROM scored) AS total
+      FROM hist),
+    bounds AS (
+      SELECT min(CASE WHEN cum * 10 >= total THEN nll END) AS lo,
+             min(CASE WHEN cum * 10 >= total * 9 THEN nll END) AS hi
+      FROM cdf)
+    SELECT d.lang, count(*) AS n_docs, round(avg(s.nll), 4) AS avg_nll
+    FROM scored s JOIN documents d USING (doc_id) CROSS JOIN bounds
+    WHERE s.nll > bounds.lo AND s.nll < bounds.hi
+    GROUP BY d.lang
+    """,
+)
+def quality_band_trim(spark, sf_dir):
+    """Statistical quality banding: keep only documents whose
+    unigram-LM score sits strictly BETWEEN the 10th- and
+    90th-percentile score values — trimming both tails at once
+    (too-predictable boilerplate at the bottom, rare-token noise at
+    the top), the both-sided filter CCNet-style curation applies.
+
+    Scale shape: the percentile thresholds come from a cumulative
+    distribution over DISTINCT (4dp-rounded) score values — a window
+    over the value histogram, thousands of rows, never a global
+    row-number over the corpus — and join back as a 1-row broadcast.
+    Value-level trimming keeps ties deterministic in both engines
+    (scores are rounded before banding, so the threshold comparison
+    can't flip on last-ulp float drift)."""
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = quality_unigram_logprob(spark, sf_dir).select("doc_id", "nll")
+    hist = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wv)).crossJoin(
+        F.broadcast(scored.agg(F.count(F.lit(1)).alias("total")))
+    )
+    bounds = cdf.agg(
+        F.min(F.when(F.col("cum") * 10 >= F.col("total"), F.col("nll"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("nll"))
+        ).alias("hi"),
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter((F.col("nll") > F.col("lo")) & (F.col("nll") < F.col("hi")))
+        .join(documents.select("doc_id", "lang"), "doc_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
