@@ -633,3 +633,63 @@ def quality_band_trim(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
+
+
+@query(
+    "stream_quality_at_ingest",
+    """
+    WITH q AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+             CASE WHEN len(text) > 0 THEN
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS DOUBLE)
+                     / len(text), 4) END AS density
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS sum_tokens,
+           round(avg(density), 4) AS avg_density
+    FROM q GROUP BY lang
+    """,
+)
+def stream_quality_at_ingest(spark, sf_dir):
+    """Curation-at-ingest: heuristic quality features computed ON THE
+    STREAM (token count, token density) — a stateless projection, so
+    the streaming plan carries no state store at all and scales as
+    pure per-file map work; this is the shape real pipelines use to
+    score documents as they land, before any batch curation pass.
+    availableNow replay must equal the batch computation exactly."""
+    import os as _os
+
+    from .functions.text import token_count
+    from .queries_ext import _sink_name
+    from .streaming import run_to_memory
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    reader = spark.readStream.schema(static.schema)
+    if _os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "documents.parquet").parquet(
+            sf_dir
+        )
+    scored = stream.select(
+        "lang",
+        token_count("text").alias("tok"),
+        F.when(
+            F.length("text") > 0,
+            F.round(
+                token_count("text").cast("double") / F.length("text"), 4
+            ),
+        ).alias("density"),
+    )
+    rows = run_to_memory(
+        scored, _sink_name("ingest_q"), output_mode="append",
+        state_partitions=8,
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("sum_tokens"),
+        F.round(F.avg("density"), 4).alias("avg_density"),
+    )
