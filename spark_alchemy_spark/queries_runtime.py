@@ -693,3 +693,100 @@ def stream_quality_at_ingest(spark, sf_dir):
         F.sum("tok").cast("bigint").alias("sum_tokens"),
         F.round(F.avg("density"), 4).alias("avg_density"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+             count(*) AS sz
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT count(*) AS n_classes,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_classes,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(sz) AS BIGINT) AS min_class_size
+    FROM classes
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """K-anonymity audit — the measurement side of the privacy tier
+    (scrubbing lives in prep_pii_scrub / string_mask_pii): group the
+    table by its quasi-identifier combination (segment, nation,
+    balance band) and report how many equivalence classes fall below
+    k=5 and how many rows they expose.  One aggregation pass; at scale
+    this is the same shuffle as any groupBy-count, and the violating
+    classes (not the rows) are what a remediation pass generalizes."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    classes = customer.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+    )
+
+
+@query(
+    "source_corrupt_record_tolerance",
+    """
+    SELECT CAST(sum(CASE WHEN o_orderkey % 50 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           round(sum(CASE WHEN o_orderkey % 50 <> 0
+                          THEN o_totalprice ELSE 0 END), 2) AS good_revenue
+    FROM orders
+    """,
+)
+def source_corrupt_record_tolerance(spark, sf_dir):
+    """Bad-record tolerance — the ingestion property a 100 TB pipeline
+    cannot live without: a JSONL feed where every 50th record is
+    malformed is read in PERMISSIVE mode with a ``_corrupt_record``
+    capture column, so the scan degrades per-record (corrupt rows
+    quarantined with their raw text, good rows parsed) instead of
+    failing the job.  The audit counts and good-row revenue must equal
+    the clean-source replay."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), _sink_name("corrupt_src"))
+    line = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    feed = orders.select(
+        F.when(F.col("o_orderkey") % 50 == 0, F.concat(F.lit("oops"), line))
+        .otherwise(line)
+        .alias("value")
+    )
+    feed.write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, _corrupt_record string"
+    ).json(path)
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("good_revenue"),
+    )
