@@ -32,6 +32,7 @@ Same determinism conventions as queries.py.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -39,6 +40,25 @@ from pyspark.sql import functions as F
 
 from .queries import _t, query
 from .queries_ext import _sink_name
+
+
+@contextlib.contextmanager
+def _conf_window(spark, confs: dict):
+    """Set session confs for a plan-shaping window and restore every
+    one (including previously-unset keys) on exit — shared by the
+    entries whose Catalyst behavior is conf-gated and by their
+    restore-guard tests."""
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 # Confs that make Catalyst's runtime bloom filter observable at battery
 # scale: the rule is on by default but gated on a 10 GB application-side
@@ -89,19 +109,10 @@ def runtime_bloom_join_reduction(spark, sf_dir):
     execution, so the (3-row) result is materialized inside the conf
     window and the session's join/bloom settings restored before
     returning — no conf leaks into later battery entries."""
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _conf_window(spark, _BLOOM_CONFS):
         out = bloom_reduced_join(spark, sf_dir)
         path = os.path.join(tempfile.gettempdir(), _sink_name("bloomjoin"))
         out.write.mode("overwrite").parquet(path)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return spark.read.parquet(path)
 
 
@@ -547,19 +558,10 @@ def aqe_skew_join_split(spark, sf_dir):
     confs must hold at execution, so the (7-row) result materializes
     inside the conf window and the session's join/AQE settings are
     restored before returning."""
-    old = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
-    for k, v in _SKEW_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _conf_window(spark, _SKEW_CONFS):
         out = aqe_skewed_join(spark)
         path = os.path.join(tempfile.gettempdir(), _sink_name("skewjoin"))
         out.write.mode("overwrite").parquet(path)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return spark.read.parquet(path)
 
 
@@ -581,7 +583,7 @@ def aqe_skew_join_split(spark, sf_dir):
     cdf AS (
       SELECT nll, sum(cnt) OVER (ORDER BY nll
                                  ROWS UNBOUNDED PRECEDING) AS cum,
-             (SELECT count(*) FROM scored) AS total
+             (SELECT sum(cnt) FROM hist) AS total
       FROM hist),
     bounds AS (
       SELECT min(CASE WHEN cum * 10 >= total THEN nll END) AS lo,
@@ -613,8 +615,10 @@ def quality_band_trim(spark, sf_dir):
     scored = quality_unigram_logprob(spark, sf_dir).select("doc_id", "nll")
     hist = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("cnt"))
     wv = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, 0)
+    # total = sum over the (small) histogram — never a third pass over
+    # the expensive scoring subplan
     cdf = hist.withColumn("cum", F.sum("cnt").over(wv)).crossJoin(
-        F.broadcast(scored.agg(F.count(F.lit(1)).alias("total")))
+        F.broadcast(hist.agg(F.sum("cnt").alias("total")))
     )
     bounds = cdf.agg(
         F.min(F.when(F.col("cum") * 10 >= F.col("total"), F.col("nll"))).alias(
@@ -659,21 +663,10 @@ def stream_quality_at_ingest(spark, sf_dir):
     pure per-file map work; this is the shape real pipelines use to
     score documents as they land, before any batch curation pass.
     availableNow replay must equal the batch computation exactly."""
-    import os as _os
-
     from .functions.text import token_count
-    from .queries_ext import _sink_name
-    from .streaming import run_to_memory
+    from .streaming import read_table_stream, run_to_memory
 
-    path = _os.path.join(sf_dir, "documents.parquet")
-    static = spark.read.parquet(path)
-    reader = spark.readStream.schema(static.schema)
-    if _os.path.isdir(path):
-        stream = reader.parquet(path)
-    else:
-        stream = reader.option("pathGlobFilter", "documents.parquet").parquet(
-            sf_dir
-        )
+    stream = read_table_stream(spark, sf_dir, "documents")
     scored = stream.select(
         "lang",
         token_count("text").alias("tok"),
@@ -684,10 +677,7 @@ def stream_quality_at_ingest(spark, sf_dir):
             ),
         ).alias("density"),
     )
-    rows = run_to_memory(
-        scored, _sink_name("ingest_q"), output_mode="append",
-        state_partitions=8,
-    )
+    rows = run_to_memory(scored, _sink_name("ingest_q"), output_mode="append")
     return rows.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("bigint").alias("sum_tokens"),

@@ -22,30 +22,38 @@ from pyspark.sql import functions as F
 from ..functions import hll
 
 
-def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+def read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Replay the events parquet as a file-source stream."""
+    """Replay any testdata table's parquet as a file-source stream.
+
+    ``{table}.parquet`` may be a single FILE (driver testdata) or a
+    DIRECTORY of part files (Spark-written).  File streams take a
+    directory; pathGlobFilter matches LEAF files only — so for the
+    single-file layout stream the parent dir globbed to the file, and
+    for the directory layout stream the directory itself (the glob
+    would silently match nothing and drain an empty stream)."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     static = spark.read.parquet(path)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # events.parquet may be a single FILE (driver testdata) or a
-    # DIRECTORY of part files (Spark-written).  File streams take a
-    # directory; pathGlobFilter matches LEAF files only — so for the
-    # single-file layout stream the parent dir globbed to the file,
-    # and for the directory layout stream the directory itself (the
-    # glob would silently match nothing and drain an empty stream).
     if os.path.isdir(path):
-        stream = reader.parquet(path)
-    else:
-        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
-            sf_dir
-        )
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay the events parquet as a file-source stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     # Driver testdata has shipped ts as either TIMESTAMP(NANOS) (surfacing
     # as BIGINT nanos under nanosAsLong) or plain timestamp[us]; guard on
     # the actual type like sources.tpch.load_table does.

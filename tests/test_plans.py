@@ -212,22 +212,17 @@ def test_runtime_bloom_filter_injected(spark):
     bloom filter: bloom_filter_agg built over the selective orders
     slice, might_contain pushed below the lineitem side of the shuffle
     join (the optimizer-native semi-join reducer)."""
-    from spark_alchemy_spark.queries_runtime import _BLOOM_CONFS, bloom_reduced_join
+    from spark_alchemy_spark.queries_runtime import (
+        _BLOOM_CONFS,
+        _conf_window,
+        bloom_reduced_join,
+    )
 
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _conf_window(spark, _BLOOM_CONFS):
         df = bloom_reduced_join(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString().lower()
         assert "might_contain" in plan, plan[:2000]
         assert "bloom_filter_agg" in plan, plan[:2000]
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_dpp_subquery_on_partitioned_fact(spark):
@@ -264,22 +259,17 @@ def test_aqe_splits_skewed_join_partition(spark):
     """Under the entry's conf window, AQE must detect the hot reduce
     partition from runtime map stats and split it across mapper ranges:
     the final adaptive plan carries SortMergeJoin(skew=true)."""
-    from spark_alchemy_spark.queries_runtime import _SKEW_CONFS, aqe_skewed_join
+    from spark_alchemy_spark.queries_runtime import (
+        _SKEW_CONFS,
+        _conf_window,
+        aqe_skewed_join,
+    )
 
-    old = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
-    for k, v in _SKEW_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with _conf_window(spark, _SKEW_CONFS):
         df = aqe_skewed_join(spark)
         df.collect()  # skew split only exists in the FINAL adaptive plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_skew_entry_restores_session_confs(spark):
@@ -293,16 +283,24 @@ def test_skew_entry_restores_session_confs(spark):
     assert after == before
 
 
-def test_committed_plan_audit_in_sync(spark):
+def test_committed_plan_audit_in_sync():
     """EXPLAIN_AUDIT.md (the committed battery-wide plan survey) must
     cover every registered entry and contain zero row-pickling Python
     boundaries — keeps the audit honest as the battery grows."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    text = open(os.path.join(repo, "EXPLAIN_AUDIT.md")).read()
-    rows = [ln for ln in text.splitlines() if " py=" in ln]
+    with open(os.path.join(repo, "EXPLAIN_AUDIT.md")) as f:
+        lines = f.read().splitlines()
+    rows = [ln for ln in lines if " py=" in ln]
     assert rows, "audit table body missing"
     assert not [r for r in rows if "BatchEvalPython" in r]
-    missing = [n for n in QUERIES if n + " " not in text and n + "\n" not in text]
+    # line-START match: a name that is a suffix of another entry's name
+    # (sliding_window_counts vs stream_sliding_window_counts) must not
+    # count as present via a substring hit inside the longer line
+    missing = [
+        n
+        for n in QUERIES
+        if not any(ln.startswith(n + " ") for ln in lines)
+    ]
     assert not missing, f"entries missing from EXPLAIN_AUDIT.md: {missing}"
