@@ -780,3 +780,40 @@ def source_corrupt_record_tolerance(spark, sf_dir):
             2,
         ).alias("good_revenue"),
     )
+
+
+@query(
+    "window_time_range_frame",
+    """
+    WITH c AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM events)
+    SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_1h
+    FROM c GROUP BY user_id
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """Time-interval RANGE window frames: each event's frame is the
+    VALUE range [ts - 1h, ts] (not N physical rows — gaps and ties
+    behave correctly), here computing every user's maximum 1-hour
+    event burst, the rate-limiting/abuse-detection primitive.  Frames
+    order by epoch seconds so both engines evaluate the identical
+    numeric range; one shuffle on the user key."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    bursts = events.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return bursts.groupBy("user_id").agg(
+        F.max("burst").cast("bigint").alias("max_burst_1h")
+    )
