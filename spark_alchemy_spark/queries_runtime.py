@@ -612,7 +612,14 @@ def quality_band_trim(spark, sf_dir):
     from pyspark.sql import Window
 
     (documents,) = _t(spark, sf_dir, "documents")
-    scored = quality_unigram_logprob(spark, sf_dir).select("doc_id", "nll")
+    # one row per doc, materialized ONCE: both the histogram branch and
+    # the survivor branch would otherwise re-run the full scoring
+    # pipeline (the token explode is the costliest subplan here)
+    scored = (
+        quality_unigram_logprob(spark, sf_dir)
+        .select("doc_id", "nll")
+        .localCheckpoint(eager=True)
+    )
     hist = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("cnt"))
     wv = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, 0)
     # total = sum over the (small) histogram — never a third pass over
