@@ -304,3 +304,28 @@ def test_committed_plan_audit_in_sync():
         if not any(ln.startswith(n + " ") for ln in lines)
     ]
     assert not missing, f"entries missing from EXPLAIN_AUDIT.md: {missing}"
+
+
+def test_conf_window_restores_on_success_and_error(spark):
+    """_conf_window (shared by the bloom/skew entries and their tests)
+    must restore set AND previously-unset keys, on clean exit and when
+    the body raises."""
+    import pytest
+
+    from spark_alchemy_spark.queries_runtime import _conf_window
+
+    set_key = "spark.sql.shuffle.partitions"
+    unset_key = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    before_set = spark.conf.get(set_key)
+    spark.conf.unset(unset_key)
+
+    with _conf_window(spark, {set_key: "7", unset_key: "3.0"}):
+        assert spark.conf.get(set_key) == "7"
+        assert spark.conf.get(unset_key) == "3.0"
+    assert spark.conf.get(set_key) == before_set
+    assert spark.conf.get(unset_key, None) is None
+
+    with pytest.raises(RuntimeError):
+        with _conf_window(spark, {set_key: "9"}):
+            raise RuntimeError("boom")
+    assert spark.conf.get(set_key) == before_set
