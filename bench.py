@@ -114,6 +114,7 @@ def main():
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    err_msgs: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -124,6 +125,23 @@ def main():
         except Exception as e:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            err_msgs[name] = str(e)[:200]
+
+    # One retry pass over failures at the end of the battery: on shared
+    # hosts a failure is usually transient contention (worker OOM under a
+    # burst, broadcast slot starvation), and by now the machine has
+    # drained.  A query that fails twice is a real failure.
+    for name in [n for n, t in timings.items() if t < 0]:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            err_msgs.pop(name, None)
+            print(f"bench retry ok {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as e:
+            print(f"bench retry failed {name}: {e}", file=sys.stderr)
+            err_msgs[name] = str(e)[:200]
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     errors = sum(1 for t in timings.values() if t < 0)
@@ -139,19 +157,20 @@ def main():
     print("bench full per-query map: BENCH_QUERIES.json", file=sys.stderr)
 
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "battery_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": top,
-                "n_queries": len(timings),
-                "n_errors": errors,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    headline = {
+        "metric": "battery_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "n_queries": len(timings),
+        "n_errors": errors,
+        "sf": float(sf) if sf else None,
+    }
+    if err_msgs:  # name the failures in the recorded line, not just stderr
+        headline["errors"] = {
+            k: v[:80] for k, v in sorted(err_msgs.items())[:5]
+        }
+    print(json.dumps(headline))
     spark.stop()
 
 

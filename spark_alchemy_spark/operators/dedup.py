@@ -168,6 +168,146 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus (incremental) near-dedup
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_jaccard_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All (new_id, corpus_id) pairs with word-``n``-gram Jaccard >=
+    ``threshold_num/threshold_den``, computed exactly ACROSS two
+    corpora — the incremental-ingest shape: dedup today's batch against
+    the standing corpus without re-pairing the corpus with itself.
+
+    Same inverted-index design as :func:`ngram_jaccard_pairs`, but the
+    posting join is new x corpus (never corpus x corpus): at 100 TB the
+    standing corpus dominates, and this keeps the candidate volume
+    proportional to the BATCH's postings.  The hot-shingle guard caps
+    document frequency on the CORPUS side (where viral boilerplate
+    lives) with the same exact probe-back correction.
+
+    Returns (new_id, corpus_id, inter, uni).
+    """
+    new_sh = exploded_shingles(
+        new_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        n,
+    ).dropDuplicates(["__id", "__s"])
+    cor_sh = exploded_shingles(
+        corpus_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        n,
+    ).dropDuplicates(["__id", "__s"])
+    new_sizes = new_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    cor_sizes = cor_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    hot = None
+    cor_idx = cor_sh
+    new_idx = new_sh
+    if max_shingle_df is not None:
+        hot_set = (
+            cor_sh.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__s")
+        )
+        # eager detect-then-choose, same contract as ngram_jaccard_pairs
+        if not hot_set.isEmpty():
+            cor_idx = cor_sh.join(F.broadcast(hot_set), "__s", "left_anti")
+            new_idx = new_sh.join(F.broadcast(hot_set), "__s", "left_anti")
+            # correction probes need hot postings from BOTH sides
+            hot = (
+                new_sh.join(F.broadcast(hot_set), "__s", "left_semi"),
+                cor_sh.join(F.broadcast(hot_set), "__s", "left_semi"),
+            )
+
+    inter = (
+        new_idx.alias("a")
+        .join(cor_idx.alias("b"), F.col("a.__s") == F.col("b.__s"))
+        .groupBy(
+            F.col("a.__id").alias("new_id"), F.col("b.__id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if hot is not None:
+        hot_new, hot_cor = hot
+        ha = hot_new.select(F.col("__id").alias("new_id"), "__s")
+        hb = hot_cor.select(F.col("__id").alias("corpus_id"), "__s")
+        hot_inter = (
+            inter.select("new_id", "corpus_id")
+            .join(ha, "new_id")
+            .join(hb, ["corpus_id", "__s"])
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("__hi"))
+        )
+        inter = (
+            inter.join(hot_inter, ["new_id", "corpus_id"], "left")
+            .withColumn("inter", F.col("inter") + F.coalesce("__hi", F.lit(0)))
+            .select("new_id", "corpus_id", "inter")
+        )
+
+    na = new_sizes.select(F.col("__id").alias("new_id"), F.col("__n").alias("__na"))
+    nb = cor_sizes.select(
+        F.col("__id").alias("corpus_id"), F.col("__n").alias("__nb")
+    )
+    return (
+        inter.join(na, "new_id")
+        .join(nb, "corpus_id")
+        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+        .select("new_id", "corpus_id", "inter", "uni")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Survivors of ``new_df`` after dedup AGAINST ``corpus_df``: drop
+    new docs that exactly match a corpus doc (128-bit content hash —
+    catches short docs below the shingle width) or near-match one at
+    n-gram Jaccard >= threshold.  The corpus itself is never modified
+    and never self-joined — the incremental-ingest contract."""
+    exact_hits = (
+        new_df.select(F.col(id_col), content_key(text_col).alias("__ck"))
+        .join(
+            corpus_df.select(content_key(text_col).alias("__ck")).distinct(),
+            "__ck",
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    near_hits = cross_corpus_jaccard_pairs(
+        new_df,
+        corpus_df,
+        id_col,
+        text_col,
+        n=n,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        max_shingle_df=max_shingle_df,
+    ).select(F.col("new_id").alias(id_col))
+    dropped = exact_hits.union(near_hits).distinct()
+    return new_df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 

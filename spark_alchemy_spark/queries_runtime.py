@@ -824,3 +824,7 @@ def window_time_range_frame(spark, sf_dir):
     return bursts.groupBy("user_id").agg(
         F.max("burst").cast("bigint").alias("max_burst_1h")
     )
+
+
+# Round-3 battery extension registers itself on import.
+from . import queries_r3  # noqa: E402,F401  (registration side effect)

@@ -31,6 +31,8 @@ def build_session(
             pkg_root + (os.pathsep + existing if existing else "")
         )
     conf = dict(extra_conf or {})
+    derby_home = os.path.join(tempfile.gettempdir(), f"derby_home_{os.getpid()}")
+    os.makedirs(derby_home, exist_ok=True)
     # In local mode the driver JVM IS the cluster.  4g (not more): on
     # lazily-backed VMs a large -Xmx causes first-touch page-fault
     # storms as the heap grows (measured: a 16g heap ran the battery
@@ -54,19 +56,26 @@ def build_session(
         # BatchEvalPython in the battery's plans goes away with this
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # default 300s trips under throttled/contended windows (the
+        # round-2 driver run was 2.9x slower than the same commit run
+        # locally); the timeout exists to catch hangs, not slow hosts
+        .config("spark.sql.broadcastTimeout", "1800")
         # the driver testdata stores TIMESTAMP(NANOS) parquet, which Spark
         # rejects unless read as long (converted back in sources/tpch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         # keep managed-table state (bucketed tables) and the derby
-        # metastore out of the caller's cwd
+        # metastore out of the caller's cwd; the derby home is per-pid
+        # because the embedded metastore takes an exclusive db.lck — two
+        # JVMs sharing it (e.g. a harness smoke-check overlapping the
+        # bench, or a zombie from a killed run) fail at first catalog use
         .config(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "spark_alchemy_warehouse"),
         )
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Dderby.system.home={tempfile.gettempdir()}",
+            f"-Dderby.system.home={derby_home}",
         )
     )
     for k, v in conf.items():
