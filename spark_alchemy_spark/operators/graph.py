@@ -143,3 +143,81 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Count triangles in an undirected graph given as an edge list
+    (either direction, self-loops and duplicate edges tolerated).
+    Returns a 1-row DataFrame ``(n_triangles)``.
+
+    Scale design: edges are canonicalized to (min,max) and then
+    DEGREE-ORDERED — each edge directed from its lower-degree endpoint
+    (id tie-break), a total order.  Every triangle then appears as
+    exactly one wedge u->v->w with the closing edge u->w, and the
+    wedge join's fan-out is bounded by the SMALLER endpoint's degree:
+    on power-law graphs this is the difference between a hub producing
+    O(deg^2) wedges and O(m^1.5) total work (the standard
+    compact-forward bound).  Three shuffles total: degree count, wedge
+    join, closing-edge join.
+
+    ``materialize`` (default on) localCheckpoints the oriented edge
+    list before the wedge/closing joins: the list is referenced three
+    times (e1, e2, closing side), and without materialization Catalyst
+    re-expands the ENTIRE upstream lineage — e.g. a kNN build — once
+    per reference (measured: 62 exchanges -> 5 on the kNN-graph
+    battery entry).  Same rationale as the checkpointing in the CC /
+    pagerank loops above.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.w") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.w").alias("y"),
+            F.col("e2.w").alias("z"),
+        )
+    )
+    # the orientation is a TOTAL order, so for a wedge x->y->z the
+    # closing edge (if present) is always oriented x->z — one join
+    # direction suffices and no triangle can match twice
+    closing = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
+        ["x", "z"],
+    )
+    return closing.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -389,21 +389,6 @@ def source_schema_evolution(spark, sf_dir):
 # Geo cell-bucketed radius join
 # ---------------------------------------------------------------------------
 
-_EARTH_KM = 6371.0
-
-
-def _haversine_km(lat1, lon1, lat2, lon2):
-    """Great-circle distance in km, double math — expression shared by
-    the Spark entry; the oracle spells the identical formula so both
-    engines evaluate the same arithmetic."""
-    dlat = F.radians(lat2 - lat1)
-    dlon = F.radians(lon2 - lon1)
-    a = (
-        F.sin(dlat / 2) ** 2
-        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
-    )
-    return 2 * _EARTH_KM * F.asin(F.sqrt(a))
-
 
 @query(
     "geo_cell_radius_join",
@@ -430,52 +415,24 @@ def geo_cell_radius_join(spark, sf_dir):
     neighbor cells, candidates meet on the cell key, exact haversine
     verifies — the 2-D analogue of the banded range join.  Candidate
     volume is points x 9 x cell occupancy, never the n^2 cross join
-    the oracle runs.  (Coordinates derive deterministically from
-    user_id so both engines build the identical point set, a 6x6-degree
-    patch at lat 40-46.  Cell sizing is per-axis: 0.25 deg latitude ~
-    27.8 km >= the radius everywhere, but longitude degrees SHRINK with
-    cos(lat) — at 46N a 0.25-deg lon cell is ~19 km < radius, which
-    would break the 3x3 cover — so lon cells are 0.35 deg (~27 km at
-    46N).  A general-latitude deployment banks lon cell width per
-    latitude band the same way.)"""
+    the oracle runs (``operators/geo.py::radius_join``).  Coordinates
+    derive deterministically from user_id so both engines build the
+    identical point set — a 6x6-degree patch at lat 40-46; the
+    operator sizes lon cells by cos(max latitude), because a lon cell
+    sized in raw degrees is ~19 km at 46N (< radius) and would break
+    the 3x3 cover."""
+    from .operators.geo import radius_join
+
     (events,) = _t(spark, sf_dir, "events")
     pts = events.select(
         "user_id",
         (((F.col("user_id") * 37) % 600) / 100.0 + 40).alias("lat"),
         (((F.col("user_id") * 91) % 600) / 100.0 - 3).alias("lon"),
     ).distinct()
-    cell_lat, cell_lon = 0.25, 0.35
-    with_cell = pts.withColumn(
-        "cx", F.floor(F.col("lon") / cell_lon).cast("long")
-    ).withColumn("cy", F.floor(F.col("lat") / cell_lat).cast("long"))
-    offsets = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dx"), (F.col("id") / 3).cast("long").alias("dy")
-    ).withColumn("dy", F.col("dy") - 1)
-    probe = with_cell.crossJoin(F.broadcast(offsets)).select(
-        F.col("user_id").alias("id_a"),
-        F.col("lat").alias("lat_a"),
-        F.col("lon").alias("lon_a"),
-        (F.col("cx") + F.col("dx")).alias("cx"),
-        (F.col("cy") + F.col("dy")).alias("cy"),
+    pairs = radius_join(
+        pts, "user_id", "lat", "lon", radius_km=25.0, max_abs_lat=46.0
     )
-    cand = probe.join(
-        with_cell.select(
-            F.col("user_id").alias("id_b"),
-            F.col("lat").alias("lat_b"),
-            F.col("lon").alias("lon_b"),
-            "cx",
-            "cy",
-        ),
-        ["cx", "cy"],
-    ).filter(F.col("id_a") < F.col("id_b"))
-    dist = _haversine_km(
-        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
-    )
-    return (
-        cand.withColumn("dist_km", dist)
-        .filter(F.col("dist_km") < 25)
-        .select("id_a", "id_b", F.round("dist_km", 3).alias("dist_km"))
-    )
+    return pairs.select("id_a", "id_b", F.round("dist_km", 3).alias("dist_km"))
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +473,7 @@ def graph_triangle_count(spark, sf_dir):
     power-law graphs where orienting by id alone lets one hub generate
     O(deg^2) wedges.  The closing-edge check is a semi-style inner join
     on the canonical (min,max) key."""
+    from .operators.graph import triangle_count
     from .operators.similarity import brute_force_topk
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -523,47 +481,206 @@ def graph_triangle_count(spark, sf_dir):
     knn = brute_force_topk(sub, sub, "vec_id", "embedding", k=3).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    und = knn.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    return triangle_count(knn, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful streaming operators (Spark 4 multi-agg pipelines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_chained_windows",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS n
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_windows(spark, sf_dir):
+    """CHAINED stateful streaming aggregations in one query: 15-minute
+    tumbling counts re-aggregated into hourly totals via
+    ``window(window_time(...))`` — the multiple-stateful-operators
+    pipeline (pre-aggregate fine, roll up coarse) that previously
+    required two jobs with an intermediate sink.  Runs in append mode
+    (chained aggs forbid complete), so only windows the final
+    watermark (max ts - 2h delay) has CLOSED emit; the oracle applies
+    the same cutoff to the batch hourly counts.  An hourly window's
+    15-minute inputs all end no later than the hour itself, so every
+    emitted hour is complete — counts match batch exactly."""
+    from .streaming import read_events_stream, run_to_memory
+
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    quarter = s.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = quarter.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("hw"), "event_type"
+    ).agg(F.sum("n").alias("n"))
+    out = hourly.select(
+        F.date_format("hw.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+        "n",
     )
-    # orient u -> w iff (deg(u), u) < (deg(w), w): total order, each
-    # undirected edge gets exactly one direction
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    oriented = (
-        und.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .select(
-            F.when(
-                (F.col("deg_a") < F.col("deg_b"))
-                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
-            .alias("e")
+    return run_to_memory(
+        out, _sink_name("chained_win"), output_mode="append", state_partitions=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile with a verified rank-error bound
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_percentile_bounds",
+    """
+    SELECT unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS q,
+           true AS within_bound
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    """``percentile_approx`` (KLL-style quantile summary, mergeable
+    across partitions — the distributed-percentile workhorse) HELD TO
+    ITS CONTRACT: for each quantile q the returned value's true rank
+    interval [count(<v), count(<=v)] must intersect q*n +/- n/accuracy
+    (+1 slack for interpolation).  The oracle pins the bound-check
+    booleans, so a regression in the sketch path (not just a crash)
+    fails the gate.  One aggregation computes all three quantiles and
+    n; ranks come from one conditional re-aggregation against the
+    3-row broadcast value table — two passes total, no sort."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75]
+    acc = 1000
+    agg = lineitem.agg(
+        F.percentile_approx(
+            "l_quantity", F.array(*[F.lit(x) for x in qs]), F.lit(acc)
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vals = agg.select(F.posexplode("vs").alias("i", "v"), "n")
+    ranks = (
+        lineitem.crossJoin(F.broadcast(vals))
+        .groupBy("i", "v", "n")
+        .agg(
+            F.sum((F.col("l_quantity") < F.col("v")).cast("long")).alias("r_lo"),
+            F.sum((F.col("l_quantity") <= F.col("v")).cast("long")).alias("r_hi"),
         )
-        .select("e.u", "e.w")
     )
-    wedges = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e1.w") == F.col("e2.u"))
-        .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.w").alias("y"),
-            F.col("e2.w").alias("z"),
-        )
+    qarr = F.array(*[F.lit(x) for x in qs])
+    target = F.element_at(qarr, F.col("i") + 1) * F.col("n")
+    slack = F.col("n") / acc + 1
+    return ranks.select(
+        F.element_at(qarr, F.col("i") + 1).alias("q"),
+        (
+            (F.col("r_hi") >= target - slack) & (F.col("r_lo") <= target + slack)
+        ).alias("within_bound"),
     )
-    # the orientation is a TOTAL order, so for a wedge x->y->z the
-    # closing edge (if present) is always oriented x->z — one join
-    # direction suffices and no triangle can match twice
-    closing = wedges.join(
-        oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
-        ["x", "z"],
+
+
+# ---------------------------------------------------------------------------
+# Corpus health: Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_slope",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+      FROM documents),
+    freq AS (SELECT word, count(*) AS f FROM w GROUP BY word),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM freq)
+    SELECT round(regr_slope(log10(f), log10(r)), 4) AS zipf_slope,
+           count(*) AS n_types,
+           CAST(sum(f) AS BIGINT) AS n_tokens
+    FROM ranked WHERE r <= 500
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: regression
+    slope of log10(frequency) on log10(rank) for the top-500 types —
+    natural corpora sit near -1; a slope collapsing toward 0 flags
+    synthetic/templated text and heavy boilerplate (a standard corpus
+    health metric next to the repetition/quality screens).  One token
+    explode + one word groupBy (the only token-width shuffle), then a
+    500-row windowed head and a tiny regression aggregate."""
+    from .functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    freq = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
     )
-    return closing.agg(F.count(F.lit(1)).alias("n_triangles"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("word")))
+        .alias("r"),
+    ).filter(F.col("r") <= 500)
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log10("f"), F.log10("r")), 4
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_interval_left_outer",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    p AS (SELECT user_id, ts FROM events, mx
+          WHERE event_type = 'purchase' AND ts <= m - INTERVAL 4 HOUR),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, c.ts AS l_ts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+    SELECT user_id, count(*) AS n_no_click
+    FROM j WHERE l_ts IS NULL GROUP BY user_id
+    """,
+)
+def stream_interval_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: purchases with NO click
+    in the preceding hour — the negative-evidence query that inner
+    joins cannot answer on streams.  An outer null-row may only emit
+    once the watermark PROVES no matching click can still arrive, so
+    rows near the end-of-replay horizon legitimately stay in state;
+    both the entry and the oracle therefore restrict to purchases at
+    least 4 hours (watermark delay 2h + join interval 1h + 1h margin)
+    before the stream's max timestamp, where emission is guaranteed.
+    Matched rows emit immediately and are discarded here."""
+    from .streaming import interval_join, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    res = run_to_memory(
+        interval_join(clicks, purchases, how="left_outer"),
+        _sink_name("ss_louter"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    # safe-horizon cutoff from the batch table (one tiny aggregate)
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOURS")).alias("cut")
+    ).collect()[0]["cut"]
+    return (
+        res.filter(F.col("l_ts").isNull() & (F.col("r_ts") <= F.lit(cutoff)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_no_click"))
+    )

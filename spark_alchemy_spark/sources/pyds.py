@@ -133,9 +133,14 @@ class SynthEventsSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         lo = int(start["i"])
         hi = min(lo + self.batch, self.n)
-        # materialized list, not a generator: the simple-reader protocol
-        # pickles the prefetched batch for replay
-        return list(self._rows(lo, hi)), {"i": hi}
+        # iterator over a MATERIALIZED list — both halves matter.
+        # Materialized: the wrapper's prefetch cache copy.copy()s the
+        # iterator per replay, which needs a list_iterator, not a live
+        # generator.  Iterator: when the stream drains (end == start)
+        # the wrapper probes emptiness with next(it); handed a bare
+        # list that raises TypeError and kills the query at the tail
+        # of an availableNow drain instead of finishing cleanly.
+        return iter(list(self._rows(lo, hi))), {"i": hi}
 
     def readBetweenOffsets(self, start, end):
         # MUST be an iterator, not a list: the recovery-replay runner

@@ -225,28 +225,37 @@ def interval_join(
     key: str = "user_id",
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval: each ``right``
-    row matches ``left`` rows of the same key whose timestamp falls in
+    """Stream-stream join within a time interval: each ``right`` row
+    matches ``left`` rows of the same key whose timestamp falls in
     [right.ts - max_lag, right.ts].
 
     Both sides carry watermarks and the join condition bounds event
     time on both sides, so Spark can expire join state (without the
     bound, stream-stream join state grows forever — the scale
-    constraint that shapes this API)."""
+    constraint that shapes this API).
+
+    ``how="left_outer"`` preserves unmatched RIGHT rows (the probe
+    side here) with NULL ``l_ts`` — but an outer null-row can only
+    emit once the watermark proves no future match exists, so
+    unmatched rows inside the final watermark horizon stay in state at
+    end-of-replay (inner matches always emit).  The outer variant is
+    the streaming form of "purchases with no preceding click"."""
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"), F.col("ts").alias("l_ts")
     )
     r = right.withWatermark("ts", watermark).select(
         F.col(key).alias("r_key"), F.col("ts").alias("r_ts")
     )
-    return r.join(
+    joined = r.join(
         l,
         (F.col("l_key") == F.col("r_key"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {max_lag}"))
         & (F.col("l_ts") <= F.col("r_ts")),
-        "inner",
-    ).select(F.col("r_key").alias(key), "l_ts", "r_ts")
+        how,
+    )
+    return joined.select(F.col("r_key").alias(key), "l_ts", "r_ts")
 
 
 def incremental_sketch_store(

@@ -1,0 +1,214 @@
+"""Round-3 operators: incremental cross-corpus dedup, triangle
+counting, geo radius join."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark.operators.dedup import (
+    cross_corpus_jaccard_pairs,
+    incremental_dedup,
+)
+from spark_alchemy_spark.operators.geo import haversine_km, radius_join
+from spark_alchemy_spark.operators.graph import triangle_count
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_cross_corpus_pairs_exact_jaccard(spark):
+    new = _docs(spark, [(1, "a b c d e"), (2, "z y x w v")])
+    cor = _docs(spark, [(10, "a b c d e f"), (11, "completely different words here")])
+    got = {
+        (r["new_id"], r["corpus_id"], r["inter"], r["uni"])
+        for r in cross_corpus_jaccard_pairs(
+            new, cor, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    # doc1 trigrams {abc,bcd,cde} vs doc10 {abc,bcd,cde,def}: inter 3, uni 4
+    assert got == {(1, 10, 3, 4)}
+
+
+def test_cross_corpus_never_pairs_corpus_with_itself(spark):
+    # two identical corpus docs must NOT appear as a pair
+    new = _docs(spark, [(1, "unrelated text entirely distinct")])
+    cor = _docs(spark, [(10, "a b c d"), (11, "a b c d")])
+    assert (
+        cross_corpus_jaccard_pairs(
+            new, cor, "doc_id", "text", threshold_num=1, threshold_den=10
+        ).count()
+        == 0
+    )
+
+
+def test_cross_corpus_hot_shingle_correction_exact(spark):
+    # viral trigram "the end came" present in EVERY corpus doc; cap at
+    # DF 3 forces the hot path.  Pair (1,10) shares hot + cold
+    # shingles -> counts must still be exact.
+    viral = "the end came"
+    cor = _docs(
+        spark,
+        [(10, f"alpha beta gamma delta {viral}")]
+        + [(10 + k, f"filler{k} words{k} here{k} {viral}") for k in range(1, 6)],
+    )
+    new = _docs(spark, [(1, f"alpha beta gamma delta {viral}")])
+    capped = cross_corpus_jaccard_pairs(
+        new, cor, "doc_id", "text", threshold_num=1, threshold_den=100,
+        max_shingle_df=3,
+    ).collect()
+    uncapped = cross_corpus_jaccard_pairs(
+        new, cor, "doc_id", "text", threshold_num=1, threshold_den=100,
+        max_shingle_df=None,
+    ).collect()
+    key = lambda r: (r["new_id"], r["corpus_id"])  # noqa: E731
+    capped_m = {key(r): (r["inter"], r["uni"]) for r in capped}
+    uncapped_m = {key(r): (r["inter"], r["uni"]) for r in uncapped}
+    # the identical pair (1,10) shares cold shingles -> exact under cap
+    assert capped_m[(1, 10)] == uncapped_m[(1, 10)]
+    # pairs whose ENTIRE overlap is the viral shingle are dropped by
+    # design under the cap
+    assert set(capped_m) <= set(uncapped_m)
+
+
+def test_incremental_dedup_drops_exact_and_near(spark):
+    cor = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "some corpus document with its own words"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (2, "the quick brown fox jumps over the lazy dog yesterday"),  # near
+            (3, "an entirely novel piece of text nothing shares"),  # survivor
+            (4, "xy"),  # below shingle width, no exact match -> survivor
+        ],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, cor, "doc_id", "text").collect()
+    )
+    assert got == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; edges given in mixed directions + a dup + a
+    # self-loop, all of which must be tolerated
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4), (3, 3)]
+    assert triangle_count(_edges(spark, k4)).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_star_has_none(spark):
+    star = [(0, i) for i in range(1, 8)]
+    assert triangle_count(_edges(spark, star)).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_two_disjoint_triangles(spark):
+    g = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    assert triangle_count(_edges(spark, g)).collect()[0]["n_triangles"] == 2
+
+
+# ---------------------------------------------------------------------------
+# geo radius join
+# ---------------------------------------------------------------------------
+
+
+def test_radius_join_matches_brute_force_at_high_latitude(spark):
+    # points at lat ~59-60 where lon degrees are half-width: an
+    # unscaled lon cell would lose cross-cell pairs; compare against
+    # the O(n^2) exact join
+    pts = [
+        Row(id=i, lat=59.0 + (i * 13 % 100) / 100.0, lon=10.0 + (i * 29 % 200) / 100.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(
+            df, "id", "lat", "lon", radius_km=30.0, max_abs_lat=60.0
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+            ),
+        )
+        .filter(F.col("d") < 30.0)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want
+    assert len(want) > 0  # non-vacuous
+
+
+def test_radius_join_rejects_polar_band(spark):
+    df = spark.createDataFrame([Row(id=1, lat=89.0, lon=0.0)])
+    with pytest.raises(ValueError):
+        radius_join(df, "id", "lat", "lon", radius_km=10.0, max_abs_lat=90.0)
+
+
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278) ~ 343-344 km
+    row = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
+            ).alias("d")
+        )
+        .collect()[0]
+    )
+    assert math.isclose(row["d"], 343.5, abs_tol=2.0)
+
+
+# ---------------------------------------------------------------------------
+# streaming data source drain contract
+# ---------------------------------------------------------------------------
+
+
+def test_simple_stream_reader_read_returns_copyable_iterator():
+    """The wrapper probes emptiness with next(it) when the stream
+    drains (a bare list raises TypeError and kills the query) and
+    copy.copy()s the cached iterator per replay — read() must satisfy
+    both."""
+    import copy
+    from collections.abc import Iterator
+
+    from spark_alchemy_spark.sources.pyds import SynthEventsSimpleStreamReader
+
+    r = SynthEventsSimpleStreamReader(10, 3, 4)
+    it, end = r.read({"i": 0})
+    assert isinstance(it, Iterator)
+    assert end == {"i": 4}
+    dup = copy.copy(it)
+    assert list(dup) == list(r.readBetweenOffsets({"i": 0}, {"i": 4}))
+    assert list(it) == list(r.readBetweenOffsets({"i": 0}, {"i": 4}))
+    # drained tail: empty ITERATOR with an unchanged offset
+    tail, tail_end = r.read({"i": 10})
+    assert isinstance(tail, Iterator)
+    assert next(tail, None) is None
+    assert tail_end == {"i": 10}
