@@ -63,6 +63,105 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_shingle_index(df: DataFrame, id_col: str, text_col: str, n: int):
+    """Distinct (``__id``, ``__s``) posting list + per-doc shingle
+    counts (``__id``, ``__n``) — the inverted-index core shared by the
+    self-join and cross-corpus Jaccard operators.  Shingle rows come
+    from the codegen window-lead builder; the per-doc distinct rides
+    the window's id-partitioning — no extra exchange."""
+    sh = exploded_shingles(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+        "__t",
+        n,
+    ).dropDuplicates(["__id", "__s"])
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    return sh, sizes
+
+
+def _detect_hot_shingles(sh: DataFrame, max_shingle_df: int | None):
+    """Detect-then-choose, like operators/skew.py hot-key handling: one
+    aggregation finds shingles above the cap (the hot SET is small by
+    construction — only shingles with DF > cap), and when it is EMPTY —
+    the common case per corpus batch — the guard costs exactly that one
+    detection pass and the caller keeps the pure uncapped plan
+    (measured: 8s -> ~4s at sf0.1, where an always-on split +
+    correction re-evaluated the shingle lineage four extra times).
+
+    NB ``isEmpty()`` is an EAGER action at plan-construction time (one
+    aggregation pass over the shingles) — the price of choosing the
+    plan from measured hot-key volume, same as skew.py.  Returns the
+    hot-shingle set, or None when the guard is disabled or no shingle
+    exceeds the cap."""
+    if max_shingle_df is None:
+        return None
+    hot_set = (
+        sh.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("__s")
+    )
+    return None if hot_set.isEmpty() else hot_set
+
+
+def _split_postings(sh: DataFrame, hot_set: DataFrame):
+    """(cold, hot) posting split via two BROADCAST joins against the
+    tiny hot set — never a shuffle join against the full DF table."""
+    return (
+        sh.join(F.broadcast(hot_set), "__s", "left_anti"),
+        sh.join(F.broadcast(hot_set), "__s", "left_semi"),
+    )
+
+
+def _hot_correction(
+    inter: DataFrame,
+    key_a: str,
+    key_b: str,
+    hot_a: DataFrame,
+    hot_b: DataFrame,
+) -> DataFrame:
+    """Exact correction: count hot shingles present in BOTH docs of
+    each surviving candidate pair and add them back to ``inter``.  Cost
+    is candidates x hot-shingles-per-doc — linear in candidates, never
+    quadratic in postings."""
+    ha = hot_a.select(F.col("__id").alias(key_a), "__s")
+    hb = hot_b.select(F.col("__id").alias(key_b), "__s")
+    hot_inter = (
+        inter.select(key_a, key_b)
+        .join(ha, key_a)
+        .join(hb, [key_b, "__s"])
+        .groupBy(key_a, key_b)
+        .agg(F.count(F.lit(1)).alias("__hi"))
+    )
+    return (
+        inter.join(hot_inter, [key_a, key_b], "left")
+        .withColumn("inter", F.col("inter") + F.coalesce("__hi", F.lit(0)))
+        .select(key_a, key_b, "inter")
+    )
+
+
+def _jaccard_threshold(
+    inter: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Join per-doc sizes back and keep pairs with Jaccard >= num/den
+    (integer cross-multiplied — no floating point)."""
+    na = sizes_a.select(F.col("__id").alias(key_a), F.col("__n").alias("__na"))
+    nb = sizes_b.select(F.col("__id").alias(key_b), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, key_a)
+        .join(nb, key_b)
+        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+        .select(key_a, key_b, "inter", "uni")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -91,44 +190,9 @@ def ngram_jaccard_pairs(
     desired semantics for near-dup mining.  ``max_shingle_df=None``
     disables the guard (pure exact mode).
     """
-    # codegen shingle rows (window-lead builder); the per-doc distinct
-    # rides the window's id-partitioning — no extra exchange
-    sh = exploded_shingles(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
-        "__id",
-        "__t",
-        n,
-    ).dropDuplicates(["__id", "__s"])
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    if max_shingle_df is not None:
-        # Detect-then-choose, like operators/skew.py hot-key handling:
-        # one aggregation finds shingles above the cap (the hot SET is
-        # small by construction — only shingles with DF > cap), and when
-        # it is EMPTY — the common case per corpus batch — the guard
-        # costs exactly that one detection pass and the plan is the pure
-        # uncapped one (measured: 8s -> ~4s at sf0.1, where the old
-        # always-on split + correction re-evaluated the shingle lineage
-        # four extra times).  When hot shingles exist, the posting list
-        # is split with two BROADCAST joins against the tiny hot set
-        # (never a shuffle join against the full DF table) and the exact
-        # correction below restores their intersection counts.
-        hot_set = (
-            sh.groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("__s")
-        )
-        # NB isEmpty() is an EAGER action at plan-construction time (one
-        # aggregation pass over the shingles) — the price of choosing
-        # the plan from measured hot-key volume, same as skew.py.
-        if hot_set.isEmpty():
-            idx, hot = sh, None
-        else:
-            idx = sh.join(F.broadcast(hot_set), "__s", "left_anti")
-            hot = sh.join(F.broadcast(hot_set), "__s", "left_semi")
-    else:
-        idx, hot = sh, None
+    sh, sizes = _doc_shingle_index(df, id_col, text_col, n)
+    hot_set = _detect_hot_shingles(sh, max_shingle_df)
+    idx, hot = (sh, None) if hot_set is None else _split_postings(sh, hot_set)
 
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
@@ -136,35 +200,11 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-
     if hot is not None:
-        # Exact correction: count hot shingles present in BOTH docs of
-        # each candidate pair.  Cost is candidates x hot-shingles-per-doc
-        # — linear in candidates, never quadratic in postings.
-        ha = hot.select(F.col("__id").alias("id_a"), "__s")
-        hb = hot.select(F.col("__id").alias("id_b"), "__s")
-        hot_inter = (
-            inter.select("id_a", "id_b")
-            .join(ha, "id_a")
-            .join(hb, ["id_b", "__s"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("__hi"))
-        )
-        inter = (
-            inter.join(hot_inter, ["id_a", "id_b"], "left")
-            .withColumn("inter", F.col("inter") + F.coalesce("__hi", F.lit(0)))
-            .select("id_a", "id_b", "inter")
-        )
-
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
-        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+        inter = _hot_correction(inter, "id_a", "id_b", hot, hot)
+    return _jaccard_threshold(
+        inter, sizes, sizes, "id_a", "id_b", threshold_num, threshold_den
     )
-    return out.select("id_a", "id_b", "inter", "uni")
 
 
 # ---------------------------------------------------------------------------
@@ -196,40 +236,18 @@ def cross_corpus_jaccard_pairs(
 
     Returns (new_id, corpus_id, inter, uni).
     """
-    new_sh = exploded_shingles(
-        new_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
-        "__id",
-        "__t",
-        n,
-    ).dropDuplicates(["__id", "__s"])
-    cor_sh = exploded_shingles(
-        corpus_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
-        "__id",
-        "__t",
-        n,
-    ).dropDuplicates(["__id", "__s"])
-    new_sizes = new_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    cor_sizes = cor_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    new_sh, new_sizes = _doc_shingle_index(new_df, id_col, text_col, n)
+    cor_sh, cor_sizes = _doc_shingle_index(corpus_df, id_col, text_col, n)
 
-    hot = None
-    cor_idx = cor_sh
-    new_idx = new_sh
-    if max_shingle_df is not None:
-        hot_set = (
-            cor_sh.groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("__s")
-        )
-        # eager detect-then-choose, same contract as ngram_jaccard_pairs
-        if not hot_set.isEmpty():
-            cor_idx = cor_sh.join(F.broadcast(hot_set), "__s", "left_anti")
-            new_idx = new_sh.join(F.broadcast(hot_set), "__s", "left_anti")
-            # correction probes need hot postings from BOTH sides
-            hot = (
-                new_sh.join(F.broadcast(hot_set), "__s", "left_semi"),
-                cor_sh.join(F.broadcast(hot_set), "__s", "left_semi"),
-            )
+    # the DF cap is measured on the CORPUS side (where viral
+    # boilerplate lives); the split then applies to both posting lists
+    hot_set = _detect_hot_shingles(cor_sh, max_shingle_df)
+    if hot_set is None:
+        new_idx, cor_idx, hot = new_sh, cor_sh, None
+    else:
+        new_idx, hot_new = _split_postings(new_sh, hot_set)
+        cor_idx, hot_cor = _split_postings(cor_sh, hot_set)
+        hot = (hot_new, hot_cor)
 
     inter = (
         new_idx.alias("a")
@@ -240,32 +258,10 @@ def cross_corpus_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if hot is not None:
-        hot_new, hot_cor = hot
-        ha = hot_new.select(F.col("__id").alias("new_id"), "__s")
-        hb = hot_cor.select(F.col("__id").alias("corpus_id"), "__s")
-        hot_inter = (
-            inter.select("new_id", "corpus_id")
-            .join(ha, "new_id")
-            .join(hb, ["corpus_id", "__s"])
-            .groupBy("new_id", "corpus_id")
-            .agg(F.count(F.lit(1)).alias("__hi"))
-        )
-        inter = (
-            inter.join(hot_inter, ["new_id", "corpus_id"], "left")
-            .withColumn("inter", F.col("inter") + F.coalesce("__hi", F.lit(0)))
-            .select("new_id", "corpus_id", "inter")
-        )
-
-    na = new_sizes.select(F.col("__id").alias("new_id"), F.col("__n").alias("__na"))
-    nb = cor_sizes.select(
-        F.col("__id").alias("corpus_id"), F.col("__n").alias("__nb")
-    )
-    return (
-        inter.join(na, "new_id")
-        .join(nb, "corpus_id")
-        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
-        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
-        .select("new_id", "corpus_id", "inter", "uni")
+        inter = _hot_correction(inter, "new_id", "corpus_id", hot[0], hot[1])
+    return _jaccard_threshold(
+        inter, new_sizes, cor_sizes, "new_id", "corpus_id",
+        threshold_num, threshold_den,
     )
 
 

@@ -19,11 +19,18 @@ conservatively for the highest latitude in range).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
-KM_PER_DEG_LAT = 111.32
+#: km per degree of latitude CONSISTENT WITH the haversine's sphere
+#: (pi*R/180 = 111.195).  The popular 111.32 figure is the WGS84
+#: equatorial value — on this sphere it makes default cells ~0.11%
+#: smaller than the radius, which breaks the 3x3 cover guarantee for
+#: pairs just inside the radius.
+KM_PER_DEG_LAT = math.pi * EARTH_RADIUS_KM / 180.0
 
 
 def haversine_km(lat1, lon1, lat2, lon2) -> Column:
@@ -52,23 +59,41 @@ def radius_join(
 
     Cell sizes default to the smallest degree width that still covers
     ``radius_km`` at ``max_abs_lat`` (the highest latitude the data
-    reaches): lat cells at radius/111.32 deg, lon cells widened by
-    1/cos(max_abs_lat).  An undersized lon cell at high latitude would
-    drop true pairs — callers with polar data must band by latitude
+    reaches): lat cells at radius/(pi*R/180) deg; lon cells from the
+    exact same-parallel inversion ``2*asin(sin(r/2R)/cos(max_abs_lat))``
+    (the naive ``r/(111.195*cos)`` slightly UNDERSIZES lon cells — a
+    great-circle arc of length r spans marginally more longitude than
+    the parallel arc).  Callers with polar data must band by latitude
     instead (cos -> 0).
+
+    Longitude cells wrap modulo the cell count, so pairs straddling the
+    +/-180 antimeridian stay adjacent; latitude does not wrap (capped
+    below the poles by ``max_abs_lat``).
 
     Returns (id_a, id_b, dist_km).
     """
-    import math
-
     if not (0 <= max_abs_lat < 90):
         raise ValueError("max_abs_lat must be in [0, 90)")
     if cell_lat_deg is None:
         cell_lat_deg = radius_km / KM_PER_DEG_LAT
     if cell_lon_deg is None:
-        cell_lon_deg = radius_km / (
-            KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
+        half_angle = math.sin(radius_km / (2 * EARTH_RADIUS_KM)) / math.cos(
+            math.radians(max_abs_lat)
         )
+        if half_angle >= 1:
+            raise ValueError(
+                "radius_km spans all longitudes at max_abs_lat — band by "
+                "latitude or pass cell_lon_deg explicitly"
+            )
+        cell_lon_deg = math.degrees(2 * math.asin(half_angle))
+    n_lon_cells = int(math.ceil(360.0 / cell_lon_deg))
+    if n_lon_cells < 4:
+        # with < 4 wrapped cells the +/-1 offsets alias (the same cell
+        # reached two ways would emit duplicate pairs); collapse to ONE
+        # lon cell — correct (a superset of candidates), and radii this
+        # coarse are latitude-band scans anyway
+        n_lon_cells = 1
+        cell_lon_deg = 360.0
 
     spark = points.sparkSession
     pts = points.select(
@@ -76,21 +101,25 @@ def radius_join(
         F.col(lat_col).cast("double").alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
     )
+    # lon cells index [0, n) from -180 so adjacency wraps at the
+    # antimeridian via modulo; the final (possibly narrower) cell is
+    # still adjacent to cell 0, which only ever ADDS candidates
     with_cell = pts.withColumn(
-        "cx", F.floor(F.col("__lon") / F.lit(cell_lon_deg)).cast("long")
+        "cx",
+        (
+            F.floor((F.col("__lon") + 180.0) / F.lit(cell_lon_deg)).cast("long")
+            % n_lon_cells
+        ),
     ).withColumn("cy", F.floor(F.col("__lat") / F.lit(cell_lat_deg)).cast("long"))
-    offsets = (
-        spark.range(9)
-        .select(
-            (F.col("id") % 3 - 1).alias("dx"),
-            ((F.col("id") / 3).cast("long") - 1).alias("dy"),
-        )
+    dxs = [-1, 0, 1] if n_lon_cells > 1 else [0]
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in dxs for dy in (-1, 0, 1)], "dx long, dy long"
     )
     probe = with_cell.crossJoin(F.broadcast(offsets)).select(
         F.col("__id").alias("id_a"),
         F.col("__lat").alias("lat_a"),
         F.col("__lon").alias("lon_a"),
-        (F.col("cx") + F.col("dx")).alias("cx"),
+        ((F.col("cx") + F.col("dx") + n_lon_cells) % n_lon_cells).alias("cx"),
         (F.col("cy") + F.col("dy")).alias("cy"),
     )
     cand = probe.join(

@@ -365,8 +365,10 @@ def source_schema_evolution(spark, sf_dir):
     footer reconciliation is a one-time planning cost; data files are
     read in the same vectorized scan.)"""
     (orders,) = _t(spark, sf_dir, "orders")
+    # per-pid FIXED path (no sequence number): reruns in one process
+    # overwrite instead of accumulating orders-sized /tmp trees
     base = os.path.join(
-        tempfile.gettempdir(), _sink_name("schema_evo")
+        tempfile.gettempdir(), f"schema_evo_{os.getpid()}"
     )
     old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -447,7 +449,7 @@ def geo_cell_radius_join(spark, sf_dir):
                FROM embeddings WHERE vec_id < 300),
     scored AS (
       SELECT q.vec_id AS src, c.vec_id AS dst,
-             list_cosine_similarity(q.v, c.v) AS cos
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
       FROM v q JOIN v c ON c.vec_id <> q.vec_id),
     knn AS (
       SELECT src, dst FROM (

@@ -32,7 +32,14 @@ def build_session(
         )
     conf = dict(extra_conf or {})
     derby_home = os.path.join(tempfile.gettempdir(), f"derby_home_{os.getpid()}")
-    os.makedirs(derby_home, exist_ok=True)
+    if not os.path.isdir(derby_home):
+        os.makedirs(derby_home, exist_ok=True)
+        # the metastore is worthless after this process dies; reap it so
+        # per-pid isolation doesn't leak one Derby tree per run
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, derby_home, ignore_errors=True)
     # In local mode the driver JVM IS the cluster.  4g (not more): on
     # lazily-backed VMs a large -Xmx causes first-touch page-fault
     # storms as the heap grows (measured: a 16g heap ran the battery

@@ -242,6 +242,11 @@ def interval_join(
     unmatched rows inside the final watermark horizon stay in state at
     end-of-replay (inner matches always emit).  The outer variant is
     the streaming form of "purchases with no preceding click"."""
+    if how not in ("inner", "left_outer"):
+        # right/full outer would surface unmatched LEFT rows whose key
+        # column (aliased from the right side below) is NULL —
+        # structurally wrong output; fail fast instead
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"), F.col("ts").alias("l_ts")
     )

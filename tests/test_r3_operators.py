@@ -212,3 +212,57 @@ def test_simple_stream_reader_read_returns_copyable_iterator():
     assert isinstance(tail, Iterator)
     assert next(tail, None) is None
     assert tail_end == {"i": 10}
+
+
+def test_radius_join_boundary_band_parity(spark):
+    # irregular (non-grid-aligned) coordinates with many pairs within
+    # ~0.1% of the radius: catches cell sizing that is even slightly
+    # smaller than the radius (the 111.32-vs-111.195 km/deg bug)
+    pts = [
+        Row(
+            id=i,
+            lat=(i * 7919 % 10007) / 10007.0 * 0.9,  # 0..0.9 deg
+            lon=(i * 104729 % 10007) / 10007.0 * 0.9,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(pts)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(
+            df, "id", "lat", "lon", radius_km=25.0, max_abs_lat=1.0
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+            ),
+        )
+        .filter(F.col("d") < 25.0)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want
+    assert len(want) > 50  # dense enough to exercise the boundary band
+
+
+def test_radius_join_antimeridian_pairs(spark):
+    # points straddling +/-180: cells must wrap, not sit 1000s apart
+    pts = [
+        Row(id=1, lat=10.0, lon=179.95),
+        Row(id=2, lat=10.0, lon=-179.95),  # ~21.9 km from id=1
+        Row(id=3, lat=10.0, lon=179.0),    # ~104 km from id=2
+        Row(id=4, lat=10.0, lon=0.0),
+    ]
+    df = spark.createDataFrame(pts)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(
+            df, "id", "lat", "lon", radius_km=25.0, max_abs_lat=11.0
+        ).collect()
+    }
+    assert got == {(1, 2)}
