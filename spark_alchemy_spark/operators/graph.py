@@ -173,6 +173,52 @@ def triangle_count(
     battery entry).  Same rationale as the checkpointing in the CC /
     pagerank loops above.
     """
+    tri, _ = _triangles(edges, src, dst, materialize)
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node local clustering coefficient: triangles(v) /
+    (deg(v) choose 2) — the cluster-cohesion signal used to audit
+    near-dup cluster quality (a dup cluster should be near-clique; a
+    low-coefficient hub is chaining unrelated docs).  Same
+    compact-forward triangle machinery as :func:`triangle_count`, plus
+    one explode of each triangle to its three corners.
+
+    Returns (v, deg, n_triangles, coeff) for nodes with deg >= 2.
+    """
+    tri, deg = _triangles(edges, src, dst, materialize)
+    # one generator pass over the triangle list — a 3-way union would
+    # re-expand the wedge/closing join lineage once per corner
+    corners = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(corners, "v", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .select(
+            "v",
+            "deg",
+            "n_triangles",
+            F.round(
+                2.0 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+    )
+
+
+def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
+    """(triangles (x, y, z) in orientation order, per-node degrees) —
+    the compact-forward core shared by triangle_count/local_clustering."""
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -204,6 +250,9 @@ def triangle_count(
     )
     if materialize:
         oriented = oriented.localCheckpoint(eager=True)
+        # deg rides the same checkpoint boundary (it feeds orientation
+        # AND the clustering denominator — keep one lineage)
+        deg = deg.localCheckpoint(eager=True)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.w") == F.col("e2.u"))
@@ -220,4 +269,4 @@ def triangle_count(
         oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
         ["x", "z"],
     )
-    return closing.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return closing, deg

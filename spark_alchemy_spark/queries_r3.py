@@ -686,3 +686,291 @@ def stream_interval_left_outer(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_no_click"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-node clustering coefficient over the kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cos DESC, dst) AS rnk
+        FROM scored) t WHERE rnk <= 3),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM knn),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT v, count(*) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v)
+    SELECT d.v, d.deg, coalesce(c.n_triangles, 0) AS n_triangles,
+           round(2.0 * coalesce(c.n_triangles, 0)
+                 / (d.deg * (d.deg - 1)), 4) AS coeff
+    FROM deg d LEFT JOIN corners c USING (v) WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient over the cosine 3-NN
+    graph: triangles(v) / (deg(v) choose 2) — the cluster-cohesion
+    audit for near-dup clusters (a dup cluster should be near-clique;
+    a low-coefficient hub is chaining unrelated docs).  Same
+    compact-forward machinery as graph_triangle_count; the DuckDB
+    oracle orients by id (a<b) instead of degree, which yields the
+    identical triangle SET."""
+    from .operators.graph import local_clustering
+    from .operators.similarity import brute_force_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    sub = embeddings.filter(F.col("vec_id") < 300)
+    knn = brute_force_topk(sub, sub, "vec_id", "embedding", k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return local_clustering(knn, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Sketch algebra composed with ROLLUP
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_distinct_sketch",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events GROUP BY ROLLUP (event_type)
+    """,
+)
+def rollup_distinct_sketch(spark, sf_dir):
+    """Distinct users per event type AND the grand total in ONE pass:
+    ``hll_sketch_agg`` under ROLLUP — the sketch's mergeability is what
+    lets the partial aggregates serve every grouping level without
+    re-scanning (exact COUNT DISTINCT under rollup must keep per-key
+    user sets per level).  lgK 21 keeps the estimate exact at battery
+    cardinalities, so the oracle is the exact rollup."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 21)").alias("sk"))
+        .select(
+            "event_type",
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias("users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price, l_quantity AS wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem)
+    SELECT l_returnflag, round(min(price), 2) AS weighted_median
+    FROM w WHERE cum * 2 >= total GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the total.  One sorted
+    window per group (cumulative weight) + the all-rows total via an
+    unbounded frame — no collect, no iterative search; ties broken by
+    (price, orderkey, linenumber) so both engines walk the identical
+    order."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    w = lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(cum_w).alias("cum"),
+        F.sum("l_quantity").over(tot_w).alias("total"),
+    )
+    return (
+        w.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN (the anti-join semantics corner)
+# ---------------------------------------------------------------------------
+
+
+_NAI_SQL = """
+SELECT 'not_in' AS variant, (
+    SELECT count(*) FROM {o}
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END
+      FROM {c} WHERE c_mktsegment = 'BUILDING')
+  ) AS n
+UNION ALL
+SELECT 'not_exists', (
+    SELECT count(*) FROM {o} o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {c} c
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND (CASE WHEN c.c_custkey % 50 = 0 THEN NULL
+                  ELSE c.c_custkey END) = o.o_custkey)
+  )
+"""
+
+
+@query(
+    "nullaware_not_in_orders",
+    _NAI_SQL.format(o="orders", c="customer"),
+)
+def nullaware_not_in_orders(spark, sf_dir):
+    """NOT IN vs NOT EXISTS against a value list CONTAINING NULLs — the
+    three-valued-logic corner: one NULL in the list makes every NOT IN
+    membership test UNKNOWN (count 0), while NOT EXISTS over the same
+    list ignores the NULLs and keeps its full count.  Catalyst plans
+    the former as a NULL-AWARE anti join (BroadcastHashJoin with
+    isNullAware=true); an engine that silently rewrites it to a plain
+    anti join reports a non-zero not_in count and fails the hash
+    compare.  Both counts come back in one result so the contrast
+    itself is what's pinned."""
+    (orders, customer) = _t(spark, sf_dir, "orders", "customer")
+    orders.createOrReplaceTempView("nai_orders")
+    customer.createOrReplaceTempView("nai_customer")
+    return spark.sql(_NAI_SQL.format(o="nai_orders", c="nai_customer"))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (lake in-place backfill semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_dynamic_partition_overwrite",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+             AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def source_dynamic_partition_overwrite(spark, sf_dir):
+    """``partitionOverwriteMode=dynamic``: overwriting a partitioned
+    table replaces ONLY the partitions present in the incoming frame —
+    the in-place backfill primitive (static mode would truncate the
+    whole table).  Writes all priorities, then rewrites just 1-URGENT
+    with doubled prices; every other partition must survive untouched,
+    which the read-back aggregate proves."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), f"dpo_{os.getpid()}")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    orders.select(*cols).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(base)
+    urgent_backfill = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(*cols)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        urgent_backfill.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return (
+        spark.read.parquet(base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_window_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 60 MINUTE END AS reach
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, reach,
+             CASE WHEN max(reach) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  > ts THEN 0 ELSE 1 END AS new_s
+      FROM g),
+    sess AS (
+      SELECT user_id, ts, reach,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(reach), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """Session windows with a PER-EVENT gap expression
+    (``F.session_window(ts, CASE ...)``): error events extend their
+    session only 30 minutes, everything else an hour — the
+    activity-dependent timeout real sessionization needs (a crash
+    should close a session sooner than a page view).  Sessions merge
+    while each event lands before the running max of previous events'
+    reach (ts + gap); the oracle replays exactly that with a running-max
+    gaps-and-islands window."""
+    (events,) = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("30 minutes")).otherwise(
+        F.lit("60 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

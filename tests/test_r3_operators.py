@@ -266,3 +266,19 @@ def test_radius_join_antimeridian_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_local_clustering_k4_and_star(spark):
+    from spark_alchemy_spark.operators.graph import local_clustering
+
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    rows = {r["v"]: r for r in local_clustering(k4).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert r["deg"] == 3 and r["n_triangles"] == 3 and r["coeff"] == 1.0
+
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    srows = {r["v"]: r for r in local_clustering(star).collect()}
+    # leaves have deg 1 -> excluded; the hub has deg 5, zero triangles
+    assert set(srows) == {0}
+    assert srows[0]["n_triangles"] == 0 and srows[0]["coeff"] == 0.0
