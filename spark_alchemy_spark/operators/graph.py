@@ -226,6 +226,11 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
         )
         .distinct()
     )
+    if materialize:
+        # cut the UPSTREAM lineage (e.g. a kNN build) exactly once —
+        # deg and oriented both derive from und, and checkpointing them
+        # separately would re-run that upstream work per branch
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -249,10 +254,10 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
         .select("e.u", "e.w")
     )
     if materialize:
+        # oriented is referenced three times (e1, e2, closing side);
+        # its lineage above the und checkpoint is just two joins, so
+        # this checkpoint is cheap and keeps the wedge plan flat
         oriented = oriented.localCheckpoint(eager=True)
-        # deg rides the same checkpoint boundary (it feeds orientation
-        # AND the clustering denominator — keep one lineage)
-        deg = deg.localCheckpoint(eager=True)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.w") == F.col("e2.u"))
