@@ -349,3 +349,30 @@ def ahash_bits(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, data_col).mapInPandas(
         gen, f"{id_col} long, ahash string"
     )
+
+
+def frame_mean_intensity(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
+    """Per-frame mean pixel intensity for frame-major media (each image
+    row of a SYNTH buffer = one 'frame'): the 1-D signal scene-cut /
+    shot-boundary detection thresholds.  Arrow mapInPandas decode, one
+    output row per frame; the mean is sum/size in float64 (exact for
+    uint8 sums, bit-identical to the oracle's closed-form division).
+    Returns (id, frame_idx, mean_intensity)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_idx, out_mean = [], [], []
+            for i, buf in zip(pdf[id_col], pdf[data_col]):
+                img = _decode_any(bytes(buf))
+                for fi in range(img.shape[0]):
+                    row = img[fi]
+                    out_id.append(i)
+                    out_idx.append(fi)
+                    out_mean.append(float(row.sum(dtype=np.float64) / row.size))
+            yield pd.DataFrame(
+                {id_col: out_id, "frame_idx": out_idx, "mean_intensity": out_mean}
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        gen, f"{id_col} long, frame_idx int, mean_intensity double"
+    )

@@ -974,3 +974,66 @@ def session_window_dynamic_gap(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video temporal analysis: scene-cut detection on frame intensity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_scene_cut_counts",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             (16 + doc_id % 17) * 3 AS n,
+             unnest(range(0, (8 + doc_id % 11)::BIGINT)) AS fi
+      FROM documents),
+    s AS (
+      SELECT doc_id, fi, n, (doc_id + fi * n) % 256 AS s0 FROM f),
+    m AS (
+      SELECT doc_id, fi,
+             (CASE WHEN s0 + n <= 256
+               THEN n * s0 + n * (n - 1) / 2
+               ELSE (256 - s0) * s0 + (256 - s0) * (255 - s0) / 2
+                    + (n - 256 + s0) * (n - 257 + s0) / 2
+               END)::DOUBLE / n AS mean_int
+      FROM s),
+    c AS (
+      SELECT doc_id, mean_int,
+             lag(mean_int) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+      FROM m)
+    SELECT doc_id,
+           count(*) FILTER (WHERE prev IS NOT NULL
+                            AND abs(mean_int - prev) > 8.0) AS n_cuts,
+           count(*) AS n_frames
+    FROM c GROUP BY doc_id
+    """,
+)
+def media_scene_cut_counts(spark, sf_dir):
+    """Scene-cut (shot-boundary) detection on frame-major media: decode
+    every frame (Arrow mapInPandas), reduce each to its mean intensity,
+    flag a cut where consecutive frames jump by > 8 intensity levels
+    (lag window per doc) — the standard first-pass video segmenter,
+    with the heavy decode parallel in Python workers and the temporal
+    logic JVM-side.  SYNTH pixels are (seed + idx) % 256, so each
+    frame's mean has a closed form (arithmetic series with one mod-256
+    wrap) that the oracle computes exactly — decode, Arrow transport,
+    frame explosion, windowing, and threshold all verified
+    value-level."""
+    from .multimodal import frame_mean_intensity
+    from .queries_ext import _synth_media
+
+    media = _synth_media(spark, sf_dir)
+    frames = frame_mean_intensity(media, "media", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn("prev", F.lag("mean_intensity").over(w))
+    return cuts.groupBy("doc_id").agg(
+        F.sum(
+            (
+                F.col("prev").isNotNull()
+                & (F.abs(F.col("mean_intensity") - F.col("prev")) > 8.0)
+            ).cast("long")
+        ).alias("n_cuts"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
