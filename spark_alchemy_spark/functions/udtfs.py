@@ -35,8 +35,13 @@ class Tokenize:
 
 
 def register(spark) -> None:
+    from pyspark.sql.functions import udtf as _udtf
+
     spark.udtf.register("tokenize_udtf", Tokenize)
     spark.udtf.register("longest_streak_udtf", LongestStreak)
+    # analyze()-schema UDTF: decorate WITHOUT returnType (the schema
+    # comes from SplitParts.analyze at plan time)
+    spark.udtf.register("split_parts_udtf", _udtf(SplitParts, useArrow=True))
 
 
 @udtf(returnType="user_id bigint, best_type string, best_streak int, n_rows int")
@@ -71,3 +76,31 @@ class LongestStreak:
     def terminate(self):
         if self._user is not None:
             yield (self._user, self._best_type, self._best, self._n)
+
+
+class SplitParts:
+    """POLYMORPHIC UDTF: the output schema is computed at plan time by
+    ``analyze()`` from a constant argument — ``split_parts_udtf(text,
+    3)`` yields columns (p0, p1, p2), ``..., 5)`` yields five.  This is
+    the Spark 4 dynamic-schema seam (AnalyzeResult) that fixed
+    ``returnType`` UDTFs cannot express; the reference has no
+    table-function surface at all (SURVEY.md §2.2).
+
+    eval pads with NULLs when the text has fewer tokens (same
+    single-space split convention as Tokenize)."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("split_parts_udtf: n must be a positive int literal")
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"p{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):
+        parts = [t for t in (text or "").split(" ") if t]
+        yield tuple(parts[i] if i < len(parts) else None for i in range(n))

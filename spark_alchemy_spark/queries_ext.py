@@ -954,8 +954,14 @@ def curate_corpus_near_dedup(spark, sf_dir):
     exact = curate_corpus(documents, near_dup_threshold=None).localCheckpoint(
         eager=True
     )
-    pairs = near_dup_pairs(exact, "doc_id", "text", threshold=0.5)
-    curated = apply_near_dedup(exact, pairs, "doc_id")
+    # pairs feeds three consumers (CC loser resolution, the
+    # both-survive check, the paired-id set) and curated feeds two —
+    # materialize each once or every consumer re-runs the MinHash
+    # pipeline
+    pairs = near_dup_pairs(exact, "doc_id", "text", threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    curated = apply_near_dedup(exact, pairs, "doc_id").localCheckpoint(eager=True)
 
     surv_ids = curated.select("doc_id")
     both_survive = (

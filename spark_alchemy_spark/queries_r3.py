@@ -1037,3 +1037,40 @@ def media_scene_cut_counts(spark, sf_dir):
         ).alias("n_cuts"),
         F.count(F.lit(1)).alias("n_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic (analyze-schema) UDTF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_polymorphic_split",
+    """
+    WITH parts AS (
+      SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents)
+    SELECT ws[3] AS p2, count(*) AS n
+    FROM parts WHERE len(ws) >= 3 GROUP BY ws[3]
+    """,
+)
+def udtf_polymorphic_split(spark, sf_dir):
+    """UDTF whose OUTPUT SCHEMA is computed at plan time by
+    ``analyze()`` from a constant argument (``split_parts_udtf(text,
+    3)`` -> columns p0..p2): the Spark 4 polymorphic-table-function
+    seam a fixed returnType cannot express.  The entry groups on the
+    third word; the oracle replays the split in SQL.  Rows with fewer
+    than 3 words surface p2 = NULL and are filtered symmetrically."""
+    from .functions import udtfs
+
+    udtfs.register(spark)
+    (documents,) = _t(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("docs_poly_v")
+    return spark.sql(
+        """
+        SELECT s.p2, count(*) AS n
+        FROM docs_poly_v, LATERAL split_parts_udtf(text, 3) s
+        WHERE s.p2 IS NOT NULL
+        GROUP BY s.p2
+        """
+    )
