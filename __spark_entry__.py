@@ -97,9 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    ordered = [n for n in _GATE_HEAD if n in QUERIES] + [
-        n for n in QUERIES if n not in _GATE_HEAD
-    ]
+    missing = set(_GATE_HEAD) - set(QUERIES)
+    assert not missing, f"_GATE_HEAD names not in registry: {sorted(missing)}"
+    ordered = list(_GATE_HEAD) + [n for n in QUERIES if n not in _GATE_HEAD]
     return {name: _wrap(QUERIES[name]) for name in ordered}
 
 

@@ -35,13 +35,11 @@ class Tokenize:
 
 
 def register(spark) -> None:
-    from pyspark.sql.functions import udtf as _udtf
-
     spark.udtf.register("tokenize_udtf", Tokenize)
     spark.udtf.register("longest_streak_udtf", LongestStreak)
     # analyze()-schema UDTF: decorate WITHOUT returnType (the schema
     # comes from SplitParts.analyze at plan time)
-    spark.udtf.register("split_parts_udtf", _udtf(SplitParts, useArrow=True))
+    spark.udtf.register("split_parts_udtf", udtf(SplitParts, useArrow=True))
 
 
 @udtf(returnType="user_id bigint, best_type string, best_streak int, n_rows int")
@@ -94,7 +92,9 @@ class SplitParts:
         from pyspark.sql.types import StringType, StructType
         from pyspark.sql.udtf import AnalyzeResult
 
-        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+        # type() not isinstance(): bool subclasses int, and `true` as n
+        # must raise, not silently build a 1-column schema
+        if type(n.value) is not int or n.value < 1:
             raise ValueError("split_parts_udtf: n must be a positive int literal")
         schema = StructType()
         for i in range(n.value):

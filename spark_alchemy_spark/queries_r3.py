@@ -902,14 +902,14 @@ def source_dynamic_partition_overwrite(spark, sf_dir):
         .select(*cols)
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
     )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from .queries_runtime import _conf_window
+
+    with _conf_window(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
         urgent_backfill.write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(base)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     return (
         spark.read.parquet(base)
         .groupBy("o_orderpriority")
