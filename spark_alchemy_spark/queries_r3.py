@@ -1074,3 +1074,55 @@ def udtf_polymorphic_split(spark, sf_dir):
         GROUP BY s.p2
         """
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 60 MINUTE END AS reach
+      FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN max(reach) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  > ts THEN 0 ELSE 1 END AS new_s
+      FROM g),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """STREAMING sessionization with a per-event gap expression —
+    activity-dependent timeouts in the streaming session operator
+    (error events extend their session 30 minutes, others an hour).
+    Complete-mode availableNow drain, so every session emits and the
+    replay must equal the batch dynamic-gap fixpoint exactly (the
+    running-max gaps-and-islands oracle shared with
+    session_window_dynamic_gap)."""
+    from .streaming import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("30 minutes")).otherwise(
+        F.lit("60 minutes")
+    )
+    sessions = run_to_memory(
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        _sink_name("dyn_sessions"),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
