@@ -1126,3 +1126,96 @@ def stream_session_dynamic_gap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience-overlap matrix from reusable sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audience_overlap_matrix",
+    """
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS overlap
+    FROM u a JOIN u b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_overlap_matrix(spark, sf_dir):
+    """Pairwise audience overlap for every segment pair from sketches
+    BUILT ONCE: one theta sketch per event type (single scan of
+    events), then the 5x5 overlap matrix from sketch INTERSECTIONS of
+    the tiny per-type sketch table — the query pattern the reference
+    exists for, generalized to true set algebra (HLL can only
+    approximate A∩B by inclusion-exclusion with compounding error;
+    theta intersects directly on sketch bytes, exact while sketches
+    stay exact-mode).  Raw events are scanned exactly once regardless
+    of how many pairs are asked."""
+    from .functions.sketches import theta_cardinality, theta_init_agg, theta_intersection_row
+
+    (events,) = _t(spark, sf_dir, "events")
+    sketches = events.groupBy("event_type").agg(
+        theta_init_agg("user_id", 14).alias("sk")
+    )
+    a = sketches.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        theta_cardinality(theta_intersection_row("sk_a", "sk_b"))
+        .cast("long")
+        .alias("overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly latency percentile bands (ops observability workload)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_hourly_percentiles",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_hourly_percentiles(spark, sf_dir):
+    """Hourly p50/p95/p99 value bands per event type — the canonical
+    observability rollup.  One aggregation computes all three ranks
+    (`percentile(value, array(...))`, a single sorted pass per group);
+    at 100x the same shape swaps in the mergeable KLL sketch
+    (`kll_quantiles_quantity`) so partials combine map-side — exact
+    interpolated percentiles per (type, hour) here, matching DuckDB's
+    quantile_cont."""
+    (events,) = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+        )
+        .agg(pct.alias("ps"))
+        .select(
+            "event_type",
+            "hour",
+            F.round(F.element_at("ps", 1), 4).alias("p50"),
+            F.round(F.element_at("ps", 2), 4).alias("p95"),
+            F.round(F.element_at("ps", 3), 4).alias("p99"),
+        )
+    )

@@ -282,3 +282,38 @@ def test_local_clustering_k4_and_star(spark):
     # leaves have deg 1 -> excluded; the hub has deg 5, zero triangles
     assert set(srows) == {0}
     assert srows[0]["n_triangles"] == 0 and srows[0]["coeff"] == 0.0
+
+
+def test_cross_corpus_equals_restricted_self_join(spark):
+    """cross_corpus_jaccard_pairs(new, cor) must equal the full
+    self-join of (new UNION cor) restricted to cross pairs — the
+    equivalence that makes the incremental operator a drop-in for
+    re-running global dedup (ids disjoint, new ids < corpus ids, so
+    the a<b self-join orientation matches (new, corpus))."""
+    from spark_alchemy_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        "pack my box with five dozen liquor jugs tonight",
+        "entirely different content with no overlap at all",
+    ]
+    new = _docs(spark, [(i, texts[i % 5] + f" tail{i % 2}") for i in range(5)])
+    cor = _docs(spark, [(100 + i, texts[i % 5] + f" tail{i % 3}") for i in range(7)])
+    cross = {
+        (r["new_id"], r["corpus_id"], r["inter"], r["uni"])
+        for r in cross_corpus_jaccard_pairs(
+            new, cor, "doc_id", "text", threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    full = ngram_jaccard_pairs(
+        new.unionByName(cor), "doc_id", "text", threshold_num=1, threshold_den=2
+    )
+    restricted = {
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in full.collect()
+        if r["id_a"] < 100 <= r["id_b"]
+    }
+    assert cross == restricted
+    assert len(cross) > 0
