@@ -275,3 +275,52 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
         ["x", "z"],
     )
     return closing, deg
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every
+    node with degree < k, recompute degrees on the induced subgraph".
+    Returns (v, deg) for nodes surviving all rounds, with their
+    degree in the final induced subgraph.
+
+    BOUNDED by design: a fixed round count makes the result exactly
+    reproducible (and SQL-replayable by unrolling) regardless of
+    whether the peel has converged — callers wanting the true k-core
+    run rounds up to the graph's degeneracy ordering depth, checking
+    the converged-flag (no node dropped) per round.  Scale shape: each
+    round is one degree aggregation + two semi joins, lineage cut per
+    round like the CC/pagerank loops above.
+    """
+    cur = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        cur.select(F.col("a").alias("v"))
+        .unionAll(cur.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return final_deg.filter(F.col("deg") >= k)

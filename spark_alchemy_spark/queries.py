@@ -558,7 +558,15 @@ def _pair_recall_report(spark, sf_dir, approx_pairs, min_recall: float):
     from .operators.dedup import ngram_jaccard_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(documents, "doc_id", "text").select("id_a", "id_b")
+    # materialize the exact reference ONCE: it feeds both the capture
+    # semi-join and the denominator count, and the shingle pipeline
+    # behind it (plus its eager hot-set detection pass) is the dominant
+    # cost of every recall entry
+    exact = (
+        ngram_jaccard_pairs(documents, "doc_id", "text")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     captured = exact.join(
         approx_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     )

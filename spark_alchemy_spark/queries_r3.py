@@ -1219,3 +1219,73 @@ def window_hourly_percentiles(spark, sf_dir):
             F.round(F.element_at("ps", 3), 4).alias("p99"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_kcore_dup_families",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e0 AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 10 >= (na.n + nb.n - inter) * 5),
+    d1 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+    k1 AS (SELECT v FROM d1 WHERE deg >= 2),
+    e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+           JOIN k1 x ON x.v = e0.a JOIN k1 y ON y.v = e0.b),
+    d2 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+    k2 AS (SELECT v FROM d2 WHERE deg >= 2),
+    e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+           JOIN k2 x ON x.v = e1.a JOIN k2 y ON y.v = e1.b),
+    d3 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+    k3 AS (SELECT v FROM d3 WHERE deg >= 2),
+    e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+           JOIN k3 x ON x.v = e2.a JOIN k3 y ON y.v = e2.b),
+    d4 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v),
+    k4 AS (SELECT v FROM d4 WHERE deg >= 2),
+    e4 AS (SELECT e3.a, e3.b FROM e3
+           JOIN k4 x ON x.v = e3.a JOIN k4 y ON y.v = e3.b)
+    SELECT v, count(*) AS deg FROM (
+      SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) t
+    GROUP BY v HAVING count(*) >= 2
+    """,
+)
+def graph_kcore_dup_families(spark, sf_dir):
+    """Dense duplicate FAMILIES via bounded 2-core peeling of the
+    trigram-Jaccard>=0.5 near-dup graph: repeatedly shed documents with
+    fewer than 2 near-dup partners (4 peel rounds), leaving only the
+    tightly-interlinked template/boilerplate families — chains and
+    stragglers that connected components would lump in are peeled away.
+    Fixed round count keeps the result reproducible and unrollable in
+    SQL (``operators/graph.py::kcore_bounded``); each round is one
+    degree aggregation + two semi joins with per-round lineage cuts."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import kcore_bounded
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, "doc_id", "text", threshold_num=5, threshold_den=10
+    )
+    return kcore_bounded(pairs, k=2, rounds=4, src="id_a", dst="id_b")

@@ -317,3 +317,20 @@ def test_cross_corpus_equals_restricted_self_join(spark):
     }
     assert cross == restricted
     assert len(cross) > 0
+
+
+def test_kcore_bounded_peels_tail(spark):
+    from spark_alchemy_spark.operators.graph import kcore_bounded
+
+    # triangle with a pendant chain: 1-2-3 triangle, 3-4-5 tail.
+    # 2-core = the triangle; the tail peels off (5 first, then 4).
+    g = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    got = {(r["v"], r["deg"]) for r in kcore_bounded(g, k=2, rounds=3).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+    # bounded semantics: with rounds=1 only node 5's edge is gone, so
+    # node 4 (deg 1 in the induced graph) still fails the final >= k
+    # filter but node 3 keeps deg 3 -> after ONE round the filter
+    # yields the triangle only as well; rounds=0 returns raw deg >= 2
+    got0 = {(r["v"], r["deg"]) for r in kcore_bounded(g, k=2, rounds=0).collect()}
+    assert got0 == {(1, 2), (2, 2), (3, 3), (4, 2)}
