@@ -231,12 +231,7 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
         # deg and oriented both derive from und, and checkpointing them
         # separately would re-run that upstream work per branch
         und = und.localCheckpoint(eager=True)
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _degrees(und)
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
     oriented = (
@@ -277,6 +272,17 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
     return closing, deg
 
 
+def _degrees(und: DataFrame) -> DataFrame:
+    """(v, deg) over a canonical (a, b) undirected edge list — the
+    degree aggregation shared by the triangle and k-core operators."""
+    return (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 def kcore_bounded(
     edges: DataFrame,
     k: int = 2,
@@ -291,11 +297,12 @@ def kcore_bounded(
 
     BOUNDED by design: a fixed round count makes the result exactly
     reproducible (and SQL-replayable by unrolling) regardless of
-    whether the peel has converged — callers wanting the true k-core
-    run rounds up to the graph's degeneracy ordering depth, checking
-    the converged-flag (no node dropped) per round.  Scale shape: each
-    round is one degree aggregation + two semi joins, lineage cut per
-    round like the CC/pagerank loops above.
+    whether the peel has converged.  Callers wanting the TRUE k-core
+    rerun with increasing ``rounds`` until the survivor count stops
+    shrinking (the peel depth is bounded by the node count; dup-family
+    graphs converge in a handful of rounds).  Scale shape: each round
+    is one degree aggregation + two semi joins, lineage cut per round
+    like the CC/pagerank loops above.
     """
     cur = (
         edges.filter(F.col(src) != F.col(dst))
@@ -303,24 +310,11 @@ def kcore_bounded(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = None
     for _ in range(rounds):
-        deg = (
-            cur.select(F.col("a").alias("v"))
-            .unionAll(cur.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.filter(F.col("deg") >= k).select("v")
+        keep = _degrees(cur).filter(F.col("deg") >= k).select("v")
         cur = (
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-    final_deg = (
-        cur.select(F.col("a").alias("v"))
-        .unionAll(cur.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    return final_deg.filter(F.col("deg") >= k)
+    return _degrees(cur).filter(F.col("deg") >= k)

@@ -1136,12 +1136,18 @@ def stream_session_dynamic_gap(spark, sf_dir):
 @query(
     "audience_overlap_matrix",
     """
-    WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
-           CAST(count(*) AS BIGINT) AS overlap
-    FROM u a JOIN u b ON a.user_id = b.user_id
-    WHERE a.event_type < b.event_type
-    GROUP BY 1, 2
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    o AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS overlap
+      FROM u a JOIN u b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           coalesce(o.overlap, 0) AS overlap
+    FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+    LEFT JOIN o ON o.type_a = ta.event_type AND o.type_b = tb.event_type
     """,
 )
 def audience_overlap_matrix(spark, sf_dir):
@@ -1167,12 +1173,17 @@ def audience_overlap_matrix(spark, sf_dir):
         F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
     )
     pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # a disjoint (or all-NULL-input) pair yields a NULL intersection
+    # sketch — that's overlap 0, and the matrix keeps the zero cell
     return pairs.select(
         "type_a",
         "type_b",
-        theta_cardinality(theta_intersection_row("sk_a", "sk_b"))
-        .cast("long")
-        .alias("overlap"),
+        F.coalesce(
+            theta_cardinality(
+                theta_intersection_row("sk_a", "sk_b")
+            ).cast("long"),
+            F.lit(0),
+        ).alias("overlap"),
     )
 
 
