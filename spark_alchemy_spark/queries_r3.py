@@ -1300,3 +1300,67 @@ def graph_kcore_dup_families(spark, sf_dir):
         documents, "doc_id", "text", threshold_num=5, threshold_den=10
     )
     return kcore_bounded(pairs, k=2, rounds=4, src="id_a", dst="id_b")
+
+
+# ---------------------------------------------------------------------------
+# Event-time-correct dimension enrichment on a stream (SCD2 semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_scd2_enrichment",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    weeks AS (SELECT unnest(range(0, 5)) AS w),
+    dim AS (
+      SELECT user_id, w,
+             TIMESTAMP '2024-01-01' + w * INTERVAL 7 DAY AS vf,
+             TIMESTAMP '2024-01-01' + (w + 1) * INTERVAL 7 DAY AS vt,
+             (user_id + w) % 3 AS tier
+      FROM users, weeks)
+    SELECT tier, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id AND e.ts >= d.vf AND e.ts < d.vt
+    GROUP BY tier
+    """,
+)
+def stream_scd2_enrichment(spark, sf_dir):
+    """EVENT-TIME-CORRECT dimension enrichment on a stream: each event
+    joins the dimension VERSION that was valid at the event's
+    timestamp (user tier changes weekly), not the latest row — the
+    stream-side SCD2 lookup every lakehouse enrichment eventually
+    needs.  A stream-static inner join with the validity-window range
+    predicate stays STATELESS (no watermark state; the dim broadcasts),
+    and the grouped rollup drains in complete mode.  The weekly-tier
+    dimension derives deterministically from the user set so the
+    oracle rebuilds it exactly."""
+    from .streaming import read_events_stream, run_to_memory
+
+    (events,) = _t(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    weeks = spark.range(5).select(F.col("id").alias("w"))
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    dim = users.crossJoin(weeks).select(
+        "user_id",
+        (base + F.make_interval(days=F.col("w") * 7)).alias("vf"),
+        (base + F.make_interval(days=(F.col("w") + 1) * 7)).alias("vt"),
+        ((F.col("user_id") + F.col("w")) % 3).alias("tier"),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.user_id)
+        & (stream.ts >= dim.vf)
+        & (stream.ts < dim.vt),
+        "inner",
+    )
+    rollup = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(
+        rollup,
+        _sink_name("scd2_enrich"),
+        output_mode="complete",
+        state_partitions=8,
+    )
