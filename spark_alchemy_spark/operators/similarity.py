@@ -519,16 +519,32 @@ def build_ivf_index(
     cents = train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
     )
+    assigned = _assign_to_lists(corpus, id_col, vec_col, cents)
+    # cluster the write by list id: one task per list writes one file,
+    # instead of every shuffle partition writing a sliver into every
+    # list dir (32 partitions x n_centroids tiny files slows both the
+    # write and every pruned read after it)
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path + "/lists")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def _assign_to_lists(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """(id, __v, list_id): nearest-centroid assignment — the shared
+    core of the one-off index build and incremental appends."""
     bc = F.broadcast(
         cents.select(F.col("__list").alias("__cent_id"), F.col("__cent"))
     )
-    v = corpus.select(
+    v = df.select(
         F.col(id_col).alias(id_col), _as_double(vec_col).alias("__v")
     ).repartition(id_col)
     scored = v.crossJoin(bc).withColumn(
         "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
     )
-    assigned = (
+    return (
         scored.groupBy(id_col)
         .agg(
             F.max(
@@ -545,14 +561,24 @@ def build_ivf_index(
             (-F.col("__b.__nc")).alias("list_id"),
         )
     )
-    # cluster the write by list id: one task per list writes one file,
-    # instead of every shuffle partition writing a sliver into every
-    # list dir (32 partitions x n_centroids tiny files slows both the
-    # write and every pruned read after it)
-    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+
+
+def append_ivf_index(
+    new_batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """INCREMENTAL index maintenance: assign a new vector batch to the
+    EXISTING trained centroids and append its rows into the matching
+    list partitions — no retrain, no rewrite of the standing lists.
+    This is how a 100 TB vector corpus actually grows (retraining
+    centroids per batch would rewrite the whole layout); centroid
+    drift is handled by periodic full rebuilds, not per batch.  Append
+    mode adds files only to the partitions the batch touches."""
+    spark = new_batch.sparkSession
+    cents = spark.read.parquet(path + "/centroids")
+    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents)
+    assigned.repartition("list_id").write.mode("append").partitionBy(
         "list_id"
     ).parquet(path + "/lists")
-    cents.write.mode("overwrite").parquet(path + "/centroids")
 
 
 def ivf_topk_indexed(

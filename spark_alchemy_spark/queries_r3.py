@@ -1364,3 +1364,50 @@ def stream_scd2_enrichment(spark, sf_dir):
         output_mode="complete",
         state_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (append without retrain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_index_append",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t WHERE rnk <= 10
+    """,
+)
+def ann_ivf_index_append(spark, sf_dir):
+    """INCREMENTAL vector-index maintenance: build the IVF index on the
+    standing corpus (vec_id < 250), then APPEND the new batch by
+    assigning it to the EXISTING centroids — no retrain, no rewrite of
+    the standing list partitions (append touches only the files the
+    batch lands in).  Probing all lists after the append must reduce
+    exactly to brute force over the FULL corpus, which proves the
+    appended rows landed in queryable partitions with correct
+    assignments."""
+    from .operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    standing = embeddings.filter(F.col("vec_id") < 250)
+    new_batch = embeddings.filter(F.col("vec_id") >= 250)
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_append"))
+    build_ivf_index(standing, "vec_id", "embedding", path, n_centroids=16)
+    append_ivf_index(new_batch, "vec_id", "embedding", path)
+    return ivf_topk_indexed(
+        spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
+    )
