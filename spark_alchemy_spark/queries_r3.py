@@ -1,40 +1,44 @@
-"""Battery extension (round 3): incremental-ingest dedup, contamination
-scoring, CDC snapshot diffs, robust outlier screening, sketch-windowed
-rolling distincts, schema evolution on read, geo radius joins, and
-triangle counting.
+"""Battery extension (round 3): the incremental-ingest, geo, graph,
+CDC, and streaming-composition tiers.
 
-* **Incremental cross-corpus dedup** — the shape every standing-corpus
-  deployment actually runs: dedup TODAY'S batch against the corpus
-  without re-pairing the corpus with itself (``operators/dedup.py::
-  cross_corpus_jaccard_pairs`` / ``incremental_dedup``).  Candidate
-  volume stays proportional to the batch's postings, corpus-side viral
-  shingles are DF-capped with exact probe-back correction.
-* **Containment contamination scoring** — asymmetric overlap
-  |A∩B|/|A| of document shingles against an eval/benchmark set (the
-  train-test-leakage metric; Jaccard under-scores when the benchmark
-  doc is much shorter than the training doc).  Integer threshold
-  arithmetic, inverted-index join — never pairwise text comparison.
-* **CDC snapshot diff** — full-outer key join + 128-bit content-hash
-  compare between two table snapshots -> (key, change_type) feed.
-  The generic "what changed" primitive under every incremental sync.
-* **Robust outlier screen** — median/MAD banding per group (3-sigma
-  equivalent x 1.4826), exact medians; two narrow aggregations +
-  broadcast joins, the fact rows shuffle once.
-* **Rolling distinct users via windowed sketch algebra** — hourly HLL
-  sketches UNIONED OVER A WINDOW FRAME (RANGE 2 preceding epoch-hours):
-  sketch-algebra composability demonstrated inside the window operator;
-  at lgK 21 the estimates are exact at battery cardinalities, so the
-  oracle is the exact rolling COUNT DISTINCT.
-* **Schema evolution on read** — parquet mergeSchema over batches
-  written with different column sets (the lake reality: producers add
-  columns over time); missing columns surface as NULL.
-* **Geo cell-bucketed radius join** — haversine neighbor pairs via
-  grid-cell bucketing (3x3 neighbor-cell candidates, exact distance
-  verify): the 2-D analogue of the banded range join; never a cross
-  join.
-* **Triangle counting** — degree-ordered edge orientation (each
-  triangle counted once, high-degree fan-out cut) over a kNN graph
-  built from the embeddings table.
+Incremental / curation: cross-corpus dedup of a new batch against the
+standing corpus (``dedup_incremental_batch``), containment
+contamination scoring (``prep_contamination_containment``), CDC
+snapshot diffs (``snapshot_diff_cdc``), robust median/MAD outlier
+screening (``quality_outlier_mad``), incremental IVF index
+maintenance (``ann_ivf_index_append``).
+
+Sketch compositions: hourly HLL sketches unioned over a RANGE window
+frame (``window_rolling_distinct_sketch``), sketch aggregation under
+ROLLUP (``rollup_distinct_sketch``), pairwise theta-intersection
+audience overlap from once-built sketches (``audience_overlap_matrix``),
+percentile_approx held to its rank-error contract
+(``approx_percentile_bounds``), hourly p50/p95/p99 bands
+(``window_hourly_percentiles``), weighted median via cumulative-weight
+windows (``weighted_median_price``).
+
+Geo + graph: grid-cell bucketed haversine radius join
+(``geo_cell_radius_join``), compact-forward triangle counting and
+per-node clustering coefficients over a kNN graph
+(``graph_triangle_count`` / ``graph_clustering_coefficient``), bounded
+k-core peeling of the near-dup graph (``graph_kcore_dup_families``).
+
+Lake semantics: parquet mergeSchema evolution
+(``source_schema_evolution``), dynamic partition overwrite
+(``source_dynamic_partition_overwrite``), null-aware NOT IN
+(``nullaware_not_in_orders``).
+
+Streaming compositions: chained stateful window aggregations
+(``stream_chained_windows``), stream-stream LEFT OUTER interval join
+with a safe emission horizon (``stream_interval_left_outer``),
+dynamic-gap sessions in batch and streaming
+(``session_window_dynamic_gap`` / ``stream_session_dynamic_gap``),
+event-time-correct SCD2 enrichment (``stream_scd2_enrichment``).
+
+Text/corpus + media + UDTF: Zipf rank-frequency fit
+(``text_zipf_slope``), video scene-cut detection over per-frame means
+(``media_scene_cut_counts``), polymorphic analyze()-schema UDTF
+(``udtf_polymorphic_split``).
 
 Same determinism conventions as queries.py.  Reference scope note: the
 reference (swoop-inc/spark-alchemy) delegates all relational execution

@@ -288,3 +288,102 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
             exact = len(sa & sb) / len(sa | sb)
             est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64.0
             assert abs(est - exact) <= 0.25, (exact, est)
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: geo radius join + bounded k-core laws
+# ---------------------------------------------------------------------------
+
+
+@_settings
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-59.9, max_value=59.9, allow_nan=False),
+            st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    radius=st.sampled_from([50.0, 200.0, 800.0]),
+)
+def test_radius_join_equals_brute_force(spark, pts, radius):
+    """Grid-cell candidate generation is pure pruning: the pair set
+    must equal the O(n^2) haversine filter on ARBITRARY points
+    (including near-duplicate points, cell-boundary straddlers, and
+    antimeridian neighbors from the full lon range)."""
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark.operators.geo import haversine_km, radius_join
+
+    df = spark.createDataFrame(
+        [Row(id=i, lat=la, lon=lo) for i, (la, lo) in enumerate(pts)]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(
+            df, "id", "lat", "lon", radius_km=radius, max_abs_lat=60.0
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn(
+                "d",
+                haversine_km(
+                    F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+                ),
+            )
+            .filter(F.col("d") < radius)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        ).collect()
+    }
+    assert got == want
+
+
+def _kcore_reference(edges, k, rounds):
+    """Pure-python bounded peel over a set of canonical (a, b) edges."""
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    deg = {}
+    for a, b in cur:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {(v, d) for v, d in deg.items() if d >= k}
+
+
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_kcore_bounded_matches_reference(spark, edges, k):
+    """kcore_bounded == the obvious sequential peel on arbitrary small
+    graphs (dups, self-loops, both directions, disconnected bits)."""
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark.operators.graph import kcore_bounded
+
+    if not edges:
+        return
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {
+        (r["v"], r["deg"])
+        for r in kcore_bounded(df, k=k, rounds=3).collect()
+    }
+    assert got == _kcore_reference(edges, k, 3)
