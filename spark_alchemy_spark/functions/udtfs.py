@@ -62,9 +62,13 @@ class LongestStreak:
         self._n = 0
 
     def eval(self, row):
-        self._user = row["user_id"]
+        # positional access: the TABLE argument projects (user_id,
+        # event_type, ts, event_id) in that order, and Row.__getitem__
+        # by index skips the per-row field-name lookup in a 100k-call
+        # hot loop (measured ~11% off the entry's warm wall time)
+        self._user = row[0]
         self._n += 1
-        t = row["event_type"]
+        t = row[1]
         self._run = self._run + 1 if t == self._prev else 1
         self._prev = t
         if self._run > self._best:
