@@ -62,10 +62,17 @@ class LongestStreak:
         self._n = 0
 
     def eval(self, row):
-        # positional access: the TABLE argument projects (user_id,
-        # event_type, ts, event_id) in that order, and Row.__getitem__
-        # by index skips the per-row field-name lookup in a 100k-call
-        # hot loop (measured ~11% off the entry's warm wall time)
+        # positional access: Row.__getitem__ by index skips the per-row
+        # field-name lookup in a 100k-call hot loop (measured ~11% off
+        # the entry's warm wall time).  The projection order is part of
+        # this UDTF's contract — verified ONCE per group so a caller
+        # passing TABLE(...) with reordered columns fails loudly
+        # instead of computing streaks over the wrong column.
+        if self._n == 0 and tuple(row.__fields__[:2]) != ("user_id", "event_type"):
+            raise ValueError(
+                "longest_streak_udtf expects TABLE(... ) projected as "
+                f"(user_id, event_type, ...); got {row.__fields__}"
+            )
         self._user = row[0]
         self._n += 1
         t = row[1]

@@ -86,19 +86,40 @@ def radius_join(
                 "latitude or pass cell_lon_deg explicitly"
             )
         cell_lon_deg = math.degrees(2 * math.asin(half_angle))
-    n_lon_cells = int(math.ceil(360.0 / cell_lon_deg))
+    # UNIFORM cells: floor (not ceil) so every cell — including the one
+    # closing the wrap at +/-180 — is >= the required width.  ceil left
+    # a final NARROW cell; a pair whose lon gap spanned that whole
+    # sliver landed in cells (n-2) and 0, two apart mod n, and the
+    # +/-1 neighbor probe silently missed it.
+    n_lon_cells = max(1, int(math.floor(360.0 / cell_lon_deg)))
     if n_lon_cells < 4:
         # with < 4 wrapped cells the +/-1 offsets alias (the same cell
         # reached two ways would emit duplicate pairs); collapse to ONE
         # lon cell — correct (a superset of candidates), and radii this
         # coarse are latitude-band scans anyway
         n_lon_cells = 1
-        cell_lon_deg = 360.0
+    cell_lon_deg = 360.0 / n_lon_cells
 
     spark = points.sparkSession
+    # lon cells are sized for cos(max_abs_lat); a point beyond that
+    # latitude would silently lose boundary pairs, so violating rows
+    # RAISE at execution instead (branch used in the computation, so
+    # Catalyst cannot prune it; zero extra passes)
+    lat_checked = F.when(
+        F.abs(F.col(lat_col).cast("double")) <= F.lit(float(max_abs_lat)),
+        F.col(lat_col).cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "radius_join: |lat| %s exceeds max_abs_lat "
+                + str(max_abs_lat),
+                F.col(lat_col).cast("string"),
+            )
+        )
+    )
     pts = points.select(
         F.col(id_col).alias("__id"),
-        F.col(lat_col).cast("double").alias("__lat"),
+        lat_checked.alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
     )
     # lon cells index [0, n) from -180 so adjacency wraps at the

@@ -1409,7 +1409,7 @@ def ann_ivf_index_append(spark, sf_dir):
     standing = embeddings.filter(F.col("vec_id") < 250)
     new_batch = embeddings.filter(F.col("vec_id") >= 250)
     queries_df = embeddings.filter(F.col("vec_id") < 5)
-    path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_append"))
+    path = os.path.join(tempfile.gettempdir(), f"ivf_append_{os.getpid()}")
     build_ivf_index(standing, "vec_id", "embedding", path, n_centroids=16)
     append_ivf_index(new_batch, "vec_id", "embedding", path)
     return ivf_topk_indexed(

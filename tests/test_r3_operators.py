@@ -334,3 +334,37 @@ def test_kcore_bounded_peels_tail(spark):
     # yields the triangle only as well; rounds=0 returns raw deg >= 2
     got0 = {(r["v"], r["deg"]) for r in kcore_bounded(g, k=2, rounds=0).collect()}
     assert got0 == {(1, 2), (2, 2), (3, 3), (4, 2)}
+
+
+def test_radius_join_narrow_final_cell_regression(spark):
+    """ceil-based lon cell counts left a final NARROW cell at the wrap:
+    a pair spanning that sliver landed 2 cells apart mod n and was
+    silently dropped.  This pins the exact geometry (radius 50 at
+    max_abs_lat 60 -> old layout had a 0.27-deg final cell)."""
+    pts = [
+        # just west of the old narrow final cell vs just east of -180
+        Row(id=1, lat=59.9, lon=-180 + 400 * 0.8993 - 0.01),
+        Row(id=2, lat=59.9, lon=-179.70),
+        Row(id=3, lat=59.9, lon=0.0),
+    ]
+    df = spark.createDataFrame(pts)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(
+            df, "id", "lat", "lon", radius_km=50.0, max_abs_lat=60.0
+        ).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_radius_join_raises_beyond_max_abs_lat(spark):
+    """Points beyond max_abs_lat would silently lose boundary pairs
+    (lon cells sized for cos(max_abs_lat)); they must raise instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [Row(id=1, lat=70.0, lon=0.0), Row(id=2, lat=10.0, lon=0.1)]
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        radius_join(df, "id", "lat", "lon", radius_km=25.0, max_abs_lat=60.0).collect()
