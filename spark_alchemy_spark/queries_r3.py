@@ -1415,3 +1415,49 @@ def ann_ivf_index_append(spark, sf_dir):
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative SQL TABLE functions (CREATE FUNCTION ... RETURNS TABLE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_table_function_topn",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS r
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+    SELECT o_orderpriority AS priority, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE r <= 5
+    """,
+)
+def sql_table_function_topn(spark, sf_dir):
+    """Declarative SQL TABLE function (``CREATE FUNCTION ... RETURNS
+    TABLE``): a parameterized top-5-orders-for-priority relation
+    defined IN SQL and invoked in the FROM clause — the SQL-native
+    table abstraction (next to the Python UDTF seam) that lets SQL
+    users package a reusable parameterized query without any host
+    language.  Catalyst inlines the body per invocation, so both calls
+    plan as ordinary window-limit subtrees over the same scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("sqltf_orders_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION topn_by_priority(prio STRING)
+        RETURNS TABLE (priority STRING, o_orderkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2)
+               FROM sqltf_orders_v WHERE o_orderpriority = prio
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        """
+    )
+    return spark.sql(
+        """
+        SELECT * FROM topn_by_priority('1-URGENT')
+        UNION ALL
+        SELECT * FROM topn_by_priority('5-LOW')
+        """
+    )
