@@ -368,3 +368,26 @@ def test_radius_join_raises_beyond_max_abs_lat(spark):
     )
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         radius_join(df, "id", "lat", "lon", radius_km=25.0, max_abs_lat=60.0).collect()
+
+
+def test_radius_join_plans_equi_join_on_cells(spark):
+    """The candidate join must be a hash-family EQUI join on the cell
+    key — a BroadcastNestedLoopJoin over the point pairs would mean
+    cell bucketing fell out of the plan and the operator degraded to
+    an n^2 scan.  (The only BNLJ allowed is the 9-row offset
+    crossJoin.)"""
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark import plans
+    from spark_alchemy_spark.operators.geo import radius_join
+
+    df = spark.createDataFrame(
+        [Row(id=i, lat=float(i % 50) / 10, lon=float(i % 70) / 10) for i in range(200)]
+    )
+    out = radius_join(df, "id", "lat", "lon", radius_km=30.0, max_abs_lat=6.0)
+    joins = plans.join_strategies(out)
+    equi = [j for j in joins if "HashJoin" in j or "SortMergeJoin" in j]
+    bnlj = [j for j in joins if "NestedLoop" in j]
+    assert equi, f"no equi join on cell keys in {joins}"
+    # offsets crossJoin may appear as BNLJ; the cell join itself must not
+    assert len(bnlj) <= 2, f"unexpected nested-loop joins: {joins}"
