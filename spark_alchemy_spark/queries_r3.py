@@ -1461,3 +1461,231 @@ def sql_table_function_topn(spark, sf_dir):
         SELECT * FROM topn_by_priority('5-LOW')
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase lift (association mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_copurchase_lift",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, count(*) AS cnt
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, pair.cnt AS n_both,
+           round(pair.cnt * 1.0 * n.n_orders / (ia.cnt * ib.cnt), 4) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    WHERE pair.cnt >= 3
+    """,
+)
+def basket_copurchase_lift(spark, sf_dir):
+    """Association mining over order baskets: co-purchase LIFT
+    P(A,B)/(P(A)P(B)) for every part pair appearing together in >= 3
+    orders.  The pair join is keyed on the ORDER (baskets average a
+    handful of lines, so per-order fan-out is tiny and bounded — the
+    shape that scales, unlike item-pair cross joins); item supports
+    re-aggregate from the same distinct basket table, and the order
+    count joins in as a broadcast scalar."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    b = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    pair = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("__ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("__cb"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * float(n_orders) / (F.col("__ca") * F.col("__cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT m FROM mx)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic customer-value grid: per-customer aggregates in one
+    pass, then three ntile windows over the small per-customer table
+    (never over raw orders), rolled up to the 5x5x5 segment counts.
+    Ties are broken by customer key so both engines cut identical
+    quintiles."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_date), F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_abc_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev)
+    SELECT CASE WHEN cum <= total * 0.8 THEN 'A'
+                WHEN cum <= total * 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+)
+def pareto_abc_parts(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: A = the parts
+    covering the first 80% of cumulative revenue, B to 95%, C the
+    tail — the inventory-prioritization classic.  One aggregation to
+    part grain, then a single ordered cumulative window over the
+    (much smaller) per-part table; class boundaries compare the
+    running sum against the broadcast grand total."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    abc = F.when(F.col("cum") <= F.col("total") * 0.8, F.lit("A")).when(
+        F.col("cum") <= F.col("total") * 0.95, F.lit("B")
+    ).otherwise(F.lit("C"))
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_benford_order_totals",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, n,
+           round(n * 1.0 / total, 4) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+)
+def audit_benford_order_totals(spark, sf_dir):
+    """Benford first-digit audit of order totals: observed first-digit
+    distribution next to the Benford expectation log10(1 + 1/d) — the
+    standard fraud/synthetic-data screen for financial columns.  The
+    first digit comes from integer-truncated string math (identical in
+    both engines, no float formatting); one narrow aggregation plus a
+    1-row total join."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    # floor() explicitly: Spark's double->bigint cast truncates but
+    # DuckDB's ROUNDS — floor pins identical integerization in both
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_p"),
+    )
