@@ -1689,3 +1689,92 @@ def audit_benford_order_totals(spark, sf_dir):
         F.round(F.col("n") / F.col("total"), 4).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session journey paths
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_top_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+      FROM sess GROUP BY user_id, sid)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    HAVING count(*) >= 10
+    """,
+)
+def session_top_paths(spark, sf_dir):
+    """Session JOURNEY analysis: the first three event types of every
+    30-minute-gap session concatenated into a path signature, rolled
+    up to path frequencies — the entry-flow report behind funnel
+    design.  Events never leave their (user, session) grouping: one
+    windowed island pass, then the path string comes from a sorted
+    per-session struct collect (ts + event_id tie-break, so both
+    engines walk identical orders)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 10)
+    )
