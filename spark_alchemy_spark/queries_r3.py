@@ -1778,3 +1778,74 @@ def session_top_paths(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_novelty_curve",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3),
+    first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    nov AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN first_seen f ON f.s = sh.s
+      GROUP BY sh.doc_id)
+    SELECT CAST(doc_id // 50 AS BIGINT) AS doc_bucket,
+           CAST(sum(n_novel) AS BIGINT) AS novel_shingles,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           round(sum(n_novel) * 1.0 / sum(n_shingles), 4) AS novelty_rate
+    FROM nov GROUP BY 1
+    """,
+)
+def text_novelty_curve(spark, sf_dir):
+    """Corpus NOVELTY curve: per ingest bucket (doc_id order proxies
+    arrival order), the fraction of each document's trigrams appearing
+    for the FIRST time — the saturation signal dataset curators watch
+    to decide when a source is mined out (novelty decays as the corpus
+    saturates; a flat-high curve means fresh content, a collapse means
+    boilerplate).  First occurrence is one min-aggregate over the
+    shingle index; the novelty flag is a join back on the shingle key
+    — no per-document history scan."""
+    from .functions.text import exploded_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = exploded_shingles(
+        documents.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t")),
+        "__id",
+        "__t",
+        3,
+    ).dropDuplicates(["__id", "__s"])
+    first_seen = sh.groupBy("__s").agg(F.min("__id").alias("__first"))
+    nov = (
+        sh.join(first_seen, "__s")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first") == F.col("__id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        nov.groupBy(F.floor(F.col("__id") / 50).cast("bigint").alias("doc_bucket"))
+        .agg(
+            F.sum("n_novel").alias("novel_shingles"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_shingles"), 4
+            ).alias("novelty_rate"),
+        )
+    )
