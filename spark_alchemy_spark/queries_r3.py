@@ -1849,3 +1849,55 @@ def text_novelty_curve(spark, sf_dir):
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "metric_dau_wau_stickiness",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM d),
+    dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+    wau AS (
+      SELECT a.day, count(DISTINCT b.user_id) AS wau
+      FROM days a JOIN d b
+        ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+      GROUP BY a.day)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def metric_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio every growth
+    dashboard tracks.  Daily HLL sketches built once, the trailing
+    7-day WAU from a RANGE window union over epoch-days (sketches
+    merge; user sets never re-shuffle), estimates exact at lgK 21 for
+    battery cardinalities — the same mergeable-sketch shape that keeps
+    this metric one narrow pass at 100 TB."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 21)").alias("sk"))
+        .withColumn(
+            "day_idx", (F.unix_timestamp("day") / 86400).cast("long")
+        )
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    rolled = F.expr("hll_union_agg(sk, true)").over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("dau"),
+        F.call_function("hll_sketch_estimate", rolled)
+        .cast("long")
+        .alias("wau"),
+    ).withColumn(
+        "stickiness", F.round(F.col("dau") / F.col("wau"), 4)
+    )
