@@ -1901,3 +1901,58 @@ def metric_dau_wau_stickiness(spark, sf_dir):
     ).withColumn(
         "stickiness", F.round(F.col("dau") / F.col("wau"), 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier delivery performance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_delivery_performance",
+    """
+    WITH perf AS (
+      SELECT l_suppkey,
+             count(*) AS n_lines,
+             sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                      THEN 1 ELSE 0 END) AS n_late,
+             round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+               AS avg_ship_days
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, n_lines, n_late,
+           round(n_late * 1.0 / n_lines, 4) AS late_rate, avg_ship_days
+    FROM perf
+    WHERE n_lines >= 20
+    ORDER BY late_rate DESC, l_suppkey LIMIT 25
+    """,
+)
+def supplier_delivery_performance(spark, sf_dir):
+    """Worst-25 suppliers by slow-shipment rate (line shipped more
+    than 90 days after the order date), with the average order-to-ship
+    lag — the vendor-scorecard rollup.  One fact-side join on the
+    order key (orders is the small side), conditional counters at
+    supplier grain, then an ordered limit over the small supplier
+    table; the n_lines floor keeps the ranking statistically
+    meaningful and the tie-break deterministic."""
+    (lineitem, orders) = _t(spark, sf_dir, "lineitem", "orders")
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).withColumn("ship_days", F.datediff("l_shipdate", "o_orderdate"))
+    perf = joined.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("ship_days") > 90).cast("long")).alias("n_late"),
+        F.round(F.avg("ship_days"), 4).alias("avg_ship_days"),
+    )
+    return (
+        perf.filter(F.col("n_lines") >= 20)
+        .withColumn(
+            "late_rate", F.round(F.col("n_late") / F.col("n_lines"), 4)
+        )
+        .select(
+            "l_suppkey", "n_lines", "n_late", "late_rate", "avg_ship_days"
+        )
+        .orderBy(F.col("late_rate").desc(), "l_suppkey")
+        .limit(25)
+    )
