@@ -391,3 +391,50 @@ def test_radius_join_plans_equi_join_on_cells(spark):
     assert equi, f"no equi join on cell keys in {joins}"
     # offsets crossJoin may appear as BNLJ; the cell join itself must not
     assert len(bnlj) <= 2, f"unexpected nested-loop joins: {joins}"
+
+
+def test_append_ivf_index_assigns_to_existing_centroids(spark, tmp_path):
+    """Appending a batch must reuse the EXISTING centroids (no retrain:
+    the sidecar is unchanged) and land every new vector in the list of
+    its nearest centroid, queryable alongside the standing corpus."""
+    import numpy as np
+
+    from spark_alchemy_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    standing = df.filter(F.col("vec_id") < 30)
+    batch = df.filter(F.col("vec_id") >= 30)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(standing, "vec_id", "embedding", path, n_centroids=4)
+    cents_before = sorted(
+        tuple(r["__cent"]) for r in spark.read.parquet(path + "/centroids").collect()
+    )
+    append_ivf_index(batch, "vec_id", "embedding", path)
+    cents_after = sorted(
+        tuple(r["__cent"]) for r in spark.read.parquet(path + "/centroids").collect()
+    )
+    assert cents_before == cents_after  # no retrain
+    lists = spark.read.parquet(path + "/lists")
+    assert lists.count() == 40  # every vector present exactly once
+    assert lists.select("vec_id").distinct().count() == 40
+    # probing ALL lists must recover exact top-3 for a batch vector
+    q = df.filter(F.col("vec_id") == 35)
+    got = {
+        r["neighbor_id"]
+        for r in ivf_topk_indexed(
+            spark, path, q, "vec_id", "embedding", k=3, nprobe=4
+        ).collect()
+    }
+    sims = vecs @ vecs[35] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[35])
+    )
+    sims[35] = -2
+    want = set(np.argsort(np.round(sims, 4))[-3:].tolist())
+    assert got == {int(w) for w in want}
