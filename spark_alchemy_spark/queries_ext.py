@@ -997,22 +997,31 @@ def curate_corpus_near_dedup(spark, sf_dir):
     -- full value-level replay of the SYNTH codec + thumbnail featurizer:
     -- pixel(y,x,ch) = (doc_id + (y*w + x)*3 + ch) % 256, nearest-resize to
     -- 8x8, grayscale = channel mean / 255; round_even matches numpy.
+    -- Arrays are emitted as comma-joined 1e-4-quantized integers so the
+    -- output is scalar-only (the driver's canonicalizer cannot sort
+    -- list-valued columns); quantization happens identically on both
+    -- sides AFTER the round-even snap, so this is still a value-level
+    -- check of every element.
     SELECT doc_id,
            CAST(16 + doc_id % 17 AS INTEGER) AS width,
            CAST(8 + doc_id % 11 AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
-           [round_even(list_aggregate(
-              [CAST((doc_id + 3*j + ch) % 256 AS DOUBLE)
-               for j in range(0, (16 + doc_id % 17) * (8 + doc_id % 11))],
-              'avg'), 4) for ch in range(0, 3)] AS channel_mean,
-           [round_even((
-              CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
-                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 0) % 256 AS DOUBLE)
-            + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
-                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 1) % 256 AS DOUBLE)
-            + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
-                    + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 2) % 256 AS DOUBLE)
-           ) / 3.0 / 255.0, 4) for k in range(0, 64)] AS embedding
+           array_to_string(
+             [CAST(round(round_even(list_aggregate(
+                [CAST((doc_id + 3*j + ch) % 256 AS DOUBLE)
+                 for j in range(0, (16 + doc_id % 17) * (8 + doc_id % 11))],
+                'avg'), 4) * 10000) AS BIGINT) for ch in range(0, 3)],
+             ',') AS channel_mean,
+           array_to_string(
+             [CAST(round(round_even((
+                CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                      + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 0) % 256 AS DOUBLE)
+              + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                      + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 1) % 256 AS DOUBLE)
+              + CAST((doc_id + ((k // 8) * (8 + doc_id % 11) // 8 * (16 + doc_id % 17)
+                      + (k % 8) * (16 + doc_id % 17) // 8) * 3 + 2) % 256 AS DOUBLE)
+             ) / 3.0 / 255.0, 4) * 10000) AS BIGINT) for k in range(0, 64)],
+             ',') AS embedding
     FROM documents
     """,
 )
@@ -1021,11 +1030,32 @@ def media_image_features(spark, sf_dir):
     batch at a time (the CLIP-featurizer plumbing with a numpy body).
     The SYNTH codec is a closed-form pixel formula, so the oracle
     replays decode + nearest-resize + channel stats value-for-value in
-    SQL — a true end-to-end check of the Arrow plumbing."""
+    SQL — a true end-to-end check of the Arrow plumbing.
+
+    The battery entry flattens the two array<double> columns to
+    comma-joined 1e-4-quantized integer strings (both sides) because
+    the round driver's canonicalizer sorts with pandas and cannot hash
+    list cells; values already sit on a 4-decimal grid (numpy round
+    half-even), so the *10000 quantization is lossless."""
     from .multimodal import image_features
 
     media = _synth_media(spark, sf_dir)
-    return image_features(media, "media", "doc_id", thumb=8)
+    feats = image_features(media, "media", "doc_id", thumb=8)
+
+    def _qjoin(c):
+        return F.concat_ws(
+            ",",
+            F.transform(c, lambda v: F.round(v * 10000).cast("long").cast("string")),
+        )
+
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        _qjoin(F.col("channel_mean")).alias("channel_mean"),
+        _qjoin(F.col("embedding")).alias("embedding"),
+    )
 
 
 # Sketch-family extension (theta set algebra, KLL quantiles) registers

@@ -75,28 +75,40 @@ def prep_pack_contiguous(spark, sf_dir):
 @query(
     "prep_pack_greedy",
     f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, doc_id % 8 AS shard, len({_WS}) AS tok,
-             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+    -- non-recursive replay of the greedy recurrence: per shard, fold the
+    -- doc_id-ordered token list with list_reduce; the accumulator is a
+    -- flat BIGINT list [acc, pack, p_1..p_i] (struct accumulators are
+    -- miscompiled by some DuckDB versions, and recursive-CTE semantics
+    -- vary across versions — a flat fold does neither).
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_WS}) AS tok
       FROM documents
     ),
-    s AS (
-      SELECT shard, rn, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
-      FROM t WHERE rn = 1
-      UNION ALL
-      SELECT t.shard, t.rn, t.tok,
-             CASE WHEN s.acc + t.tok <= 512 THEN s.acc + t.tok ELSE t.tok END,
-             CASE WHEN s.acc + t.tok <= 512 THEN s.pack ELSE s.pack + 1 END
-      FROM s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+    g AS (
+      SELECT shard,
+             list(tok ORDER BY doc_id) AS toks,
+             list_reduce(
+               [[CAST(tok AS BIGINT), 0, 0]
+                for tok in list(tok ORDER BY doc_id)],
+               (a, e) -> CASE WHEN a[1] + e[1] <= 512
+                         THEN [a[1] + e[1], a[2]] || a[3:] || [a[2]]
+                         ELSE [e[1], a[2] + 1] || a[3:] || [a[2] + 1] END
+             )[3:] AS packs
+      FROM t GROUP BY shard
+    ),
+    u AS (
+      SELECT shard, unnest(packs) AS pack_id, unnest(toks) AS tok FROM g
     )
-    SELECT shard, pack AS pack_id, count(*) AS n_docs, sum(tok) AS pack_tokens
-    FROM s GROUP BY shard, pack
+    SELECT shard, pack_id, count(*) AS n_docs, sum(tok) AS pack_tokens
+    FROM u GROUP BY shard, pack_id
     """,
 )
 def prep_pack_greedy(spark, sf_dir):
     """First-fit greedy packing (no pack exceeds the 512 budget except
     a lone oversize row) — same shards/order as the contiguous entry;
-    the oracle replays the recurrence as a recursive CTE."""
+    the oracle replays the recurrence as a per-shard list_reduce fold
+    (no recursion: DuckDB recursive-CTE behavior differs across
+    versions, which made this entry driver-box-sensitive in round 3)."""
     from .functions.text import token_count
     from .operators.prep import pack_sequences_greedy
 

@@ -572,13 +572,17 @@ def string_mask_pii(spark, sf_dir):
       SELECT doc_id, ws[1:4] AS a, ws[5:8] AS b FROM toks
       WHERE len(ws) >= 8)
     SELECT doc_id,
-           list_sort(list_distinct(a || b)) AS u,
-           list_sort([x FOR x IN list_distinct(a) IF list_contains(b, x)]) AS i,
-           list_sort([x FOR x IN list_distinct(a) IF NOT list_contains(b, x)]) AS e,
-           a || ['<eos>'] AS appended,
-           ['<bos>'] || a AS prepended,
+           array_to_string(list_sort(list_distinct(a || b)), '|') AS u,
+           COALESCE(array_to_string(list_sort(
+             [x FOR x IN list_distinct(a) IF list_contains(b, x)]), '|'),
+             '') AS i,
+           COALESCE(array_to_string(list_sort(
+             [x FOR x IN list_distinct(a) IF NOT list_contains(b, x)]), '|'),
+             '') AS e,
+           array_to_string(a || ['<eos>'], '|') AS appended,
+           array_to_string(['<bos>'] || a, '|') AS prepended,
            len([x FOR x IN a IF x IS NOT NULL]) AS n_compact,
-           a[2:4] || [a[1]] AS rotated
+           array_to_string(a[2:4] || [a[1]], '|') AS rotated
     FROM ab
     """,
 )
@@ -586,8 +590,10 @@ def array_functions_v2(spark, sf_dir):
     """Array function battery v2 (Spark 3.4/3.5 additions): set algebra
     (union/intersect/except — sorted on both engines, since set results
     are order-unspecified values), append/prepend, compact, and an
-    array_insert/slice rotation.  All codegen'd collection
-    expressions."""
+    array_insert/slice rotation.  All codegen'd collection expressions.
+    Array columns are '|'-joined to scalar strings on BOTH sides so the
+    battery output stays canonicalizer-safe (the driver's compare sorts
+    with pandas, which cannot hash list cells)."""
     (documents,) = _t(spark, sf_dir, "documents")
     toks = documents.select(
         "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
@@ -597,15 +603,16 @@ def array_functions_v2(spark, sf_dir):
         F.slice("ws", 1, 4).alias("a"),
         F.slice("ws", 5, 4).alias("b"),
     )
+    j = lambda c: F.array_join(c, "|")  # noqa: E731
     return ab.select(
         "doc_id",
-        F.array_sort(F.array_union("a", "b")).alias("u"),
-        F.array_sort(F.array_intersect("a", "b")).alias("i"),
-        F.array_sort(F.array_except("a", "b")).alias("e"),
-        F.array_append("a", F.lit("<eos>")).alias("appended"),
-        F.array_prepend("a", F.lit("<bos>")).alias("prepended"),
+        j(F.array_sort(F.array_union("a", "b"))).alias("u"),
+        j(F.array_sort(F.array_intersect("a", "b"))).alias("i"),
+        j(F.array_sort(F.array_except("a", "b"))).alias("e"),
+        j(F.array_append("a", F.lit("<eos>"))).alias("appended"),
+        j(F.array_prepend("a", F.lit("<bos>"))).alias("prepended"),
         F.size(F.array_compact("a")).alias("n_compact"),
-        F.concat(F.slice("a", 2, 3), F.array(F.element_at("a", 1))).alias(
+        j(F.concat(F.slice("a", 2, 3), F.array(F.element_at("a", 1)))).alias(
             "rotated"
         ),
     )

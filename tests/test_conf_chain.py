@@ -21,6 +21,27 @@ def test_error_precedence_chain(spark):
         spark.conf.unset(DEFAULT_ERROR_CONF_KEY)
 
 
+def test_gate_head_outputs_are_canonicalizer_safe(spark):
+    """The round driver samples the first 50 battery entries and its
+    compare canonicalizes with pandas ``sort_values`` over ALL columns —
+    a single array/map/struct column errors the whole row (round-3
+    ``media_image_features`` burn).  Guard: every _GATE_HEAD entry's
+    output schema is flat scalars."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    qs = entry_mod.queries()
+    for name in entry_mod._GATE_HEAD:
+        df = qs[name](spark, sf)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"nested output columns in gate-head entries: {bad}"
+
+
 def test_docs_battery_count_in_sync():
     """README's battery-count claim must match the registered battery
     (drift here would misreport coverage to a reviewer)."""
