@@ -234,6 +234,12 @@ def cross_corpus_jaccard_pairs(
     document frequency on the CORPUS side (where viral boilerplate
     lives) with the same exact probe-back correction.
 
+    Caveat (same as :func:`ngram_jaccard_pairs`): the probe-back
+    correction fixes the Jaccard VALUE of surviving candidates, but
+    pairs sharing ONLY capped (hot) shingles never become candidates
+    and are not reported.  Pass ``max_shingle_df=None`` when exact
+    uncapped semantics are required (e.g. oracle-compared entries).
+
     Returns (new_id, corpus_id, inter, uni).
     """
     new_sh, new_sizes = _doc_shingle_index(new_df, id_col, text_col, n)
@@ -279,7 +285,12 @@ def incremental_dedup(
     new docs that exactly match a corpus doc (128-bit content hash —
     catches short docs below the shingle width) or near-match one at
     n-gram Jaccard >= threshold.  The corpus itself is never modified
-    and never self-joined — the incremental-ingest contract."""
+    and never self-joined — the incremental-ingest contract.
+
+    Caveat: with the default ``max_shingle_df`` cap, new docs whose
+    entire overlap with a corpus doc is hot (capped) shingles are NOT
+    detected as near-duplicates — pass ``max_shingle_df=None`` for
+    exact uncapped semantics (oracle-compared entries do)."""
     exact_hits = (
         new_df.select(F.col(id_col), content_key(text_col).alias("__ck"))
         .join(

@@ -173,6 +173,55 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(w))
 
 
+def longest_streak(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Per-key longest run of consecutive identical ``value_col``
+    values in ``order_cols`` order — the production (all-JVM) form of
+    ``functions.udtfs.LongestStreak``.
+
+    Returns (key, best_type, best_streak, n_rows); ties resolve to the
+    run seen first in order (same contract as the UDTF).  Entirely
+    whole-stage-codegen window algebra with ONE exchange: the gap-group
+    trick (break flag -> cumulative sum) tags runs, then the run-length
+    and best-run windows partition by supersets of ``key``, which
+    Spark's EnsureRequirements satisfies with the existing
+    hashpartitioning(key) — they add sorts, not shuffles.  At 100 TB
+    the cost is one shuffle of the event columns plus per-partition
+    sorts; no Python boundary anywhere (the UDTF variant pays a
+    per-row pickle round-trip, kept only as the Spark 4 table-function
+    API demonstration)."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    brk = F.when(F.col(value_col).eqNullSafe(prev), F.lit(0)).otherwise(F.lit(1))
+    g = df.select(key, value_col, *order_cols).withColumn(
+        "__grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w_run = Window.partitionBy(key, value_col, "__grp")
+    runs = (
+        g.withColumn("__rn", F.row_number().over(w_run.orderBy(*order_cols)))
+        .withColumn("__len", F.count(F.lit(1)).over(w_run))
+        .filter(F.col("__rn") == 1)
+    )
+    w_key = Window.partitionBy(key)
+    w_best = w_key.orderBy(F.col("__len").desc(), *order_cols)
+    return (
+        runs.withColumn("__n", F.sum("__len").over(w_key))
+        .withColumn("__brn", F.row_number().over(w_best))
+        .filter(F.col("__brn") == 1)
+        .select(
+            key,
+            F.col(value_col).alias("best_type"),
+            F.col("__len").cast("int").alias("best_streak"),
+            F.col("__n").cast("int").alias("n_rows"),
+        )
+    )
+
+
 def ewma(
     df,
     key_col: str,

@@ -523,7 +523,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
+        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
     )
 
 
@@ -563,7 +564,7 @@ def _pair_recall_report(spark, sf_dir, approx_pairs, min_recall: float):
     # behind it (plus its eager hot-set detection pass) is the dominant
     # cost of every recall entry
     exact = (
-        ngram_jaccard_pairs(documents, "doc_id", "text")
+        ngram_jaccard_pairs(documents, "doc_id", "text", max_shingle_df=None)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )

@@ -107,7 +107,10 @@ def dedup_incremental_batch(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     batch = documents.filter(F.col("doc_id") % 10 == 0)
     corpus = documents.filter(F.col("doc_id") % 10 != 0)
-    return incremental_dedup(batch, corpus, "doc_id", "text").select(
+    return incremental_dedup(
+        batch, corpus, "doc_id", "text",
+        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
+    ).select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -1301,7 +1304,8 @@ def graph_kcore_dup_families(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", threshold_num=5, threshold_den=10
+        documents, "doc_id", "text", threshold_num=5, threshold_den=10,
+        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
     )
     return kcore_bounded(pairs, k=2, rounds=4, src="id_a", dst="id_b")
 

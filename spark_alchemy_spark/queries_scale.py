@@ -850,7 +850,8 @@ def dedup_cluster_components(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
+        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
     )
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.groupBy("comp").agg(
@@ -932,7 +933,8 @@ def curate_canonical_docs(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10
+        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
+        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
     )
     comps = connected_components(pairs, "id_a", "id_b")
     dropped = comps.filter(F.col("node") != F.col("comp")).select(
