@@ -43,6 +43,7 @@ __all__ = [
     "kll_quantile",
     "kll_rank",
     "kll_count",
+    "kll_weighted_quantiles",
 ]
 
 
@@ -153,6 +154,43 @@ def kll_rank(sketch, value: float) -> Column:
 def kll_count(sketch) -> Column:
     """Total weight (row count) the sketch has absorbed."""
     return F.kll_sketch_get_n_double(_c(sketch)).cast("bigint")
+
+
+def kll_weighted_quantiles(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    ranks: list[float],
+    k: int | None = None,
+):
+    """Weighted quantiles via KLL: each value is offered ``weight``
+    times (integer weights, e.g. repeat/line counts) to a per-group
+    sketch, then any rank reads off the merged sketch.
+
+    The expansion happens MAP-SIDE, in the same stage as the partial
+    ``kll_sketch_agg_double`` — the shuffle carries only k-bounded
+    sketch bytes per group, never the expanded rows.  That is the 100
+    TB replacement for the global per-group sort+cumsum window the
+    exact weighted median needs: CPU scales with total weight, network
+    with #groups x sketch size.  Accuracy is KLL's normalized-rank
+    guarantee (~0.01% at k=65535), not exact; keep the exact path
+    (grid-binned CDF, ``queries_r4.weighted_median_price_sketch``'s
+    oracle) for small data or verification.
+
+    Returns one row per group: (*group_cols, q_<rank>... , n_weight).
+    """
+    w = _c(weight_col).cast("int")
+    expanded = df.select(
+        *group_cols,
+        F.explode(F.array_repeat(_c(value_col).cast("double"), w)).alias("__v"),
+    )
+    sk = expanded.groupBy(*group_cols).agg(kll_init_agg("__v", k).alias("__sk"))
+    cols = [
+        kll_quantile("__sk", q).alias(f"q_{str(q).replace('.', '_')}")
+        for q in ranks
+    ]
+    return sk.select(*group_cols, *cols, kll_count("__sk").alias("n_weight"))
 
 
 def register_sql(spark) -> None:

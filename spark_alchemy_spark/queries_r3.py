@@ -1960,3 +1960,5 @@ def supplier_delivery_performance(spark, sf_dir):
         .orderBy(F.col("late_rate").desc(), "l_suppkey")
         .limit(25)
     )
+
+from . import queries_r4  # noqa: E402,F401  (registration side effect)

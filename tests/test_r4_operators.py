@@ -1,0 +1,157 @@
+"""Round-4 operators: JVM window longest_streak (production path for
+the partitioned-TABLE UDTF), KLL weighted quantiles, and the
+weighted-median scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_alchemy_spark.operators.temporal import longest_streak
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# longest_streak
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts=ts, event_id=e) for u, t, ts, e in rows]
+    )
+
+
+def test_longest_streak_basic(spark):
+    df = _events(
+        spark,
+        [
+            (1, "a", 1, 1),
+            (1, "a", 2, 2),
+            (1, "b", 3, 3),
+            (1, "b", 4, 4),
+            (1, "b", 5, 5),
+            (2, "x", 1, 6),
+        ],
+    )
+    got = {
+        tuple(r)
+        for r in longest_streak(
+            df, "user_id", "event_type", ["ts", "event_id"]
+        ).collect()
+    }
+    assert got == {(1, "b", 3, 5), (2, "x", 1, 1)}
+
+
+def test_longest_streak_tie_resolves_to_first_run(spark):
+    # two runs of length 2: 'a' first in time order wins
+    df = _events(
+        spark,
+        [(1, "a", 1, 1), (1, "a", 2, 2), (1, "b", 3, 3), (1, "b", 4, 4)],
+    )
+    row = longest_streak(df, "user_id", "event_type", ["ts", "event_id"]).collect()[0]
+    assert (row["best_type"], row["best_streak"], row["n_rows"]) == ("a", 2, 4)
+
+
+def test_longest_streak_null_types_form_runs(spark):
+    # eqNullSafe: NULL == NULL continues a run (IS DISTINCT FROM in SQL)
+    df = _events(
+        spark,
+        [(1, None, 1, 1), (1, None, 2, 2), (1, "a", 3, 3)],
+    )
+    row = longest_streak(df, "user_id", "event_type", ["ts", "event_id"]).collect()[0]
+    assert (row["best_type"], row["best_streak"]) == (None, 2)
+
+
+def test_longest_streak_matches_udtf_entry(spark):
+    """The production window operator and the Spark 4 UDTF API demo
+    must produce identical results on the same events table."""
+    from spark_alchemy_spark.queries import QUERIES
+
+    jvm = {
+        tuple(r)
+        for r in QUERIES["streak_longest_per_user"](spark, SF).collect()
+    }
+    udtf = {
+        tuple(r)
+        for r in QUERIES["udtf_partitioned_streaks"](spark, SF).collect()
+    }
+    assert jvm == udtf and len(jvm) > 0
+
+
+def test_longest_streak_plan_one_exchange_no_python(spark):
+    """The scale contract: zero Python boundaries, and ONE shuffle —
+    the run/best windows partition by supersets of the key and must
+    reuse its hashpartitioning (sorts, not exchanges)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = longest_streak(ev, "user_id", "event_type", ["ts", "event_id"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "PythonUDTF" not in plan
+    # AQE's toString prints the final AND the initial plan; count
+    # exchanges only in the final section
+    final = plan.split("== Initial Plan ==")[0]
+    n = final.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 exchange in final plan, got {n}:\n{final[:3000]}"
+
+
+# ---------------------------------------------------------------------------
+# KLL weighted quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_kll_weighted_quantiles_exact_in_exact_mode(spark):
+    """Below KLL capacity every value is retained: weighted quantiles
+    are exact order statistics of the expanded multiset."""
+    from spark_alchemy_spark.functions.sketches import kll_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(v), w=w) for v, w in [(1, 1), (2, 3), (10, 1)]]
+    )
+    # expanded multiset: [1, 2, 2, 2, 10] -> median 2, q0.9 -> 10
+    out = kll_weighted_quantiles(df, ["g"], "v", "w", ranks=[0.5, 0.9]).collect()[0]
+    assert out["n_weight"] == 5
+    assert out["q_0_5"] == 2.0
+    assert out["q_0_9"] == 10.0
+
+
+def test_kll_weighted_quantiles_zero_weight_rows_are_absent(spark):
+    from spark_alchemy_spark.functions.sketches import kll_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0, w=2), Row(g="a", v=99.0, w=0)]
+    )
+    out = kll_weighted_quantiles(df, ["g"], "v", "w", ranks=[1.0]).collect()[0]
+    assert out["n_weight"] == 2 and out["q_1_0"] == 1.0
+
+
+def test_kll_weighted_shuffle_carries_sketches_not_rows(spark):
+    """The expansion must stay map-side: the aggregate below the
+    exchange is the partial kll sketch, so the shuffle volume is
+    #groups x sketch bytes — assert partial aggregation exists under
+    the exchange in the plan."""
+    from spark_alchemy_spark.functions.sketches import kll_weighted_quantiles
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = kll_weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", ranks=[0.5]
+    )
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # partial kll agg (merge=false) below the exchange, final above
+    first_agg = plan.index("kll_sketch_agg_double")
+    assert "Exchange" in plan[: first_agg] or plan.count("HashAggregate") >= 2
+
+
+def test_weighted_median_sketch_entry_agrees_with_exact_entry(spark):
+    from spark_alchemy_spark.queries import QUERIES
+
+    exact = {
+        (r["l_returnflag"], r["weighted_median"])
+        for r in QUERIES["weighted_median_price"](spark, SF).collect()
+    }
+    binned = {
+        (r["l_returnflag"], r["weighted_median"])
+        for r in QUERIES["weighted_median_price_sketch"](spark, SF).collect()
+    }
+    assert exact == binned and len(exact) == 3
