@@ -524,17 +524,27 @@ def build_ivf_index(
     # instead of every shuffle partition writing a sliver into every
     # list dir (32 partitions x n_centroids tiny files slows both the
     # write and every pruned read after it)
-    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(path + "/lists")
+    assigned = assigned.localCheckpoint(eager=False)
+    assigned.drop("__best_cos").repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # build-time assignment quality sidecar: the drift baseline for
+    # incremental appends (append_ivf_index compares each batch's mean
+    # assigned-centroid cosine against this)
+    assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__best_cos").alias("mean_assigned_cos"),
+    ).write.mode("overwrite").parquet(path + "/stats")
 
 
 def _assign_to_lists(
     df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
 ) -> DataFrame:
-    """(id, __v, list_id): nearest-centroid assignment — the shared
-    core of the one-off index build and incremental appends."""
+    """(id, __v, list_id, __best_cos): nearest-centroid assignment —
+    the shared core of the one-off index build and incremental
+    appends.  ``__best_cos`` (the winning cosine) doubles as the
+    assignment-quality signal the drift detector aggregates."""
     bc = F.broadcast(
         cents.select(F.col("__list").alias("__cent_id"), F.col("__cent"))
     )
@@ -559,26 +569,70 @@ def _assign_to_lists(
             id_col,
             F.col("__b.__v").alias("__v"),
             (-F.col("__b.__nc")).alias("list_id"),
+            F.col("__b.__csim").alias("__best_cos"),
         )
     )
 
 
 def append_ivf_index(
-    new_batch: DataFrame, id_col: str, vec_col: str, path: str
-) -> None:
+    new_batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    drift_ratio_threshold: float = 0.8,
+) -> dict:
     """INCREMENTAL index maintenance: assign a new vector batch to the
     EXISTING trained centroids and append its rows into the matching
     list partitions — no retrain, no rewrite of the standing lists.
     This is how a 100 TB vector corpus actually grows (retraining
     centroids per batch would rewrite the whole layout); centroid
     drift is handled by periodic full rebuilds, not per batch.  Append
-    mode adds files only to the partitions the batch touches."""
+    mode adds files only to the partitions the batch touches.
+
+    Drift detection: as the distribution of appended vectors drifts
+    away from the build-time corpus, recall of the appended vectors vs
+    brute force degrades (the centroids no longer tile the data).  The
+    batch's mean assigned-centroid cosine divided by the build-time
+    mean (``/stats`` sidecar) is the drift ratio; below
+    ``drift_ratio_threshold`` (default 0.8 — appended vectors sit >20%
+    further from every centroid than the corpus did) the report flags
+    ``retrain_recommended`` and the operator owner should schedule a
+    full rebuild.  Indexes built before the sidecar existed rebuild
+    the baseline from the standing lists (one extra scan, documented).
+
+    Returns the drift report dict: n_appended, batch_mean_cos,
+    build_mean_cos, drift_ratio, retrain_recommended.
+    """
     spark = new_batch.sparkSession
     cents = spark.read.parquet(path + "/centroids")
-    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents)
-    assigned.repartition("list_id").write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(path + "/lists")
+    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
+        eager=False
+    )
+    assigned.drop("__best_cos").repartition("list_id").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(path + "/lists")
+
+    batch = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
+    ).collect()[0]
+    try:
+        base = spark.read.parquet(path + "/stats").collect()[0]
+        build_mean = float(base["mean_assigned_cos"])
+    except Exception:
+        # pre-sidecar index: derive the baseline from the standing lists
+        lists = spark.read.parquet(path + "/lists")
+        rescored = _assign_to_lists(lists, id_col, "__v", cents)
+        build_mean = float(
+            rescored.agg(F.avg("__best_cos").alias("m")).collect()[0]["m"]
+        )
+    ratio = (float(batch["m"]) / build_mean) if build_mean else 1.0
+    return {
+        "n_appended": int(batch["n"]),
+        "batch_mean_cos": float(batch["m"]),
+        "build_mean_cos": build_mean,
+        "drift_ratio": ratio,
+        "retrain_recommended": bool(ratio < drift_ratio_threshold),
+    }
 
 
 def ivf_topk_indexed(

@@ -143,6 +143,63 @@ def test_kll_weighted_shuffle_carries_sketches_not_rows(spark):
     assert "Exchange" in plan[: first_agg] or plan.count("HashAggregate") >= 2
 
 
+def test_ivf_append_drift_detection(spark, tmp_path):
+    """A well-matched append batch keeps the drift ratio ~1; a
+    pathological batch (a cluster the build corpus never saw, far from
+    every trained centroid) must trip retrain_recommended.
+
+    Uses synthetic CLUSTERED vectors, not the near-uniform testdata
+    embeddings: the detector's contract is about clustered corpora
+    (where 'no centroid is close to the batch' is a meaningful event),
+    and tiny uniform corpora carry train-set bias in the baseline."""
+    import numpy as np
+
+    from spark_alchemy_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per = 8, 60
+    centers = np.eye(4, dim) * 10.0
+
+    def cluster_rows(c_idx, start_id, n):
+        pts = centers[c_idx] + rng.normal(0, 0.5, size=(n, dim))
+        return [
+            Row(vec_id=start_id + i, embedding=[float(x) for x in pts[i]])
+            for i in range(n)
+        ]
+
+    corpus = []
+    for c in range(4):
+        corpus += cluster_rows(c, 1000 * c, per)
+    standing = spark.createDataFrame(corpus)
+    path = str(tmp_path / "ivf_drift")
+    build_ivf_index(standing, "vec_id", "embedding", path, n_centroids=4)
+
+    good = spark.createDataFrame(
+        [r for c in range(4) for r in cluster_rows(c, 10_000 + 1000 * c, 10)]
+    )
+    rep = append_ivf_index(good, "vec_id", "embedding", path)
+    assert rep["n_appended"] == 40
+    assert rep["drift_ratio"] > 0.9 and not rep["retrain_recommended"]
+
+    # a new cluster in a direction no centroid covers (negative octant)
+    far = -10.0 * np.ones(dim)
+    bad_rows = [
+        Row(
+            vec_id=50_000 + i,
+            embedding=[float(x) for x in far + rng.normal(0, 0.5, size=dim)],
+        )
+        for i in range(40)
+    ]
+    rep2 = append_ivf_index(
+        spark.createDataFrame(bad_rows), "vec_id", "embedding", path
+    )
+    assert rep2["drift_ratio"] < 0.8 and rep2["retrain_recommended"]
+    assert rep2["build_mean_cos"] == rep["build_mean_cos"]
+
+
 def test_weighted_median_sketch_entry_agrees_with_exact_entry(spark):
     from spark_alchemy_spark.queries import QUERIES
 
