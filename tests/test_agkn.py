@@ -15,6 +15,7 @@ from spark_alchemy_spark.functions import hll
 from spark_alchemy_spark.functions.agkn import (
     agkn_cardinality,
     agkn_cardinality_udf,
+    agkn_from_registers,
     agkn_registers,
     ds_registers,
     ds_to_agkn,
@@ -86,3 +87,86 @@ def test_hll_convert_column(spark):
 def test_hll_convert_rejects_unsupported():
     with pytest.raises(ValueError, match="not supported"):
         hll.hll_convert(F.lit(None), "AGKN", "DS")
+
+
+# ---------------------------------------------------------------------------
+# Golden byte images (VERDICT r3 #2): hand-packed from the public
+# postgresql-hll schema-v1 storage spec (STORAGE.markdown) with an
+# INDEPENDENT bit-packer (pure-python ints, not the codec's numpy
+# path), so encode/decode are pinned to the spec rather than to each
+# other.  A live postgresql-hll container is unavailable in this
+# sandbox (no docker); these literals substitute for its byte output.
+# ---------------------------------------------------------------------------
+
+
+def _pack_v1_full(log2m: int, regwidth: int, regs: list[int], meta: int = 0) -> bytes:
+    """Spec-faithful reference packer: 3-byte header, then registers
+    bit-packed MSB-first into a big-endian bitstream."""
+    assert len(regs) == 1 << log2m
+    header = bytes([(1 << 4) | 4, ((regwidth - 1) << 5) | log2m, meta])
+    stream = 0
+    for r in regs:
+        assert 0 <= r < (1 << regwidth)
+        stream = (stream << regwidth) | r
+    nbits = len(regs) * regwidth
+    pad = (-nbits) % 8
+    stream <<= pad
+    return header + stream.to_bytes((nbits + pad) // 8, "big")
+
+
+def test_agkn_golden_single_register():
+    """m=16, regwidth=6, one register set to 1 -> bytes 14 A4 00 04 00…;
+    estimate = linear counting 16*ln(16/15) ~= 1."""
+    regs = [1] + [0] * 15
+    golden = _pack_v1_full(4, 6, regs)
+    assert golden[:4] == bytes([0x14, 0xA4, 0x00, 0x04])
+    log2m, regwidth, back = agkn_registers(golden)
+    assert (log2m, regwidth) == (4, 6)
+    assert list(back) == regs
+    assert round(agkn_cardinality(golden)) == 1
+    # re-encode must be byte-identical (same metadata choice as the
+    # reference: explicit off, sparse off -> 0x00)
+    assert agkn_from_registers(4, np.array(regs, dtype=np.uint8)) == golden
+
+
+def test_agkn_golden_postgres_default_metadata_byte():
+    """Real postgresql-hll images default to sparseon=1 and auto
+    explicit cutoff (byte2 = 0x7F); the decoder must accept them — the
+    metadata byte describes the WRITER's promotion policy, not the
+    FULL payload."""
+    regs = [2, 0, 5, 0] * 4
+    golden = _pack_v1_full(4, 6, regs, meta=0x7F)
+    log2m, regwidth, back = agkn_registers(golden)
+    assert (log2m, regwidth) == (4, 6)
+    assert list(back) == regs
+
+
+def test_agkn_golden_postgres_default_params():
+    """postgresql-hll's DEFAULT layout is log2m=11, regwidth=5
+    (hll_empty() with no args): a deterministic register ramp must
+    survive decode -> re-encode byte-identically at those params."""
+    m = 1 << 11
+    regs = [(7 * i + 3) % 32 for i in range(m)]
+    golden = _pack_v1_full(11, 5, regs)
+    assert len(golden) == 3 + (m * 5 + 7) // 8
+    assert golden[1] == ((5 - 1) << 5) | 11  # 0x8B
+    log2m, regwidth, back = agkn_registers(golden)
+    assert (log2m, regwidth) == (11, 5)
+    assert list(back) == regs
+    assert agkn_from_registers(11, np.array(regs, dtype=np.uint8), regwidth=5) == golden
+
+
+def test_agkn_golden_estimator_formula():
+    """Estimator pinned to the published formula (Flajolet et al. with
+    postgresql-hll's small-range linear-counting correction), computed
+    here with independent pure-python floats."""
+    import math
+
+    m = 1 << 11
+    regs = [min((11 * i) % 40, 31) for i in range(m)]
+    golden = _pack_v1_full(11, 5, regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    expected = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+    assert abs(agkn_cardinality(golden) - expected) < 1e-6

@@ -269,3 +269,83 @@ def test_events_stream_handles_both_ts_encodings(spark, tmp_path):
         stx.windowed_counts(src2), "t_enc_long", output_mode="complete"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+
+
+def test_late_data_dropped_beyond_watermark_kept_within(spark, tmp_path):
+    """Watermark correctness property (VERDICT r3 #8): the availableNow
+    battery entries pin replay==batch, which can't see late-data
+    semantics.  Here two files replay as two microbatches
+    (maxFilesPerTrigger=1, mtime-ordered):
+
+    * batch A carries window-[00:00] events and a ts=06:00 advancer;
+    * batch B carries a ts=09:00 advancer (watermark firmly at 07:00
+      with the 2h delay — watermark propagation to the input filter
+      lags one microbatch in this Spark version, so the straggler
+      must arrive two batches after its window closed);
+    * batch C carries a ts=00:40 straggler (BEYOND the watermark: must
+      be dropped — the [00:00] window count stays 2 forever) and a
+      ts=07:30 out-of-order event (WITHIN the watermark: must be kept
+      and open its window).
+
+    Update mode emits changed windows per batch, so the memory sink
+    exposes whether batch C changed the [00:00] window.
+    """
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_alchemy_spark.streaming import windowed_counts
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    def write(name, hours_minutes, mtime):
+        ts = [
+            datetime(2026, 1, 1, h, m, tzinfo=timezone.utc)
+            for h, m in hours_minutes
+        ]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+                "event_type": pa.array(["x"] * len(ts)),
+                "value": pa.array([1.0] * len(ts)),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    write("a.parquet", [(0, 10), (0, 20), (6, 0)], 1_700_000_000)
+    write("b.parquet", [(9, 0)], 1_700_000_100)
+    write("c.parquet", [(0, 40), (7, 30)], 1_700_000_200)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM late_test").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    per_win: dict[str, int] = {}
+    for r in rows:
+        per_win[r["hour"]] = max(per_win.get(r["hour"], 0), r["n"])
+    # the straggler was dropped: the 00:00 window never reaches 3
+    assert per_win["2026-01-01 00:00:00"] == 2, per_win
+    # the within-watermark out-of-order event was kept
+    assert per_win.get("2026-01-01 07:00:00") == 1, per_win
