@@ -115,8 +115,10 @@ def weighted_median_price_sketch(spark, sf_dir):
     (``functions.sketches.kll_weighted_quantiles``: values offered
     weight times map-side, sketch-only shuffle) estimates the same
     median; its exact rank in the binned CDF must sit within 0.5 +- 0.01
-    (KLL's guarantee at k=65535 is ~1e-4 normalized rank error, so the
-    boolean is deterministic even though the estimate is not exact)."""
+    (KLL's guarantee at k=8192 is ~7e-4 normalized rank error — 14x
+    inside the band — so the boolean is deterministic even though the
+    estimate is not exact; k=8192 not 65535 because update cost grows
+    with k and the expansion multiplies input volume by mean weight)."""
     from .functions.sketches import kll_weighted_quantiles
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
@@ -143,7 +145,7 @@ def weighted_median_price_sketch(spark, sf_dir):
 
     kll = kll_weighted_quantiles(
         lineitem, ["l_returnflag"], "l_extendedprice", "l_quantity",
-        ranks=[0.5], k=65535,
+        ranks=[0.5], k=8192,
     ).select("l_returnflag", F.col("q_0_5").alias("kll_median"))
     # exact weighted rank of the KLL estimate, read off the binned CDF
     kll_rank = (
@@ -200,9 +202,12 @@ def hll_convert_accuracy(spark, sf_dir):
 
     (events,) = _t(spark, sf_dir, "events")
     card = agkn_cardinality_udf()
-    sk = events.agg(
-        hll.hll_init_agg("event_id", _EXACT_SD).alias("sk"),
-        F.countDistinct("event_id").alias("exact_n"),
+    # two single-row aggregations + crossJoin, NOT one combined agg: a
+    # distinct aggregate forces the two-phase Expand plan, which drags
+    # the 1 MiB lgK-20 sketch buffer through the distinct shuffle as a
+    # PartialMerge row (measured 17.5s vs 0.36s at sf0.1)
+    sk = events.agg(hll.hll_init_agg("event_id", _EXACT_SD).alias("sk")).crossJoin(
+        events.agg(F.countDistinct("event_id").alias("exact_n"))
     )
     ests = sk.select(
         "exact_n",
