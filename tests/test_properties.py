@@ -387,3 +387,35 @@ def test_kcore_bounded_matches_reference(spark, edges, k):
         for r in kcore_bounded(df, k=k, rounds=3).collect()
     }
     assert got == _kcore_reference(edges, k, 3)
+
+
+@_settings
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),  # value
+            st.integers(min_value=0, max_value=6),       # weight (incl. 0)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    rank=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_kll_weighted_quantile_equals_exact_in_exact_mode(spark, data, rank):
+    """Below KLL capacity the sketch retains every offered value, so
+    the weighted quantile must equal the exact order statistic of the
+    weight-expanded multiset (inclusive convention: smallest value
+    whose cumulative weight >= rank * total)."""
+    from spark_alchemy_spark.functions.sketches import kll_weighted_quantiles
+
+    total = sum(w for _, w in data)
+    if total == 0:
+        return  # all-zero weights: no offered values, sketch is NULL
+    df = spark.createDataFrame(
+        [(float(v), w) for v, w in data], "v double, w int"
+    ).withColumn("g", F.lit(1))
+    out = kll_weighted_quantiles(df, ["g"], "v", "w", ranks=[rank]).collect()[0]
+    expanded = sorted(v for v, w in data for _ in range(w))
+    idx = max(0, math.ceil(rank * len(expanded)) - 1)
+    assert out["n_weight"] == len(expanded)
+    assert out[f"q_{str(rank).replace('.', '_')}"] == float(expanded[idx])
