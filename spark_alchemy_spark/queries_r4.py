@@ -228,3 +228,74 @@ def hll_convert_accuracy(spark, sf_dir):
         ).alias("agkn_close"),
         (F.col("strm") == F.col("agkn")).alias("chain_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicate n-gram fraction (curation signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dup_ngram_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    ng AS (
+      SELECT lang,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4]
+                     for i in range(1, len(ws) - 3)]) AS g
+      FROM toks WHERE len(ws) >= 5),
+    c AS (SELECT lang, g, count(*) AS n FROM ng GROUP BY lang, g)
+    SELECT lang,
+           sum(n) AS total_ngrams,
+           count(*) AS distinct_ngrams,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS duplicated_occurrences,
+           round(sum(CASE WHEN n > 1 THEN n ELSE 0 END) / sum(n), 4)
+             AS dup_fraction,
+           max(n) AS max_ngram_count
+    FROM c GROUP BY lang
+    """,
+)
+def corpus_dup_ngram_fraction(spark, sf_dir):
+    """CORPUS-level duplicate word-5-gram fraction per language — the
+    RefinedWeb-style curation signal (what share of n-gram occurrences
+    are repeats of an n-gram seen elsewhere in the corpus), as opposed
+    to ``prep_repetition_stats``'s WITHIN-document Gopher screen.
+
+    Scale shape: one token-width shuffle — the (lang, 5-gram) groupBy
+    is map-side combinable, and the per-language report aggregates the
+    counted n-gram table, never the raw corpus.  At 100 TB the shuffle
+    volume is bounded by distinct n-grams per language, and a DF cap
+    is unnecessary because nothing joins back to documents."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "lang", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    ).filter(F.size("ws") >= 5)
+    grams = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice("ws", 1, F.size("ws") - 4),
+                lambda _, i: F.concat_ws(
+                    " ",
+                    F.col("ws")[i],
+                    F.col("ws")[i + 1],
+                    F.col("ws")[i + 2],
+                    F.col("ws")[i + 3],
+                    F.col("ws")[i + 4],
+                ),
+            )
+        ).alias("g"),
+    )
+    counted = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    dup_occ = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+    return counted.groupBy("lang").agg(
+        F.sum("n").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        dup_occ.alias("duplicated_occurrences"),
+        F.round(dup_occ / F.sum("n"), 4).alias("dup_fraction"),
+        F.max("n").alias("max_ngram_count"),
+    )
