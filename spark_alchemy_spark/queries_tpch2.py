@@ -459,7 +459,14 @@ def q11_important_stock(spark, sf_dir):
             .alias("v"),
         )
     )
-    by_part = natps.groupBy("ps_partkey").agg(F.sum("v").alias("sum_v"))
+    # by_part feeds BOTH the grouped values and the 1-row threshold;
+    # without a checkpoint the derived-partsupp subtree runs twice (no
+    # exchange reuse across the broadcast boundary)
+    by_part = (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sum_v"))
+        .localCheckpoint(eager=False)
+    )
     total = by_part.agg(
         (F.sum("sum_v") * F.lit("0.001").cast("decimal(10,6)")).alias("threshold")
     )
