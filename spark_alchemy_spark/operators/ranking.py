@@ -86,17 +86,24 @@ def bm25_scores(
     the scan reuse) across queries."""
     if not query_terms:
         raise ValueError("need at least one query term")
+    # tf feeds BOTH the per-doc scores and the df broadcast, and dl
+    # feeds both the length join and the corpus scalars: checkpoint
+    # each once (lazy) so the explode/tokenize passes run once, not
+    # 2-4 times (no exchange reuse across broadcast boundaries)
     tf = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term").isin(*query_terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
-    scalars = docs.agg(
+    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl")).localCheckpoint(
+        eager=False
+    )
+    scalars = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(text_col)).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(
         1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
