@@ -1501,7 +1501,13 @@ def basket_copurchase_lift(spark, sf_dir):
     re-aggregate from the same distinct basket table, and the order
     count joins in as a broadcast scalar."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    b = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # b feeds the self-join (twice), the item supports, and the order
+    # count: checkpoint the distinct basket table once
+    b = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = b.select("l_orderkey").distinct().count()
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     pair = (
