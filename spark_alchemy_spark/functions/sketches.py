@@ -178,6 +178,15 @@ def kll_weighted_quantiles(
     (grid-binned CDF, ``queries_r4.weighted_median_price_sketch``'s
     oracle) for small data or verification.
 
+    Weight contract: weights are INTEGER repeat counts.  Fractional
+    weights are truncated toward zero by the int cast (2.7 -> 2
+    copies); weights <= 0 or NULL contribute nothing; a group whose
+    weights are all <= 0/NULL is ABSENT from the output (no values
+    were ever offered, matching the null-sketch algebra above), and a
+    weight outside int32 becomes NULL and drops its row.  Callers with
+    fractional importance weights should pre-scale to integers at
+    their chosen resolution.
+
     Returns one row per group: (*group_cols, q_<rank>... , n_weight).
     """
     w = _c(weight_col).cast("int")

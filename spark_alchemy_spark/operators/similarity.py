@@ -19,6 +19,7 @@ throughput beats codegen on wide vectors.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -615,11 +616,23 @@ def append_ivf_index(
     batch = assigned.agg(
         F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
     ).collect()[0]
+    if int(batch["n"]) == 0:
+        # empty append period: harmless no-op, nothing to measure
+        return {
+            "n_appended": 0,
+            "batch_mean_cos": None,
+            "build_mean_cos": None,
+            "drift_ratio": 1.0,
+            "retrain_recommended": False,
+        }
     try:
         base = spark.read.parquet(path + "/stats").collect()[0]
         build_mean = float(base["mean_assigned_cos"])
-    except Exception:
-        # pre-sidecar index: derive the baseline from the standing lists
+    except AnalysisException:
+        # pre-sidecar index (PATH_NOT_FOUND specifically — any other
+        # read error must propagate, or a transient failure would
+        # silently trigger a full standing-list rescan and compute a
+        # drift-masking baseline that includes appended batches)
         lists = spark.read.parquet(path + "/lists")
         rescored = _assign_to_lists(lists, id_col, "__v", cents)
         build_mean = float(

@@ -1392,14 +1392,18 @@ def semistructured_xml_and_maps(spark, sf_dir):
       FROM s
     ),
     runs AS (
+      -- run start = lexicographic min of the (ts, event_id) PAIR: the
+      -- run's first row in scan order.  min(ts), min(event_id) taken
+      -- separately diverges from the engine when a tied-length run has
+      -- a later first row but a smaller event_id deeper inside
       SELECT user_id, event_type, grp, count(*) AS len,
-             min(ts) AS t0, min(event_id) AS e0
+             min({'t': ts, 'e': event_id}) AS s0
       FROM g GROUP BY user_id, event_type, grp
     ),
     best AS (
       SELECT user_id, event_type AS best_type, len,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY len DESC, t0, e0) AS rn
+                                ORDER BY len DESC, s0.t, s0.e) AS rn
       FROM runs
     ),
     n AS (SELECT user_id, count(*) AS nr FROM events GROUP BY user_id)

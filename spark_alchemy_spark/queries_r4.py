@@ -53,14 +53,18 @@ from .queries import _EXACT_SD, _t, query
       FROM s
     ),
     runs AS (
+      -- run start = lexicographic min of the (ts, event_id) PAIR: the
+      -- run's first row in scan order.  min(ts), min(event_id) taken
+      -- separately diverges from the engine when a tied-length run has
+      -- a later first row but a smaller event_id deeper inside
       SELECT user_id, event_type, grp, count(*) AS len,
-             min(ts) AS t0, min(event_id) AS e0
+             min({'t': ts, 'e': event_id}) AS s0
       FROM g GROUP BY user_id, event_type, grp
     ),
     best AS (
       SELECT user_id, event_type AS best_type, len,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY len DESC, t0, e0) AS rn
+                                ORDER BY len DESC, s0.t, s0.e) AS rn
       FROM runs
     ),
     n AS (SELECT user_id, count(*) AS nr FROM events GROUP BY user_id)
@@ -114,11 +118,15 @@ def weighted_median_price_sketch(spark, sf_dir):
     Alongside, the KLL sketch path
     (``functions.sketches.kll_weighted_quantiles``: values offered
     weight times map-side, sketch-only shuffle) estimates the same
-    median; its exact rank in the binned CDF must sit within 0.5 +- 0.01
-    (KLL's guarantee at k=8192 is ~7e-4 normalized rank error — 14x
-    inside the band — so the boolean is deterministic even though the
-    estimate is not exact; k=8192 not 65535 because update cost grows
-    with k and the expansion multiplies input volume by mean weight)."""
+    median; the check pins it INSIDE the exact quantile band
+    [Q(0.49), Q(0.51)] read off the binned CDF.  A value-domain band,
+    not a rank band: KLL's guarantee at k=8192 is ~7e-4 normalized
+    rank error (14x inside 1%), and comparing VALUES keeps the boolean
+    deterministic even when a single heavy (flag, price) atom
+    straddles the median — an inclusive-rank check would jump past
+    0.51 on such an atom no matter how exact the sketch.  k=8192 not
+    65535 because update cost grows with k and the expansion
+    multiplies input volume by mean weight."""
     from .functions.sketches import kll_weighted_quantiles
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
@@ -147,19 +155,24 @@ def weighted_median_price_sketch(spark, sf_dir):
         lineitem, ["l_returnflag"], "l_extendedprice", "l_quantity",
         ranks=[0.5], k=8192,
     ).select("l_returnflag", F.col("q_0_5").alias("kll_median"))
-    # exact weighted rank of the KLL estimate, read off the binned CDF
+    # exact quantile band [Q(0.49), Q(0.51)] off the binned CDF: the
+    # KLL estimate must land inside it (value-domain check — immune to
+    # rank discontinuities at heavy atoms)
+    band = cdf.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 49, F.col("price"))
+        ).alias("q_lo"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 51, F.col("price"))
+        ).alias("q_hi"),
+    )
     kll_rank = (
-        cdf.join(F.broadcast(kll), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            (
-                F.sum(F.when(F.col("price") <= F.col("kll_median"), F.col("wt")))
-                / F.max("total")
-            ).alias("rank")
-        )
+        band.join(F.broadcast(kll), "l_returnflag")
         .select(
             "l_returnflag",
-            F.col("rank").between(0.49, 0.51).alias("kll_rank_ok"),
+            F.col("kll_median")
+            .between(F.col("q_lo"), F.col("q_hi"))
+            .alias("kll_rank_ok"),
         )
     )
     return exact.join(kll_rank, "l_returnflag").select(

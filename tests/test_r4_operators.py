@@ -137,10 +137,18 @@ def test_kll_weighted_shuffle_carries_sketches_not_rows(spark):
     df = kll_weighted_quantiles(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", ranks=[0.5]
     )
-    plan = df._jdf.queryExecution().sparkPlan().toString()
-    # partial kll agg (merge=false) below the exchange, final above
-    first_agg = plan.index("kll_sketch_agg_double")
-    assert "Exchange" in plan[: first_agg] or plan.count("HashAggregate") >= 2
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # top-down order must be: Exchange, THEN the partial kll aggregate,
+    # THEN the Generate expansion — i.e. both partial agg and explode
+    # run below the shuffle (map side).  A regression that shuffled
+    # expanded rows or dropped the partial agg breaks the ordering (or
+    # the index() lookups raise).
+    pos_x = final.index("Exchange hashpartitioning")
+    pos_partial = final.index("partial_kll_sketch_agg_double")
+    pos_gen = final.index("Generate explode")
+    assert pos_x < pos_partial < pos_gen, final[:2500]
 
 
 def test_ivf_append_drift_detection(spark, tmp_path):
@@ -212,3 +220,59 @@ def test_weighted_median_sketch_entry_agrees_with_exact_entry(spark):
         for r in QUERIES["weighted_median_price_sketch"](spark, SF).collect()
     }
     assert exact == binned and len(exact) == 3
+
+
+def test_ivf_append_empty_batch_is_noop(spark, tmp_path):
+    """An empty append period must return a no-op report, not crash on
+    the NULL batch mean."""
+    from spark_alchemy_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_empty")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=4)
+    empty = emb.filter(F.col("vec_id") < 0)
+    rep = append_ivf_index(empty, "vec_id", "embedding", path)
+    assert rep == {
+        "n_appended": 0,
+        "batch_mean_cos": None,
+        "build_mean_cos": None,
+        "drift_ratio": 1.0,
+        "retrain_recommended": False,
+    }
+
+
+def test_streak_tiebreak_engine_matches_oracle(spark):
+    """Tie-break regression (code-review r4): two runs of equal length
+    where the later-starting run contains a smaller event_id deeper
+    inside.  'First run in (ts, event_id) order' must win in BOTH the
+    engine and the DuckDB oracle — min(ts)/min(event_id) taken
+    separately would pick the wrong run ('y')."""
+    import duckdb
+    from datetime import datetime
+
+    from spark_alchemy_spark.queries import ORACLES
+
+    rows = [
+        (1, "x", datetime(2026, 1, 1, 0, 0, 5), 2),
+        (1, "x", datetime(2026, 1, 1, 0, 0, 5), 3),
+        (1, "y", datetime(2026, 1, 1, 0, 0, 5), 9),
+        (1, "y", datetime(2026, 1, 1, 0, 0, 6), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = longest_streak(df, "user_id", "event_type", ["ts", "event_id"]).collect()[0]
+    assert (got["best_type"], got["best_streak"]) == ("x", 2)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, event_type VARCHAR, "
+        "ts TIMESTAMP, event_id BIGINT)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    oracle = con.execute(ORACLES["streak_longest_per_user"]).fetchall()
+    assert len(oracle) == 1
+    assert (oracle[0][1], oracle[0][2]) == ("x", 2)
