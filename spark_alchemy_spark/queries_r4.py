@@ -11,13 +11,16 @@ the round-3 review.
   combinable; the shuffle carries distinct values, not rows), cumsum
   the tiny binned CDF, read the median.  Also runs the KLL
   weighted-quantile sketch path (map-side expansion, sketch-only
-  shuffle) and emits its exact-CDF rank check as a boolean — the KLL
-  estimate itself is approximate, so the oracle pins the contract
-  (rank within +-1%) rather than the value.
+  shuffle) and pins its estimate inside the exact quantile band
+  [Q(0.49), Q(0.51)] — the KLL estimate itself is approximate, so the
+  oracle pins the band membership boolean rather than the value.
 * ``hll_convert_accuracy`` — the reference's conversion-accuracy
-  matrix (HLLFunctionsTest.scala:356-386: p=20, n=10000) as a
-  driver-gated battery entry: DS -> AGKN and DS -> STRM -> AGKN must
-  estimate within +-1 of the DS estimate, and DS within 0.4% of exact.
+  matrix (HLLFunctionsTest.scala:356-386 shape: p=20, n=10000) as a
+  driver-gated battery entry: DS within 0.4% of exact, AGKN within
+  0.5% of DS, and DS->AGKN == DS->STRM->AGKN exactly (chain equality).
+* ``corpus_dup_ngram_fraction`` / ``prep_length_buckets`` — corpus
+  curation signal + trainer layout report, both single narrow-shuffle
+  aggregations.
 
 Same determinism conventions as queries.py.
 """
@@ -311,4 +314,54 @@ def corpus_dup_ngram_fraction(spark, sf_dir):
         dup_occ.alias("duplicated_occurrences"),
         F.round(dup_occ / F.sum("n"), 4).alias("dup_fraction"),
         F.max("n").alias("max_ngram_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing (batch-inference / padding efficiency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_length_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, tok,
+             CAST(CASE WHEN tok <= 1 THEN 1
+                  ELSE power(2, ceil(log2(tok))) END AS BIGINT) AS bucket
+      FROM t)
+    SELECT bucket, count(*) AS n_docs,
+           sum(tok) AS real_tokens,
+           count(*) * bucket AS padded_tokens,
+           round(sum(tok) * 1.0 / (count(*) * bucket), 4) AS pad_efficiency
+    FROM b GROUP BY bucket
+    """,
+)
+def prep_length_buckets(spark, sf_dir):
+    """Power-of-2 sequence-length bucketing — the batch-inference /
+    padded-training layout question: docs grouped into the smallest
+    2^k >= token-count bucket, with per-bucket padding efficiency
+    (real tokens / padded slot tokens).  One map-side-combinable
+    groupBy on the bucket id; token counting is pure codegen
+    (functions/text.py), so the report costs one narrow shuffle of
+    (bucket, count, sum) partials at any corpus size."""
+    from .functions.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select("doc_id", token_count("text").alias("tok"))
+    bucket = F.when(F.col("tok") <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2("tok")))
+    ).cast("long")
+    b = t.select("tok", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).alias("padded_tokens"),
+        F.round(
+            F.sum("tok") / (F.count(F.lit(1)) * F.col("bucket")), 4
+        ).alias("pad_efficiency"),
     )
