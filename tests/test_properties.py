@@ -419,3 +419,50 @@ def test_kll_weighted_quantile_equals_exact_in_exact_mode(spark, data, rank):
     idx = max(0, math.ceil(rank * len(expanded)) - 1)
     assert out["n_weight"] == len(expanded)
     assert out[f"q_{str(rank).replace('.', '_')}"] == float(expanded[idx])
+
+
+@_settings
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.sampled_from(["a", "b", None]),        # type (incl. NULL)
+            st.integers(min_value=0, max_value=5),    # ts (forced ties)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_longest_streak_matches_python_reference(spark, events):
+    """Window-algebra longest_streak vs a literal python scan of the
+    same (ts, event_id)-ordered events: best run (first-on-tie), run
+    length, and row count must agree for every user — including NULL
+    types (NULL == NULL continues a run) and duplicate timestamps
+    (event_id breaks ties)."""
+    from spark_alchemy_spark.operators.temporal import longest_streak
+
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    )
+    got = {
+        r["user_id"]: (r["best_type"], r["best_streak"], r["n_rows"])
+        for r in longest_streak(
+            df, "user_id", "event_type", ["ts", "event_id"]
+        ).collect()
+    }
+
+    expected = {}
+    by_user: dict[int, list] = {}
+    for u, t, ts, i in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        best_t, best, run, prev = None, 0, 0, object()
+        for _, _, t in evs:
+            run = run + 1 if t == prev else 1
+            prev = t
+            if run > best:  # strict: first run in order wins ties
+                best, best_t = run, t
+        expected[u] = (best_t, best, len(evs))
+    assert got == expected
