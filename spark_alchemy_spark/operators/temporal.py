@@ -222,6 +222,179 @@ def longest_streak(
     )
 
 
+def longest_streak_bucketed(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Skew-resilient ``longest_streak``: identical output, but no
+    single task ever holds one key's full history.
+
+    ``longest_streak`` sorts each key's events inside ONE partition —
+    correct, but a viral key (10^9 events for one user at 100 TB) pins
+    a task, and ordered windows cannot be AQE-split.  This variant
+    partitions by (key, time-bucket) instead: each bucket computes a
+    constant-size run summary (row count, prefix/suffix/best run with
+    run-start tie-break pairs), and a per-key merge folds the bucket
+    summaries in time order — runs spanning buckets re-join through
+    suffix+prefix chains (a run crossing k>2 buckets passes through
+    pure single-run middle buckets).  The merge input is #buckets rows
+    per key, so the Arrow ``applyInPandas`` fold is negligible and the
+    heavy sort parallelism is keys x buckets.
+
+    ``bucket`` defaults to ``date_trunc('day', ts_col)``; any
+    expression MONOTONE in (ts order) works.  Ties inside a timestamp
+    must stay within one bucket, which holds for any ts-derived
+    bucket."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    b = bucket if bucket is not None else F.date_trunc("day", F.col(ts_col))
+    order_cols = [ts_col, tiebreak_col]
+    src = df.select(
+        key, value_col, ts_col, tiebreak_col, b.alias("__bkt")
+    )
+    w = Window.partitionBy(key, "__bkt").orderBy(*order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    brk = F.when(F.col(value_col).eqNullSafe(prev), F.lit(0)).otherwise(F.lit(1))
+    g = src.withColumn(
+        "__grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = g.groupBy(key, "__bkt", value_col, "__grp").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.min(F.struct(F.col(ts_col).alias("t"), F.col(tiebreak_col).alias("e"))).alias(
+            "__start"
+        ),
+    )
+    # constant-size per-bucket summary: prefix run (min start), suffix
+    # run (max start), best run (len desc, start asc), row/run counts
+    summaries = runs.groupBy(key, "__bkt").agg(
+        F.sum("__len").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.min(
+            F.struct("__start", F.col("__len"), F.col(value_col).alias("v"))
+        ).alias("pre"),
+        F.max(
+            F.struct("__start", F.col("__len"), F.col(value_col).alias("v"))
+        ).alias("suf"),
+        F.min(
+            F.struct(
+                (-F.col("__len")).alias("nl"),
+                F.col("__start"),
+                F.col(value_col).alias("v"),
+            )
+        ).alias("best"),
+    )
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    _TS_TYPES = (TimestampType, TimestampNTZType)
+
+    def _ord(c: Column) -> Column:
+        # microsecond-exact ordering for timestamps (a plain long cast
+        # truncates to seconds and could mis-order sub-second ties);
+        # NTZ casts through LTZ first (driver testdata ships NTZ)
+        if isinstance(df.schema[ts_col].dataType, _TS_TYPES):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("long")
+
+    flat = summaries.select(
+        key,
+        "__bkt",
+        "n_rows",
+        "n_runs",
+        F.col("pre.v").alias("p_v"),
+        F.col("pre.__len").alias("p_len"),
+        _ord(F.col("pre.__start.t")).alias("p_t"),
+        F.col("pre.__start.e").cast("long").alias("p_e"),
+        F.col("suf.v").alias("s_v"),
+        F.col("suf.__len").alias("s_len"),
+        _ord(F.col("suf.__start.t")).alias("s_t"),
+        F.col("suf.__start.e").cast("long").alias("s_e"),
+        (-F.col("best.nl")).alias("b_len"),
+        F.col("best.v").alias("b_v"),
+        _ord(F.col("best.__start.t")).alias("b_t"),
+        F.col("best.__start.e").cast("long").alias("b_e"),
+    )
+    bkt_ord = (
+        F.unix_micros(F.col("__bkt").cast("timestamp"))
+        if isinstance(flat.schema["__bkt"].dataType, _TS_TYPES)
+        else F.col("__bkt").cast("long")
+    )
+    flat = flat.withColumn("__bkt_ord", bkt_ord)
+
+    key_field = df.schema[key]
+    val_field = df.schema[value_col]
+    out_schema = StructType(
+        [
+            StructField(key, key_field.dataType),
+            StructField("best_type", val_field.dataType),
+            StructField("best_streak", IntegerType()),
+            StructField("n_rows", IntegerType()),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__bkt_ord").reset_index(drop=True)
+
+        def eq(a, b):  # null-safe type equality (None/NaN == None/NaN)
+            an, bn = pd.isna(a), pd.isna(b)
+            return (an and bn) or (not an and not bn and a == b)
+
+        best = None  # (len, start_t, start_e, type)
+
+        def candidate(run):
+            nonlocal best
+            if run is None:
+                return
+            if (
+                best is None
+                or run[0] > best[0]
+                or (run[0] == best[0] and (run[1], run[2]) < (best[1], best[2]))
+            ):
+                best = run
+
+        carry = None
+        total = 0
+        for row in pdf.itertuples(index=False):
+            total += int(row.n_rows)
+            joined = None
+            if carry is not None and eq(carry[3], row.p_v):
+                joined = (carry[0] + int(row.p_len), carry[1], carry[2], carry[3])
+            else:
+                candidate(carry)
+            candidate((int(row.b_len), int(row.b_t), int(row.b_e), row.b_v))
+            if joined is not None and int(row.n_runs) == 1:
+                carry = joined  # whole bucket is one run: keep chaining
+                continue
+            if joined is not None:
+                candidate(joined)
+            carry = (int(row.s_len), int(row.s_t), int(row.s_e), row.s_v)
+        candidate(carry)
+        kv = pdf.iloc[0][key]
+        bt = best[3]
+        if pd.isna(bt):
+            bt = None
+        return pd.DataFrame(
+            {
+                key: [kv],
+                "best_type": [bt],
+                "best_streak": [int(best[0])],
+                "n_rows": [total],
+            }
+        )
+
+    return flat.groupBy(key).applyInPandas(merge, out_schema)
+
+
 def ewma(
     df,
     key_col: str,

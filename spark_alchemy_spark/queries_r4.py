@@ -88,6 +88,64 @@ def streak_longest_per_user(spark, sf_dir):
     return longest_streak(events, "user_id", "event_type", ["ts", "event_id"])
 
 
+@query(
+    "streak_longest_bucketed",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s
+    ),
+    runs AS (
+      -- run start = lexicographic min of the (ts, event_id) PAIR: the
+      -- run's first row in scan order.  min(ts), min(event_id) taken
+      -- separately diverges from the engine when a tied-length run has
+      -- a later first row but a smaller event_id deeper inside
+      SELECT user_id, event_type, grp, count(*) AS len,
+             min({'t': ts, 'e': event_id}) AS s0
+      FROM g GROUP BY user_id, event_type, grp
+    ),
+    best AS (
+      SELECT user_id, event_type AS best_type, len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, s0.t, s0.e) AS rn
+      FROM runs
+    ),
+    n AS (SELECT user_id, count(*) AS nr FROM events GROUP BY user_id)
+    SELECT b.user_id, best_type, CAST(len AS INT) AS best_streak,
+           CAST(nr AS INT) AS n_rows
+    FROM best b JOIN n ON n.user_id = b.user_id WHERE rn = 1
+    """,
+)
+def streak_longest_bucketed(spark, sf_dir):
+    """The SKEW-RESILIENT form of ``streak_longest_per_user``
+    (``operators.temporal.longest_streak_bucketed``): identical
+    semantics (same oracle), but no task ever holds one user's full
+    history — per-(user, hour-bucket) run summaries merge through a
+    per-user suffix+prefix chain fold, so a viral key at 100 TB
+    parallelizes across keys x buckets instead of pinning one sorted
+    partition (ordered windows cannot be AQE-split).  Equivalence to
+    the exact operator is property-tested across bucket widths."""
+    from pyspark.sql import functions as F
+
+    from .operators.temporal import longest_streak_bucketed
+
+    (events,) = _t(spark, sf_dir, "events")
+    return longest_streak_bucketed(
+        events, "user_id", "event_type", "ts", "event_id",
+        bucket=F.date_trunc("hour", F.col("ts")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted median: binned-CDF scale path + KLL sketch path
 # ---------------------------------------------------------------------------

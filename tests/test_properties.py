@@ -466,3 +466,50 @@ def test_longest_streak_matches_python_reference(spark, events):
                 best, best_t = run, t
         expected[u] = (best_t, best, len(evs))
     assert got == expected
+
+
+@_settings
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.sampled_from(["a", "b", None]),        # type (incl. NULL)
+            st.integers(min_value=0, max_value=20),   # ts
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bucket_width=st.sampled_from([1, 2, 5]),
+)
+def test_longest_streak_bucketed_equals_exact(spark, events, bucket_width):
+    """The skew-resilient bucketed variant must equal the exact
+    single-window operator for ANY bucket width — width 1 forces every
+    multi-row run to re-join across bucket boundaries through the
+    suffix+prefix chain, width 5 mixes pure and multi-run buckets."""
+    from spark_alchemy_spark.operators.temporal import (
+        longest_streak,
+        longest_streak_bucketed,
+    )
+
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    )
+    exact = {
+        tuple(r)
+        for r in longest_streak(
+            df, "user_id", "event_type", ["ts", "event_id"]
+        ).collect()
+    }
+    bucketed = {
+        tuple(r)
+        for r in longest_streak_bucketed(
+            df,
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            bucket=F.floor(F.col("ts") / bucket_width),
+        ).collect()
+    }
+    assert bucketed == exact
