@@ -173,6 +173,79 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(w))
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    bucket: Column | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Skew-resilient :func:`sessionize`: identical per-key session ids
+    (1..n in time order), but no task ever sorts one key's full
+    history.
+
+    Sessions are detected inside (key, time-bucket) partitions, then a
+    per-key window over the BUCKET SUMMARIES (#buckets rows, tiny)
+    decides where a bucket's first session continues the previous
+    bucket's last one (boundary gap <= ``gap_seconds``) and assigns
+    each bucket a session-id offset: ``global = offset + local`` with
+    ``offset = sessions-in-earlier-buckets − boundary-merges-so-far``.
+    Everything stays JVM window algebra — the heavy sort parallelism
+    is keys x buckets, the per-key state is one summary row per
+    bucket.  ``bucket`` defaults to day-truncation of ``ts`` and must
+    be monotone in it."""
+    b = bucket if bucket is not None else F.date_trunc("day", F.col(ts))
+    src = df.withColumn("__bkt", b)
+    w = Window.partitionBy(key, "__bkt").orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev) > gap_seconds)
+    ).cast("long")
+    rows = src.withColumn("__s_local", F.sum(new_session).over(w))
+    summ = rows.groupBy(key, "__bkt").agg(
+        F.max("__s_local").alias("__n_sessions"),
+        F.min(ts).alias("__first"),
+        F.max(ts).alias("__last"),
+    )
+    ws = Window.partitionBy(key).orderBy("__bkt")
+    prev_last = F.lag(F.col("__last")).over(ws)
+    merged = (
+        prev_last.isNotNull()
+        & (
+            F.unix_timestamp(F.col("__first")) - F.unix_timestamp(prev_last)
+            <= gap_seconds
+        )
+    ).cast("long")
+    offsets = (
+        summ.withColumn("__m", merged)
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("__n_sessions").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__cum_m",
+            F.sum("__m").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            key,
+            "__bkt",
+            (F.col("__cum_prev") - F.col("__cum_m")).alias("__off"),
+        )
+    )
+    return (
+        rows.join(offsets, [key, "__bkt"])
+        .withColumn(session_col, F.col("__off") + F.col("__s_local"))
+        .drop("__bkt", "__s_local", "__off")
+    )
+
+
 def longest_streak(
     df: DataFrame,
     key: str,

@@ -423,3 +423,54 @@ def prep_length_buckets(spark, sf_dir):
             F.sum("tok") / (F.count(F.lit(1)) * F.col("bucket")), 4
         ).alias("pad_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_bucketed_stats",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    per AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY user_id, sid)
+    SELECT user_id, max(sid) AS n_sessions, max(n) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def session_bucketed_stats(spark, sf_dir):
+    """Per-user session stats (30-min gap) computed through the
+    SKEW-RESILIENT sessionizer
+    (``operators.temporal.sessionize_bucketed``): sessions detected in
+    (user, hour-bucket) partitions, boundary-merged and re-numbered by
+    a per-user window over bucket SUMMARIES — identical session ids to
+    the single-window ``sessionize`` (property-tested), but a viral
+    user's history never sits in one task.  The oracle replays the
+    classic single-window gaps-and-islands form."""
+    (events,) = _t(spark, sf_dir, "events")
+    from .operators.temporal import sessionize_bucketed
+
+    ev = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    sess = sessionize_bucketed(
+        ev, "user_id", "ts", 1800, bucket=F.date_trunc("hour", F.col("ts"))
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )

@@ -513,3 +513,46 @@ def test_longest_streak_bucketed_equals_exact(spark, events, bucket_width):
         ).collect()
     }
     assert bucketed == exact
+
+
+@_settings
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=400),  # ts seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bucket_width=st.sampled_from([30, 100, 1000]),
+)
+def test_sessionize_bucketed_equals_exact(spark, events, bucket_width):
+    """Bucketed sessionization must assign the IDENTICAL session id to
+    every row as the single-window operator — including sessions that
+    span bucket boundaries (boundary gap <= the session gap) and ids
+    that must NOT merge across a boundary when the gap is exceeded."""
+    from spark_alchemy_spark.operators.temporal import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rows = [(u, ts, i) for i, (u, ts) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, row_id long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts_s"))
+    gap = 60
+    exact = {
+        (r["user_id"], r["row_id"], r["session_id"])
+        for r in sessionize(df, "user_id", "ts", gap).collect()
+    }
+    bucketed = {
+        (r["user_id"], r["row_id"], r["session_id"])
+        for r in sessionize_bucketed(
+            df,
+            "user_id",
+            "ts",
+            gap,
+            bucket=F.floor(F.col("ts_s") / bucket_width),
+        ).collect()
+    }
+    assert bucketed == exact
