@@ -128,6 +128,142 @@ def as_of_join(
     return out.select(*keep, *right_cols)
 
 
+def as_of_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    tie_break: str | None = None,
+    direction: str = "backward",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Skew-resilient :func:`as_of_join`: identical matches, but the
+    carry window partitions by (key, time-bucket) instead of key — a
+    viral key (one hot symbol holding most of a 100 TB tape) spreads
+    across buckets instead of pinning one sorted task.
+
+    Rows first match within their own bucket (same union+carry trick,
+    narrower partitions).  Rows whose bucket holds no preceding right
+    row fall back to the previous buckets' carry: each bucket's FINAL
+    carried payload (computed by the same window, so tie resolution is
+    identical) is summarized to one row per (key, bucket), and a
+    per-key ``last(ignorenulls)`` over strictly-earlier buckets (in
+    time order; reversed for ``direction="forward"``) supplies the
+    fallback.  The summary table is #buckets rows per key, so the
+    cross-bucket pass is negligible; everything stays JVM window
+    algebra.
+
+    ``bucket`` is an expression over the shared timeline column ``__t``
+    exposed to it via :func:`pyspark.sql.functions.col`; default
+    ``date_trunc('day', __t)``.  Must be monotone in ``__t``.  Same
+    determinism contract as :func:`as_of_join`: equal right timestamps
+    need ``tie_break`` for a deterministic pick."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    collisions = sorted(set(right_cols) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"as_of_join_bucketed: right payload column(s) {collisions} "
+            "collide with left columns; alias them on the right DataFrame "
+            "first"
+        )
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+
+    ts_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    order_cols = [ts_order, F.col("__src")]
+    if tie_break:
+        order_cols.append(F.col("__tie").asc_nulls_first())
+        r = right.select(
+            F.col(on).alias(on),
+            F.col(right_ts).alias("__t"),
+            F.lit(0).alias("__src"),
+            F.col(tie_break).alias("__tie"),
+            payload.alias("__payload"),
+        )
+        l = left.select(
+            "*",
+            F.col(left_ts).alias("__t"),
+            F.lit(1).alias("__src"),
+            F.lit(None).alias("__tie"),
+            F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        )
+    else:
+        r = right.select(
+            F.col(on).alias(on),
+            F.col(right_ts).alias("__t"),
+            F.lit(0).alias("__src"),
+            payload.alias("__payload"),
+        )
+        l = left.select(
+            "*",
+            F.col(left_ts).alias("__t"),
+            F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        )
+        l = l.withColumn("__src", F.lit(1))
+    lcols = list(l.columns)
+    r_full = r.select(
+        *[
+            F.col(c)
+            if c in r.columns
+            else F.lit(None).cast(l.schema[c].dataType).alias(c)
+            for c in lcols
+        ]
+    )
+    b = bucket if bucket is not None else F.date_trunc("day", F.col("__t"))
+    u = l.unionByName(r_full).withColumn("__bkt", b)
+
+    w_cur = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    picked = u.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w_cur)
+    ).withColumn("__bkt_final", F.last("__payload", ignorenulls=True).over(w_all))
+
+    # one row per (key, bucket): the bucket's final carry; then the
+    # strictly-previous buckets' carry per bucket (time order, reversed
+    # for forward)
+    summ = picked.groupBy(on, "__bkt").agg(
+        F.any_value("__bkt_final", True).alias("__lat")
+    )
+    bkt_ord = F.col("__bkt") if direction == "backward" else F.col("__bkt").desc()
+    w_prev = (
+        Window.partitionBy(on)
+        .orderBy(bkt_ord)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.withColumn(
+        "__prev", F.last("__lat", ignorenulls=True).over(w_prev)
+    ).select(on, "__bkt", "__prev")
+
+    out = (
+        picked.filter(F.col("__src") == 1)
+        .join(carry, [on, "__bkt"])
+        .withColumn("__match", F.coalesce(F.col("__match"), F.col("__prev")))
+    )
+    if tolerance is not None:
+        in_tol = (
+            F.col("__match.__rts") >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col("__match.__rts") <= F.col("__t") + tolerance
+        )
+        out = out.withColumn("__match", F.when(in_tol, F.col("__match")))
+    keep = list(left.columns)
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.select(*keep, *right_cols)
+
+
 def range_pair_join(
     df: DataFrame,
     key: str,

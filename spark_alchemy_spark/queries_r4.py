@@ -474,3 +474,51 @@ def session_bucketed_stats(spark, sf_dir):
         F.max("session_id").alias("n_sessions"),
         F.max("n").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_bucketed_last_click",
+    """
+    SELECT event_id, prev_click_id FROM (
+      SELECT e.event_id, c.event_id AS prev_click_id,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events e JOIN events c
+        ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      WHERE e.event_type = 'error') t
+    WHERE rn = 1
+    """,
+)
+def asof_bucketed_last_click(spark, sf_dir):
+    """``asof_last_click_before_error`` through the SKEW-RESILIENT
+    as-of join (``operators.temporal.as_of_join_bucketed``): the carry
+    window partitions by (user, hour-bucket) and rows in click-less
+    buckets fall back to a per-user carry over bucket summaries —
+    identical matches to the single-window operator (property-tested
+    across widths and directions, same oracle), but one hot user's
+    tape never sits in one task."""
+    from .operators.temporal import as_of_join_bucketed
+
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("prev_click_id")
+    )
+    joined = as_of_join_bucketed(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["prev_click_id"],
+        tie_break="prev_click_id",
+        bucket=F.date_trunc("hour", F.col("__t")),
+    )
+    return joined.filter(F.col("prev_click_id").isNotNull()).select(
+        "event_id", "prev_click_id"
+    )

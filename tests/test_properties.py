@@ -556,3 +556,51 @@ def test_sessionize_bucketed_equals_exact(spark, events, bucket_width):
         ).collect()
     }
     assert bucketed == exact
+
+
+@_settings
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, ts)
+        min_size=1,
+        max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-99, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    bucket_width=st.sampled_from([7, 25, 1000]),
+)
+def test_as_of_join_bucketed_equals_exact(spark, left, right, direction, bucket_width):
+    """The bucketed as-of join must produce the identical match set as
+    the single-window operator for ANY bucket width and direction —
+    including left rows whose bucket holds no right row at all (the
+    cross-bucket carry path) and duplicate right timestamps (resolved
+    by tie_break in both)."""
+    from spark_alchemy_spark.operators.temporal import (
+        as_of_join,
+        as_of_join_bucketed,
+    )
+
+    l = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k long, lts long, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, ts, v, i) for i, (k, ts, v) in enumerate(right)] or None,
+        "k long, rts long, val long, rid long",
+    ) if right else spark.createDataFrame([], "k long, rts long, val long, rid long")
+
+    kw = dict(
+        on="k", left_ts="lts", right_ts="rts", right_cols=["val", "rid"],
+        tie_break="rid", direction=direction,
+    )
+    exact = {tuple(row) for row in as_of_join(l, r, **kw).collect()}
+    bucketed = {
+        tuple(row)
+        for row in as_of_join_bucketed(
+            l, r, bucket=F.floor(F.col("__t") / bucket_width), **kw
+        ).collect()
+    }
+    assert bucketed == exact
