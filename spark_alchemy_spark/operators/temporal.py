@@ -644,6 +644,103 @@ def ewma(
     return df.groupBy(key_col).applyInPandas(_scan, schema=out_schema)
 
 
+def ewma_bucketed(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    order_tiebreak: str | None = None,
+    bucket: Column | None = None,
+):
+    """Skew-resilient :func:`ewma`: same recurrence, but no task scans
+    one key's full history.
+
+    The recurrence is linear, so a segment's effect factors into
+    ``s_i = local0_i + (1-alpha)^i * s_init`` where ``local0`` is the
+    zero-init scan of the segment — per-(key, bucket) Arrow scans
+    compute ``local0`` and per-row decay, a per-key fold over the
+    BUCKET SUMMARIES (end value, end decay, first x — #buckets rows)
+    propagates each bucket's incoming state ``s_init``, and a JVM
+    projection combines them.  The key's first bucket seeds
+    ``s_init = x_1`` (the exact operator's ``s_1 = x_1`` convention).
+
+    Results are mathematically identical but float-REGROUPED, so they
+    match :func:`ewma` to ~1e-9 relative, not bit-for-bit — use the
+    exact operator when bit-parity with a sequential replay matters,
+    this one when a key's history exceeds a task.  ``(1-alpha)^n``
+    underflows to 0 for long buckets, which is the correct limit (the
+    old state is fully forgotten)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    b = bucket if bucket is not None else F.date_trunc("day", F.col(ts_col))
+    src = df.withColumn("__bkt", b)
+    local_schema = StructType(
+        list(src.schema.fields)
+        + [StructField("__local0", DoubleType()), StructField("__rn", LongType())]
+    )
+
+    def _local(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        out, s = [], 0.0
+        for x in pdf[value_col].astype("float64"):
+            s = alpha * x + (1.0 - alpha) * s
+            out.append(s)
+        pdf["__local0"] = out
+        pdf["__rn"] = range(1, len(pdf) + 1)
+        return pdf
+
+    local = src.groupBy(key_col, "__bkt").applyInPandas(_local, local_schema)
+
+    summ = local.groupBy(key_col, "__bkt").agg(
+        F.max_by("__local0", "__rn").alias("__end0"),
+        F.pow(F.lit(1.0 - alpha), F.max("__rn")).alias("__decay"),
+        F.min_by(
+            F.col(value_col).cast("double"), F.struct(*[F.col(c) for c in order])
+        ).alias("__first_x"),
+    )
+
+    init_schema = StructType(
+        [
+            src.schema[key_col],
+            src.schema["__bkt"],
+            StructField("__s_init", DoubleType()),
+        ]
+    )
+
+    def _fold(pdf):
+        pdf = pdf.sort_values("__bkt").reset_index(drop=True)
+        inits, s = [], None
+        # zip, not itertuples: dunder column names get positionalized
+        for e0, dec, fx in zip(
+            pdf["__end0"], pdf["__decay"], pdf["__first_x"]
+        ):
+            if s is None:
+                s = float(fx)  # s_1 = x_1 convention
+            inits.append(s)
+            s = float(e0) + float(dec) * s
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "__bkt": pdf["__bkt"],
+                "__s_init": inits,
+            }
+        )
+
+    inits = summ.groupBy(key_col).applyInPandas(_fold, init_schema)
+    return (
+        local.join(inits, [key_col, "__bkt"])
+        .withColumn(
+            "ewma",
+            F.col("__local0")
+            + F.pow(F.lit(1.0 - alpha), F.col("__rn")) * F.col("__s_init"),
+        )
+        .drop("__bkt", "__local0", "__rn", "__s_init")
+    )
+
+
 def funnel_counts(
     events,
     user_col: str,

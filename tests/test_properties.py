@@ -604,3 +604,50 @@ def test_as_of_join_bucketed_equals_exact(spark, left, right, direction, bucket_
         ).collect()
     }
     assert bucketed == exact
+
+
+@_settings
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                                  # key
+            st.integers(0, 30),                                 # ts
+            st.floats(-100, 100, allow_nan=False, width=32),    # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.1, 0.5, 0.9]),
+    bucket_width=st.sampled_from([1, 4, 100]),
+)
+def test_ewma_bucketed_matches_exact_within_tolerance(
+    spark, events, alpha, bucket_width
+):
+    """The bucketed EWMA is the same linear recurrence with segments
+    factored out (s = local0 + decay^i * s_init), so it must match the
+    sequential operator to float-regrouping tolerance for any bucket
+    width — width 1 exercises the carry on every row."""
+    import math
+
+    from spark_alchemy_spark.operators.temporal import ewma, ewma_bucketed
+
+    rows = [(k, ts, float(v), i) for i, (k, ts, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double, tie long")
+    kw = dict(
+        key_col="k", ts_col="ts", value_col="v", alpha=alpha,
+        order_tiebreak="tie",
+    )
+    exact = {
+        (r["k"], r["tie"]): r["ewma"] for r in ewma(df, **kw).collect()
+    }
+    bucketed = {
+        (r["k"], r["tie"]): r["ewma"]
+        for r in ewma_bucketed(
+            df, bucket=F.floor(F.col("ts") / bucket_width), **kw
+        ).collect()
+    }
+    assert set(exact) == set(bucketed)
+    for kk, v in exact.items():
+        assert math.isclose(v, bucketed[kk], rel_tol=1e-9, abs_tol=1e-9), (
+            kk, v, bucketed[kk]
+        )
