@@ -1,4 +1,6 @@
-"""Temporal operators: as-of join, range pair join, sessionization.
+"""Temporal operators: as-of join, range pair join, sessionization,
+longest streak, EWMA — each in an exact single-window form AND a
+skew-resilient bucketed form.
 
 The reference delegates all joins to stock Spark (SURVEY.md §2.2);
 these add the time-series operators Spark lacks as built-ins,
@@ -11,6 +13,19 @@ expressed so Catalyst keeps them shuffle-minimal:
   band condition stays a cheap post-join filter.
 * ``sessionize`` — lag + cumulative-sum gap sessionization, one
   window shuffle per key.
+* ``longest_streak`` — gap-group run detection, one shuffle, all
+  codegen.
+* ``ewma`` — per-key Arrow scan of the literal recurrence.
+
+The ``*_bucketed`` variants answer the 100 TB hot-key question: an
+ordered per-key window puts one key's ENTIRE history in one task, and
+AQE cannot split an ordered window.  Each bucketed form partitions by
+(key, time-bucket), reduces every bucket to a constant-size summary,
+and stitches buckets per key over the summary table (#buckets rows) —
+sessions merge at boundaries, streak runs chain suffix-to-prefix,
+as-of carries fall back across buckets, EWMA factors its linear
+recurrence.  All are property-tested equal to their exact forms
+(EWMA to float-regrouping tolerance).
 """
 
 from __future__ import annotations
