@@ -153,6 +153,119 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the 100 TB fast path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col, num_bits: int, num_hashes: int) -> Column:
+    """``num_hashes`` bit positions in ``[0, num_bits)`` for a value —
+    independent seeded xxhash64 lanes, the classic k-hash Bloom
+    scheme.  Seeds are INT literals on both the build and probe side
+    so the type-tagged hashes agree."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def build_gram_bloom(
+    grams: DataFrame, gram_col: str, num_bits: int = 1 << 16, num_hashes: int = 3
+) -> DataFrame:
+    """1-row DataFrame (column ``bloom``: ``array<bigint>`` of
+    ``num_bits/64`` words) — a Bloom filter over every value of
+    ``gram_col``, built DISTRIBUTED: positions explode, each 64-bit
+    word is a ``bit_or`` partial aggregate, and the final array is a
+    map re-assembly.  No driver-side collect, no byte-array UDAF; the
+    result broadcasts as an ordinary tiny DataFrame."""
+    n_words = num_bits // 64
+    pos = grams.select(
+        F.explode(_bloom_positions(F.col(gram_col), num_bits, num_hashes)).alias(
+            "__p"
+        )
+    )
+    words = pos.groupBy(F.shiftright("__p", 6).alias("__wi")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(__p % 64 AS INT)))").alias("__bits")
+    )
+    one = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__wi", "__bits"))).alias("__m")
+    )
+    return one.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__m", i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def _bloom_member(gram_sql: str, bloom_sql: str, num_bits: int, num_hashes: int):
+    """JVM predicate: all ``num_hashes`` bits for ``gram_sql`` are set
+    in the ``bloom_sql`` word array.  Unrolled (k is tiny) so the seed
+    literals match :func:`_bloom_positions` exactly."""
+    terms = []
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64({gram_sql}, {i}), {num_bits})"
+        terms.append(
+            f"(element_at({bloom_sql}, CAST(({p}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(({p}) % 64 AS INT))) != 0"
+        )
+    return F.expr(" AND ".join(terms))
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` semantics (identical output, property-
+    tested) with a broadcast-Bloom prefilter on the corpus side — the
+    shape that wins at 100 TB.  The plain semi-join shuffles EVERY
+    corpus (shingle, id) pair; here each corpus gram first probes a
+    Bloom filter over the benchmark grams as a pure map-side JVM
+    expression (bitwise AND against a broadcast ``array<bigint>``), and
+    only Bloom-positive grams — contamination plus the filter's small
+    false-positive tail — reach the exact-verify semi-join.  Bloom
+    filters have no false negatives, so verify removes exactly the FP
+    tail and the result equals the exact operator's.
+
+    Sizing: ``num_bits`` should be ~10x the distinct benchmark gram
+    count for ~1% FP at ``num_hashes=3``; benchmark suites are a few
+    million grams (MB-scale words array), far under broadcast limits.
+    Spark's own ``bloom_filter_agg``/``might_contain`` pair is not in
+    the public SQL registry (4.1), hence the explicit word-array build
+    — which also keeps the filter persistable as a plain column."""
+    bench_text_col = bench_text_col or text_col
+    from ..functions.text import exploded_shingles
+
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
+        ).alias("__s")
+    ).distinct()
+    bloom = build_gram_bloom(bench_sh, "__s", num_bits, num_hashes)
+    doc_sh = exploded_shingles(docs, id_col, text_col, n)
+    cand = (
+        doc_sh.join(F.broadcast(bloom))
+        .filter(_bloom_member("__s", "bloom", num_bits, num_hashes))
+        .select(id_col, "__s")
+    )
+    contaminated = (
+        cand.join(F.broadcast(bench_sh), "__s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing + reproducible training order
 # ---------------------------------------------------------------------------
 

@@ -522,3 +522,50 @@ def asof_bucketed_last_click(spark, sf_dir):
     return joined.filter(F.col("prev_click_id").isNotNull()).select(
         "event_id", "prev_click_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (scale path for prep_decontaminate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_decontaminate_bloom",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM toks WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
+    SELECT count(*) AS n_clean, CAST(sum(len(ws)) AS BIGINT) AS clean_tokens
+    FROM toks
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def prep_decontaminate_bloom(spark, sf_dir):
+    """``prep_decontaminate`` through the broadcast-Bloom prefilter
+    (``operators.prep.decontaminate_bloom``): corpus grams probe a
+    distributed-built ``array<bigint>`` Bloom filter over the
+    benchmark grams as a pure map-side bitwise expression, and only
+    Bloom-positive grams reach the exact verify semi-join.  No false
+    negatives, so the output — and the oracle — are IDENTICAL to the
+    exact operator's; at 100 TB the shuffle carries the contamination
+    tail instead of every (shingle, id) pair."""
+    from .functions.text import token_count
+    from .operators.prep import decontaminate_bloom
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") < 10)
+    clean = decontaminate_bloom(
+        documents, bench, "doc_id", "text", n=3, num_bits=1 << 18
+    )
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum(token_count("text")).cast("bigint").alias("clean_tokens"),
+    )

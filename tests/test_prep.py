@@ -86,6 +86,43 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert clean == [2, 3]  # doc 1 shares the 'the quick brown' trigram
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """Bloom prefilter is a pure optimization: output == exact
+    decontaminate even when the filter is degenerate-small (every gram
+    a false positive candidate) — the verify semi-join removes exactly
+    the FP tail, and Bloom filters have no false negatives."""
+    from spark_alchemy_spark.operators.prep import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc number {i} carries unique tail tokens alpha{i} beta{i}")
+            for i in range(40)
+        ]
+        + [(100, "the quick brown fox jumps high"),
+           (101, "shared prefix words lead this document body")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "someone saw the quick brown fox yesterday"),
+         (901, "shared prefix words appear in benchmarks too")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        r["doc_id"]
+        for r in decontaminate(docs, bench, "doc_id", "text", n=3).collect()
+    )
+    for bits, k in [(1 << 16, 3), (256, 2), (64, 1)]:
+        got = sorted(
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                docs, bench, "doc_id", "text", n=3, num_bits=bits, num_hashes=k
+            ).collect()
+        )
+        assert got == exact, f"bits={bits} k={k}"
+    # sanity: contamination was actually detected (not all docs clean)
+    assert 100 not in exact and 101 not in exact and 0 in exact
+
+
 def test_scrub_pii_patterns(spark):
     from spark_alchemy_spark.operators.prep import scrub_pii
 
