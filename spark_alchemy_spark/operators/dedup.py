@@ -854,3 +854,87 @@ def shared_span_pairs(
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+def strip_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE cross-document verbatim spans: every token covered by a
+    ``k``-gram that appears in at least ``min_docs`` DISTINCT documents
+    is cut, and the document is rebuilt from the surviving tokens —
+    the removal step of suffix-array training-data dedup (detection is
+    :func:`shared_span_pairs`), which drops the copied paragraph while
+    keeping the rest of the document instead of discarding whole docs.
+
+    Semantics: a shared span of s >= k verbatim tokens is covered by
+    s - k + 1 overlapping duplicated k-grams, so exactly its s tokens
+    are flagged; spans shorter than ``k`` are below the resolution and
+    survive (choose ``k`` = the minimum span worth cutting).  Within-
+    document repeats do NOT flag (distinct-doc frequency), and every
+    input document appears in the output — fully-copied docs come back
+    with ``n_kept = 0`` and an empty ``clean_text``.
+
+    Scale shape: one k-gram groupBy (map-side combinable distinct-doc
+    count), one semi-join of positional grams against the duplicated
+    set, one position explode bounded by k x flagged grams, and one
+    per-doc reassembly aggregation — candidate volume rides the
+    DUPLICATED gram count, never all-pairs; documents themselves are
+    only shuffled once, for the rebuild.
+
+    Returns (id_col, n_kept, n_removed, clean_text) with
+    whitespace-normalized ``clean_text`` (single-space joined).
+    """
+    from ..functions.text import exploded_shingles, token_count, tokens
+
+    ids = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    sh = exploded_shingles(ids, "__id", "__t", k, keep_pos=True)
+    dup = (
+        sh.groupBy("__s")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__s")
+    )
+    removed = (
+        sh.join(dup, "__s", "left_semi")
+        .select(
+            "__id",
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + (k - 1))).alias(
+                "__rp"
+            ),
+        )
+        .distinct()
+    )
+    toks = ids.select(
+        "__id", F.posexplode(tokens("__t")).alias("__tp", "__w")
+    )
+    kept = toks.join(
+        removed,
+        (toks["__id"] == removed["__id"]) & (toks["__tp"] == removed["__rp"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col), token_count(text_col).alias("__n"))
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

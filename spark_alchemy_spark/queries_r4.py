@@ -569,3 +569,59 @@ def prep_decontaminate_bloom(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clean"),
         F.sum(token_count("text")).cast("bigint").alias("clean_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span removal (suffix-array-dedup removal step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_strip_shared_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - 8 + 2)) AS p,
+             unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                     for i in range(1, len(ws) - 8 + 2)]) AS s
+      FROM toks WHERE len(ws) >= 8),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    removed AS (
+      SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS rp
+      FROM sh JOIN dup USING (s)),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tp, unnest(ws) AS w
+      FROM toks),
+    kept AS (
+      SELECT tok.doc_id, tok.tp, tok.w FROM tok
+      ANTI JOIN removed ON tok.doc_id = removed.doc_id AND tok.tp = removed.rp),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY tp) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_strip_shared_spans(spark, sf_dir):
+    """Suffix-array-style duplicate-SPAN removal over the corpus
+    (``operators.dedup.strip_shared_spans``): every token covered by an
+    8-gram occurring in >= 2 distinct documents is cut and the document
+    rebuilt from the survivors — the removal step behind
+    ``shared_span_pairs``'s detection, which keeps the rest of a
+    document instead of discarding it.  The oracle replays the exact
+    positional-gram coverage in DuckDB and compares per-doc kept /
+    removed counts plus md5 of the rebuilt text."""
+    from .operators.dedup import strip_shared_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = strip_shared_spans(documents, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )

@@ -276,3 +276,60 @@ def test_streak_tiebreak_engine_matches_oracle(spark):
     oracle = con.execute(ORACLES["streak_longest_per_user"]).fetchall()
     assert len(oracle) == 1
     assert (oracle[0][1], oracle[0][2]) == ("x", 2)
+
+
+def test_strip_shared_spans_semantics(spark):
+    """Cross-doc duplicated k-gram coverage is cut exactly; within-doc
+    repeats and sub-k shared spans survive; fully-unique and empty
+    docs come back intact."""
+    from spark_alchemy_spark.operators.dedup import strip_shared_spans
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"doc one starts here {para} and then ends differently"),
+            (2, f"totally other opening {para} with another distinct tail"),
+            (3, "unique content only nothing copied anywhere at all here"),
+            # within-doc repeat of an 8-gram, no other doc has it
+            (4, "self copy block one two three four five six "
+                "self copy block one two three four five six"),
+            # shares only a 4-token run with doc 1 (< k): survives
+            (5, "alpha beta gamma delta but then it diverges completely"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_shared_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    assert len(out) == 6
+    # docs 1 and 2: exactly the 8 shared tokens cut
+    assert out[1]["n_removed"] == 8
+    assert out[1]["clean_text"] == "doc one starts here and then ends differently"
+    assert out[2]["n_removed"] == 8
+    assert "alpha" not in out[2]["clean_text"]
+    # doc 3 untouched
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"].startswith("unique")
+    # doc 4: within-doc repeat does not flag (distinct-doc frequency)
+    assert out[4]["n_removed"] == 0
+    # doc 5: 4-token overlap is below the k=8 resolution
+    assert out[5]["n_removed"] == 0
+    # empty doc: present, zeros, empty text
+    assert out[6]["n_kept"] == 0 and out[6]["clean_text"] == ""
+
+
+def test_strip_shared_spans_full_copy_and_min_docs(spark):
+    from spark_alchemy_spark.operators.dedup import strip_shared_spans
+
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, body)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           strip_shared_spans(docs, "doc_id", "text", k=8).collect()}
+    assert all(out[i]["n_kept"] == 0 and out[i]["clean_text"] == ""
+               for i in (1, 2, 3))
+    # min_docs=4: three copies are below the bar, nothing cut
+    out2 = strip_shared_spans(docs, "doc_id", "text", k=8, min_docs=4).collect()
+    assert all(r["n_removed"] == 0 for r in out2)
