@@ -856,6 +856,60 @@ def shared_span_pairs(
     )
 
 
+
+def _strip_flagged_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int, flagged
+) -> DataFrame:
+    """Shared removal tail for the span-stripping operators: expand the
+    flagged positional grams (``__id``, ``__p``) into covered token
+    positions, anti-join them out of the posexploded token table, and
+    rebuild each document (order-pinned struct sort) — every input doc
+    returns, fully-cut ones as ``n_kept = 0`` / empty text.  The
+    position explode is bounded by k x flagged grams; documents shuffle
+    once, for the rebuild."""
+    from ..functions.text import token_count
+
+    removed = (
+        flagged.select(
+            "__id",
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + (k - 1))).alias(
+                "__rp"
+            ),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(tokens(text_col)).alias("__tp", "__w")
+    )
+    kept = toks.join(
+        removed,
+        (toks["__id"] == removed["__id"]) & (toks["__tp"] == removed["__rp"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col), token_count(text_col).alias("__n"))
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def strip_shared_spans(
     df: DataFrame,
     id_col: str,
@@ -888,7 +942,7 @@ def strip_shared_spans(
     Returns (id_col, n_kept, n_removed, clean_text) with
     whitespace-normalized ``clean_text`` (single-space joined).
     """
-    from ..functions.text import exploded_shingles, token_count, tokens
+    from ..functions.text import exploded_shingles
 
     ids = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     sh = exploded_shingles(ids, "__id", "__t", k, keep_pos=True)
@@ -898,43 +952,47 @@ def strip_shared_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("__s")
     )
-    removed = (
-        sh.join(dup, "__s", "left_semi")
-        .select(
-            "__id",
-            F.explode(F.sequence(F.col("__p"), F.col("__p") + (k - 1))).alias(
-                "__rp"
-            ),
-        )
-        .distinct()
+    flagged = sh.join(dup, "__s", "left_semi")
+    return _strip_flagged_grams(df, id_col, text_col, k, flagged)
+
+
+def strip_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Surgical decontamination: instead of DROPPING every document
+    sharing a ``k``-gram with the benchmark suite
+    (``operators.prep.decontaminate``), cut only the tokens covered by
+    a benchmark ``k``-gram and keep the rest of the document — the
+    span-removal machinery of :func:`strip_shared_spans` pointed at an
+    external reference corpus.  At web scale whole-doc dropping
+    overshoots badly (one quoted eval question deletes a long
+    document); this keeps the unleaked tokens in the training mix.
+
+    Scale shape: the benchmark gram set is distinct-aggregated once
+    and is usually broadcastable (eval suites are small against a
+    100 TB corpus); corpus grams meet it in one semi-join, everything
+    else is the same bounded position-explode + per-doc rebuild.
+
+    Returns (id_col, n_kept, n_removed, clean_text).
+    """
+    from ..functions.text import exploded_shingles
+
+    bench_text_col = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    shingles_from_tokens(tokens(bench_text_col), k)
+                )
+            ).alias("__s")
+        ).distinct()
     )
-    toks = ids.select(
-        "__id", F.posexplode(tokens("__t")).alias("__tp", "__w")
-    )
-    kept = toks.join(
-        removed,
-        (toks["__id"] == removed["__id"]) & (toks["__tp"] == removed["__rp"]),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__tp", "__w"))),
-                lambda s: s["__w"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return (
-        df.select(F.col(id_col), token_count(text_col).alias("__n"))
-        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
-    )
+    ids = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    sh = exploded_shingles(ids, "__id", "__t", k, keep_pos=True)
+    flagged = sh.join(F.broadcast(bench_sh), "__s", "left_semi")
+    return _strip_flagged_grams(docs, id_col, text_col, k, flagged)

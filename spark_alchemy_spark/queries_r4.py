@@ -625,3 +625,55 @@ def dedup_strip_shared_spans(spark, sf_dir):
     return out.select(
         "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
     )
+
+
+@query(
+    "prep_strip_contaminated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - 8 + 2)) AS p,
+             unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                     for i in range(1, len(ws) - 8 + 2)]) AS s
+      FROM toks WHERE len(ws) >= 8),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    removed AS (
+      SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS rp
+      FROM sh JOIN bench USING (s)),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tp, unnest(ws) AS w
+      FROM toks),
+    kept AS (
+      SELECT tok.doc_id, tok.tp, tok.w FROM tok
+      ANTI JOIN removed ON tok.doc_id = removed.doc_id AND tok.tp = removed.rp),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY tp) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def prep_strip_contaminated_spans(spark, sf_dir):
+    """Surgical decontamination
+    (``operators.dedup.strip_contaminated_spans``): tokens covered by
+    an 8-gram of the benchmark set (docs 0-9 standing in for an eval
+    suite) are cut and the documents rebuilt — the span-level
+    alternative to ``prep_decontaminate``'s whole-doc drop; benchmark
+    members themselves collapse to empty.  Oracle replays the
+    positional coverage and compares kept/removed counts plus md5 of
+    the rebuilt text per document."""
+    from .operators.dedup import strip_contaminated_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") < 10)
+    out = strip_contaminated_spans(documents, bench, "doc_id", "text", k=8)
+    return out.select(
+        "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )

@@ -333,3 +333,28 @@ def test_strip_shared_spans_full_copy_and_min_docs(spark):
     # min_docs=4: three copies are below the bar, nothing cut
     out2 = strip_shared_spans(docs, "doc_id", "text", k=8, min_docs=4).collect()
     assert all(r["n_removed"] == 0 for r in out2)
+
+
+def test_strip_contaminated_spans_cuts_only_benchmark_coverage(spark):
+    from spark_alchemy_spark.operators.dedup import strip_contaminated_spans
+
+    q = "what is the capital of france answer paris"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text before the quiz {q} and trailing discussion"),
+            (2, "no benchmark content in this one at all whatsoever"),
+            (3, q),  # doc IS the benchmark item -> fully cut
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, q)], "qid long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans(
+            docs, bench, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert out[1]["n_removed"] == 8
+    assert out[1]["clean_text"] == "intro text before the quiz and trailing discussion"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
