@@ -677,3 +677,60 @@ def prep_strip_contaminated_spans(spark, sf_dir):
     return out.select(
         "doc_id", "n_kept", "n_removed", F.md5("clean_text").alias("clean_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup-at-ingest (stream-static anti join on content fingerprints)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dedup_at_ingest",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS f
+      FROM documents),
+    corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    arrivals AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+    survivors AS (
+      SELECT a.* FROM arrivals a ANTI JOIN corpus c ON a.f = c.f)
+    SELECT lang,
+           count(*) AS n_new,
+           count(DISTINCT f) AS n_new_unique
+    FROM survivors GROUP BY lang
+    """,
+)
+def stream_dedup_at_ingest(spark, sf_dir):
+    """Dedup-at-ingest: newly-landing documents (odd ids stand in for
+    today's crawl) are deduplicated ON THE STREAM against the standing
+    corpus (even ids) with a stream-static LEFT ANTI join on the
+    order-insensitive content fingerprint — stateless (no state store:
+    the static side is re-broadcast per microbatch), so it scales as
+    per-file map work exactly like ``stream_quality_at_ingest``.
+    Per-lang arrival and unique-fingerprint counts are aggregated from
+    the drained sink so the result is replay-order-free; availableNow
+    replay must equal the batch anti join exactly."""
+    from .functions.text import doc_fingerprint
+    from .queries_ext import _sink_name
+    from .streaming import read_table_stream, run_to_memory
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    corpus_fp = (
+        documents.filter(F.col("doc_id") % 2 == 0)
+        .select(doc_fingerprint("text").alias("f"))
+        .distinct()
+    )
+    stream = read_table_stream(spark, sf_dir, "documents")
+    arrivals = stream.filter(F.col("doc_id") % 2 == 1).select(
+        "lang", doc_fingerprint("text").alias("f")
+    )
+    survivors = arrivals.join(corpus_fp, "f", "left_anti")
+    rows = run_to_memory(
+        survivors, _sink_name("ingest_dedup"), output_mode="append"
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.countDistinct("f").alias("n_new_unique"),
+    )
