@@ -572,3 +572,86 @@ def token_budget_take(
         .filter(F.col("__cum_excl") < budget_per_stratum)
         .drop("__cum_excl")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning
+# ---------------------------------------------------------------------------
+
+
+def mixture_plan(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    repeat_warn_epochs: int = 4,
+) -> DataFrame:
+    """Per-stratum training-mix plan for a token budget: given target
+    mixture ``weights`` (normalized over the provided strata) and a
+    total ``token_budget``, report for every stratum how many tokens
+    exist, how many the mix wants, and how to get there — ``full_epochs``
+    whole passes over the stratum plus a ``tail_fraction`` partial pass
+    (feed the fraction to :func:`weighted_sample` for the reproducible
+    draw).  ``repeat_risk`` flags strata the budget forces past
+    ``repeat_warn_epochs`` passes — the over-repetition signal mix
+    designers rebalance on.
+
+    All arithmetic is integer-pinned for cross-engine determinism:
+    weights are scaled to parts-per-million and targets computed with
+    bigint floor division, so any SQL engine replays the identical
+    plan.  One aggregation over the corpus (map-side combinable token
+    sum); the weight table is a broadcast literal.  Strata present in
+    ``weights`` but absent from the corpus report 0 available tokens
+    and NULL epochs/fraction; corpus strata without a weight are
+    excluded (target 0 by definition).
+
+    Returns (stratum_col, available_tokens, target_tokens, full_epochs,
+    tail_fraction, repeat_risk).
+    """
+    from ..functions.text import token_count
+
+    scale = 1_000_000
+    wi = {s: int(round(w * scale)) for s, w in weights.items()}
+    wsum = sum(wi.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wdf = df.sparkSession.createDataFrame(
+        sorted(wi.items()), f"{stratum_col} string, __w long"
+    )
+    avail = df.groupBy(stratum_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("available_tokens")
+    )
+    plan = (
+        wdf.join(avail, stratum_col, "left")
+        .select(
+            stratum_col,
+            F.coalesce("available_tokens", F.lit(0).cast("long")).alias(
+                "available_tokens"
+            ),
+            F.expr(
+                f"CAST({int(token_budget)} AS BIGINT) * __w DIV {wsum}"
+            ).alias("target_tokens"),
+        )
+    )
+    has = F.col("available_tokens") > 0
+    return plan.select(
+        stratum_col,
+        "available_tokens",
+        "target_tokens",
+        F.when(has, F.expr("target_tokens DIV available_tokens"))
+        .cast("long")
+        .alias("full_epochs"),
+        F.when(
+            has,
+            F.round(
+                (F.col("target_tokens") % F.col("available_tokens")).cast(
+                    "double"
+                )
+                / F.col("available_tokens"),
+                6,
+            ),
+        ).alias("tail_fraction"),
+        F.when(has, F.expr("target_tokens DIV available_tokens") >= repeat_warn_epochs)
+        .alias("repeat_risk"),
+    )

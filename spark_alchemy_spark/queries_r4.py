@@ -734,3 +734,56 @@ def stream_dedup_at_ingest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_new"),
         F.countDistinct("f").alias("n_new_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_mixture_plan",
+    """
+    WITH w(lang, wi) AS (VALUES
+      ('en', 400000), ('de', 150000), ('es', 150000),
+      ('fr', 150000), ('zh', 150000)),
+    avail AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS a
+      FROM documents GROUP BY lang),
+    plan AS (
+      SELECT w.lang,
+             coalesce(a.a, 0) AS available_tokens,
+             CAST(1000000 AS BIGINT) * wi // 1000000 AS target_tokens
+      FROM w LEFT JOIN avail a USING (lang))
+    SELECT lang, available_tokens, target_tokens,
+           CASE WHEN available_tokens > 0
+                THEN target_tokens // available_tokens END AS full_epochs,
+           CASE WHEN available_tokens > 0
+                THEN round(CAST(target_tokens % available_tokens AS DOUBLE)
+                           / available_tokens, 6) END AS tail_fraction,
+           CASE WHEN available_tokens > 0
+                THEN target_tokens // available_tokens >= 4 END AS repeat_risk
+    FROM plan
+    """,
+)
+def prep_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning
+    (``operators.prep.mixture_plan``): a 1M-token training mix over the
+    five corpus languages (en 40%, others 15% each) — per language the
+    plan reports available tokens, the integer-pinned target, whole
+    ``full_epochs`` plus the ``tail_fraction`` partial pass, and the
+    over-repetition flag.  Weights scale to parts-per-million and every
+    derived number is bigint floor arithmetic, so the oracle replays
+    the plan bit-for-bit."""
+    from .operators.prep import mixture_plan
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        documents,
+        "lang",
+        "text",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        token_budget=1_000_000,
+    )

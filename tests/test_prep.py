@@ -317,3 +317,42 @@ def test_token_budget_take_bounds(spark):
     b = sorted(r["doc_id"] for r in
                token_budget_take(df, "src", "doc_id", "tok", 300).collect())
     assert a == b
+
+
+def test_mixture_plan_integer_semantics(spark):
+    from spark_alchemy_spark.operators.prep import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d e f g h i j"),      # en: 10 tokens
+         (2, "en", " ".join(["w"] * 90)),        # en total: 100
+         (3, "de", " ".join(["x"] * 10))],       # de: 10
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["lang"]: r
+        for r in mixture_plan(
+            docs, "lang", "text",
+            {"en": 0.5, "de": 0.4, "fr": 0.1}, token_budget=1000,
+        ).collect()
+    }
+    # en: target 500 over 100 available -> 5 epochs, no tail, repeat risk
+    assert out["en"]["available_tokens"] == 100
+    assert out["en"]["target_tokens"] == 500
+    assert out["en"]["full_epochs"] == 5
+    assert out["en"]["tail_fraction"] == 0.0
+    assert out["en"]["repeat_risk"] is True
+    # de: target 400 over 10 -> 40 epochs
+    assert out["de"]["full_epochs"] == 40 and out["de"]["repeat_risk"] is True
+    # fr: weighted but absent from the corpus
+    assert out["fr"]["available_tokens"] == 0
+    assert out["fr"]["full_epochs"] is None and out["fr"]["tail_fraction"] is None
+    # partial pass: budget 150 -> en target 75 -> 0 epochs, tail 0.75
+    out2 = {
+        r["lang"]: r
+        for r in mixture_plan(
+            docs, "lang", "text", {"en": 1.0}, token_budget=75
+        ).collect()
+    }
+    assert out2["en"]["full_epochs"] == 0
+    assert out2["en"]["tail_fraction"] == 0.75
+    assert out2["en"]["repeat_risk"] is False
