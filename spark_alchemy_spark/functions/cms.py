@@ -95,3 +95,33 @@ def count_min_sketch_agg(col, eps: float = 0.0001, confidence: float = 0.99, see
     built-in; width = ceil(2/eps), depth = ceil(ln(1-confidence)/ln(1/2)))."""
     c = F.col(col) if isinstance(col, str) else col
     return F.count_min_sketch(c, F.lit(eps), F.lit(confidence), F.lit(seed))
+
+
+def cms_inner_product(a_bytes: bytes, b_bytes: bytes) -> int:
+    """Join-size estimate from two CMS sketches: the classic
+    count-min inner product (Cormode & Muthukrishnan 2005, §4.2 —
+    the AMS-style second-frequency-moment application).  For sketches
+    of the join keys of A and B built with the SAME (eps, confidence,
+    seed) — hence identical hash rows — ``min_i sum_j tA[i][j] *
+    tB[i][j]`` never underestimates ``|A JOIN B|`` = sum_k fA(k)fB(k)
+    and exceeds it by at most eps * |A| * |B| with probability
+    ``confidence``.
+
+    This is the shuffle-planning primitive: two map-side-combinable
+    aggregates (KB-scale blobs) answer "how big is this join" without
+    shuffling either table — the signal for choosing broadcast vs
+    sort-merge, pre-sizing shuffle partitions, or aborting a runaway
+    cross-like join.  Raises if the sketch geometries/hash rows differ
+    (different seed or eps — the estimate would be meaningless).
+    """
+    ta, da, wa, ha, tab_a = decode_cms(bytes(a_bytes))
+    tb, db, wb, hb, tab_b = decode_cms(bytes(b_bytes))
+    if (da, wa, ha) != (db, wb, hb):
+        raise ValueError(
+            "CMS sketches are not comparable: build both sides with the "
+            f"same eps/confidence/seed (got depth {da}/{db}, width "
+            f"{wa}/{wb}, hashA match={ha == hb})"
+        )
+    return min(
+        sum(x * y for x, y in zip(ra, rb)) for ra, rb in zip(tab_a, tab_b)
+    )

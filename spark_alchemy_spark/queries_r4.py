@@ -787,3 +787,64 @@ def prep_mixture_plan(spark, sf_dir):
         {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
         token_budget=1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_join_size_estimate",
+    """
+    WITH ca AS (SELECT l_orderkey AS k, count(*) AS c
+                FROM lineitem GROUP BY l_orderkey),
+    cb AS (SELECT o_orderkey AS k, count(*) AS c
+           FROM orders GROUP BY o_orderkey)
+    SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_pairs,
+           TRUE AS upper_ok, TRUE AS eps_ok
+    FROM ca JOIN cb USING (k)
+    """,
+)
+def cms_join_size_estimate(spark, sf_dir):
+    """Sketch-side join planning
+    (``functions.cms.cms_inner_product``): estimate
+    ``|lineitem JOIN orders|`` on the order key from two count-min
+    sketches built with a shared seed — two map-side aggregates, KB
+    blobs to the driver, no shuffle of either table.  The CMS inner
+    product never underestimates and overshoots by at most
+    eps x |A| x |B| w.p. ``confidence``; the entry pins both bound
+    booleans against the exact pair count (which the oracle replays
+    as the grouped-count dot product)."""
+    from .functions.cms import cms_inner_product, count_min_sketch_agg, decode_cms
+
+    eps = 0.0001
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    ska = lineitem.agg(
+        count_min_sketch_agg("l_orderkey", eps=eps).alias("sk")
+    ).collect()[0]["sk"]
+    skb = orders.agg(
+        count_min_sketch_agg("o_orderkey", eps=eps).alias("sk")
+    ).collect()[0]["sk"]
+    est = cms_inner_product(ska, skb)
+    n_a = decode_cms(bytes(ska))[0]
+    n_b = decode_cms(bytes(skb))[0]
+
+    ca = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    return (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_pairs"))
+        .select(
+            "exact_pairs",
+            (F.lit(est) >= F.col("exact_pairs")).alias("upper_ok"),
+            (
+                F.lit(est).cast("double")
+                <= F.col("exact_pairs") + F.lit(eps * n_a * n_b)
+            ).alias("eps_ok"),
+        )
+    )

@@ -116,3 +116,29 @@ def test_cms_decode_and_point_queries(spark):
     for item, exact in ((5, 100), (-7, 25), (2**40 + 3, 4), (0, 9)):
         assert cms._estimate_long(item, depth, width, hash_a, table) == exact
     assert cms.cms_total_count(sk) == len(rows)
+
+
+def test_cms_inner_product_join_size(spark):
+    """Inner product over shared-seed sketches is an upper bound on the
+    exact join size, exact when collision-free; mismatched geometries
+    raise."""
+    from spark_alchemy_spark.functions.cms import (
+        cms_inner_product,
+        count_min_sketch_agg,
+    )
+
+    a = spark.range(1000).select((F.col("id") % 50).alias("k"))   # 20 each
+    b = spark.range(200).select((F.col("id") % 100).alias("k"))   # 2 each
+    ska = a.agg(count_min_sketch_agg("k", eps=0.001).alias("s")).collect()[0]["s"]
+    skb = b.agg(count_min_sketch_agg("k", eps=0.001).alias("s")).collect()[0]["s"]
+    est = cms_inner_product(ska, skb)
+    exact = 50 * 20 * 2  # keys 0..49 overlap: 20 per key in a, 2 in b
+    assert est >= exact
+    assert est == exact  # width 2000 >> 100 distinct keys: collision-free
+    import pytest
+
+    skc = b.agg(
+        count_min_sketch_agg("k", eps=0.001, seed=7).alias("s")
+    ).collect()[0]["s"]
+    with pytest.raises(ValueError, match="not comparable"):
+        cms_inner_product(ska, skc)
