@@ -597,7 +597,9 @@ def prep_decontaminate_bloom(spark, sf_dir):
       FROM toks),
     kept AS (
       SELECT tok.doc_id, tok.tp, tok.w FROM tok
-      ANTI JOIN removed ON tok.doc_id = removed.doc_id AND tok.tp = removed.rp),
+      WHERE NOT EXISTS (SELECT 1 FROM removed
+                        WHERE removed.doc_id = tok.doc_id
+                          AND removed.rp = tok.tp)),
     rebuilt AS (
       SELECT doc_id, count(*) AS n_kept,
              string_agg(w, ' ' ORDER BY tp) AS clean_text
@@ -648,7 +650,9 @@ def dedup_strip_shared_spans(spark, sf_dir):
       FROM toks),
     kept AS (
       SELECT tok.doc_id, tok.tp, tok.w FROM tok
-      ANTI JOIN removed ON tok.doc_id = removed.doc_id AND tok.tp = removed.rp),
+      WHERE NOT EXISTS (SELECT 1 FROM removed
+                        WHERE removed.doc_id = tok.doc_id
+                          AND removed.rp = tok.tp)),
     rebuilt AS (
       SELECT doc_id, count(*) AS n_kept,
              string_agg(w, ' ' ORDER BY tp) AS clean_text
@@ -695,7 +699,8 @@ def prep_strip_contaminated_spans(spark, sf_dir):
     corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
     arrivals AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
     survivors AS (
-      SELECT a.* FROM arrivals a ANTI JOIN corpus c ON a.f = c.f)
+      SELECT * FROM arrivals a
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = a.f))
     SELECT lang,
            count(*) AS n_new,
            count(DISTINCT f) AS n_new_unique
