@@ -853,3 +853,71 @@ def cms_join_size_estimate(spark, sf_dir):
             ).alias("eps_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL range-partition planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "plan_range_partitions_price",
+    """
+    SELECT i AS split_idx, TRUE AS within_band
+    FROM range(1, 8) t(i)
+    ORDER BY i
+    """,
+)
+def plan_range_partitions_price(spark, sf_dir):
+    """Range-layout planning (``sources.bucketing.plan_range_partitions``):
+    7 equi-depth split points over ``l_extendedprice`` from one KLL
+    aggregate — the persisted boundary plan a 100 TB sorted-write /
+    compaction pipeline shares across jobs instead of re-sampling with
+    RangePartitioner.  Each sketch split must land inside the exact
+    quantile band [Q(r-0.02), Q(r+0.02)] (KLL rank error at k=800 is
+    ~0.006 — 3x margin); the oracle pins the 7 band booleans, the
+    exact side being Spark's own exact ``percentile`` so DuckDB only
+    replays the index frame."""
+    from .sources.bucketing import plan_range_partitions
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    n = 8
+    splits = plan_range_partitions(lineitem, "l_extendedprice", n, k=800)
+    lo_hi = lineitem.agg(
+        *[
+            F.expr(
+                f"percentile(l_extendedprice, {max(i / n - 0.02, 0.0)})"
+            ).alias(f"lo{i}")
+            for i in range(1, n)
+        ],
+        *[
+            F.expr(
+                f"percentile(l_extendedprice, {min(i / n + 0.02, 1.0)})"
+            ).alias(f"hi{i}")
+            for i in range(1, n)
+        ],
+    )
+    bands = lo_hi.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("split_idx"),
+                        F.col(f"lo{i}").alias("lo"),
+                        F.col(f"hi{i}").alias("hi"),
+                    )
+                    for i in range(1, n)
+                ]
+            )
+        ).alias("__b")
+    ).select("__b.split_idx", "__b.lo", "__b.hi")
+    return (
+        splits.join(F.broadcast(bands), "split_idx")
+        .select(
+            "split_idx",
+            F.col("split_value").between(F.col("lo"), F.col("hi")).alias(
+                "within_band"
+            ),
+        )
+        .orderBy("split_idx")
+    )

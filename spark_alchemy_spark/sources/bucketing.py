@@ -49,3 +49,39 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def plan_range_partitions(
+    df, col: str, num_partitions: int, k: int = 800
+):
+    """Balanced range-partition split points from a KLL sketch: the
+    ``num_partitions - 1`` equi-depth quantiles of ``col``, computed
+    with ONE map-side-combinable sketch aggregate — the planning pass
+    for ``repartitionByRange`` / sorted parquet writes / per-range
+    compaction at 100 TB, where Spark's own RangePartitioner samples
+    per-use and a persisted plan lets every downstream job agree on
+    the same boundaries.
+
+    The split at index i targets rank i / num_partitions; KLL's
+    normalized-rank guarantee (~0.6% at k=800, 99% confidence) bounds
+    how unbalanced a resulting partition can be.  Returns
+    (split_idx 1-based, split_value double) — feed the values to a
+    range-bucketing CASE or ``repartitionByRange`` seed frame.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import kll_init_agg, kll_quantile
+
+    if num_partitions < 2:
+        raise ValueError("need num_partitions >= 2")
+    sk = df.agg(kll_init_agg(col, k).alias("__sk"))
+    splits = [
+        F.struct(
+            F.lit(i).alias("split_idx"),
+            kll_quantile("__sk", i / num_partitions).alias("split_value"),
+        )
+        for i in range(1, num_partitions)
+    ]
+    return sk.select(
+        F.explode(F.array(*splits)).alias("__s")
+    ).select("__s.split_idx", "__s.split_value")

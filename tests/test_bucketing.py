@@ -141,3 +141,22 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     assert z_total == 16 and l_total == 16
     assert l_hit == 16            # custkey sort: day unbounded everywhere
     assert z_hit <= 8, z_hit      # z-order: the window touches few tiles
+
+
+def test_plan_range_partitions_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.sources.bucketing import plan_range_partitions
+
+    df = spark.range(100000).select(F.col("id").cast("double").alias("v"))
+    splits = {
+        r["split_idx"]: r["split_value"]
+        for r in plan_range_partitions(df, "v", 4, k=800).collect()
+    }
+    assert sorted(splits) == [1, 2, 3]
+    for i, v in splits.items():
+        assert abs(v - i * 25000) < 2500, (i, v)  # within 10% of exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_range_partitions(df, "v", 1)
