@@ -883,19 +883,19 @@ def plan_range_partitions_price(spark, sf_dir):
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     n = 8
     splits = plan_range_partitions(lineitem, "l_extendedprice", n, k=800)
+    # ONE exact-percentile aggregate with an array of percentages: each
+    # percentile(...) column buffers the whole column independently, so
+    # 14 scalar calls were 14 copies of lineitem in the agg buffer
+    # (measured 23s at sf0.1 vs ~1s for the array form)
+    pcts = [max(i / n - 0.02, 0.0) for i in range(1, n)] + [
+        min(i / n + 0.02, 1.0) for i in range(1, n)
+    ]
     lo_hi = lineitem.agg(
-        *[
-            F.expr(
-                f"percentile(l_extendedprice, {max(i / n - 0.02, 0.0)})"
-            ).alias(f"lo{i}")
-            for i in range(1, n)
-        ],
-        *[
-            F.expr(
-                f"percentile(l_extendedprice, {min(i / n + 0.02, 1.0)})"
-            ).alias(f"hi{i}")
-            for i in range(1, n)
-        ],
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(x) for x in pcts)
+            + "))"
+        ).alias("__q")
     )
     bands = lo_hi.select(
         F.explode(
@@ -903,8 +903,8 @@ def plan_range_partitions_price(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(i).alias("split_idx"),
-                        F.col(f"lo{i}").alias("lo"),
-                        F.col(f"hi{i}").alias("hi"),
+                        F.element_at("__q", i).alias("lo"),
+                        F.element_at("__q", (n - 1) + i).alias("hi"),
                     )
                     for i in range(1, n)
                 ]

@@ -651,3 +651,43 @@ def test_ewma_bucketed_matches_exact_within_tolerance(
         assert math.isclose(v, bucketed[kk], rel_tol=1e-9, abs_tol=1e-9), (
             kk, v, bucketed[kk]
         )
+
+
+_words = st.sampled_from(["a", "b", "c"])
+_doc = st.lists(_words, min_size=0, max_size=12)
+
+
+@_settings
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_strip_shared_spans_matches_reference(spark, docs):
+    """strip_shared_spans == a sequential reference scan on tiny-
+    alphabet corpora (3 words, len <= 12, k=3: heavy forced gram
+    collisions exercise run merging, full cuts, and within-doc
+    repeats)."""
+    from spark_alchemy_spark.operators.dedup import strip_shared_spans
+
+    k = 3
+    toks = {i: ws for i, ws in enumerate(docs)}
+    gram_docs: dict[tuple, set] = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            gram_docs.setdefault(tuple(ws[p : p + k]), set()).add(i)
+    dup = {g for g, s in gram_docs.items() if len(s) >= 2}
+    expected = {}
+    for i, ws in toks.items():
+        cut: set[int] = set()
+        for p in range(len(ws) - k + 1):
+            if tuple(ws[p : p + k]) in dup:
+                cut.update(range(p, p + k))
+        kept = [w for j, w in enumerate(ws) if j not in cut]
+        expected[i] = (len(kept), len(ws) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in strip_shared_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == expected
