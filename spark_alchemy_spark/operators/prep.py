@@ -203,8 +203,9 @@ def build_gram_bloom(
 
 def _bloom_member(gram_sql: str, bloom_sql: str, num_bits: int, num_hashes: int):
     """JVM predicate: all ``num_hashes`` bits for ``gram_sql`` are set
-    in the ``bloom_sql`` word array.  Unrolled (k is tiny) so the seed
-    literals match :func:`_bloom_positions` exactly."""
+    in the ``bloom_sql`` word-array expression (a column name or an
+    inlined array literal).  Unrolled (k is tiny) so the seed literals
+    match :func:`_bloom_positions` exactly."""
     terms = []
     for i in range(num_hashes):
         p = f"pmod(xxhash64({gram_sql}, {i}), {num_bits})"
@@ -238,10 +239,20 @@ def decontaminate_bloom(
 
     Sizing: ``num_bits`` should be ~10x the distinct benchmark gram
     count for ~1% FP at ``num_hashes=3``; benchmark suites are a few
-    million grams (MB-scale words array), far under broadcast limits.
-    Spark's own ``bloom_filter_agg``/``might_contain`` pair is not in
-    the public SQL registry (4.1), hence the explicit word-array build
-    — which also keeps the filter persistable as a plain column."""
+    million grams (MB-scale words array), far under literal/broadcast
+    limits.  Spark's own ``bloom_filter_agg``/``might_contain`` pair is
+    not in the public SQL registry (4.1), hence the explicit word-array
+    build — which also keeps the filter persistable as a plain column.
+
+    The built filter is collected (num_bits/64 longs — KB-to-MB-scale,
+    a bounded aggregate like the ANN query-vector pulls) and inlined
+    as an ARRAY LITERAL in the probe predicate rather than joined in
+    as a 1-row broadcast: with a join, Catalyst's reordering is free
+    to sink the exact semi-join BELOW the bloom filter (measured — the
+    'prefilter' then ran after the join it was supposed to protect);
+    a literal predicate sits in the corpus scan stage and cannot be
+    reordered past.  Same mechanism as Spark's runtime bloom join,
+    where the filter rides the plan as a subquery result."""
     bench_text_col = bench_text_col or text_col
     from ..functions.text import exploded_shingles
 
@@ -250,13 +261,14 @@ def decontaminate_bloom(
             F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
         ).alias("__s")
     ).distinct()
-    bloom = build_gram_bloom(bench_sh, "__s", num_bits, num_hashes)
+    words = build_gram_bloom(bench_sh, "__s", num_bits, num_hashes).collect()[
+        0
+    ]["bloom"]
     doc_sh = exploded_shingles(docs, id_col, text_col, n)
-    cand = (
-        doc_sh.join(F.broadcast(bloom))
-        .filter(_bloom_member("__s", "bloom", num_bits, num_hashes))
-        .select(id_col, "__s")
-    )
+    bloom_lit = f"array({', '.join(f'{w}L' for w in words)})"
+    cand = doc_sh.filter(
+        _bloom_member("__s", bloom_lit, num_bits, num_hashes)
+    ).select(id_col, "__s")
     contaminated = (
         cand.join(F.broadcast(bench_sh), "__s", "left_semi")
         .select(id_col)

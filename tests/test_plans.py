@@ -329,3 +329,27 @@ def test_conf_window_restores_on_success_and_error(spark):
         with _conf_window(spark, {set_key: "9"}):
             raise RuntimeError("boom")
     assert spark.conf.get(set_key) == before_set
+
+
+def test_decontaminate_bloom_prefilter_stays_in_scan_stage(spark):
+    """The bloom probe must be a literal-array Filter in the corpus
+    scan stage — as a 1-row broadcast crossJoin Catalyst reordered the
+    exact semi-join BELOW it (prefilter ran after the join it guards);
+    the literal form leaves no join to reorder, so any
+    BroadcastNestedLoopJoin reappearing here is the regression."""
+    from spark_alchemy_spark.operators.prep import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} for the corpus side") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark text number 3 for the corpus")],
+        "doc_id long, text string",
+    )
+    out = decontaminate_bloom(docs, bench, "doc_id", "text", n=3, num_bits=1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe predicate exists and is a plain Filter over the
+    # inlined word array (element_at against a literal, not a column)
+    assert "element_at([" in plan
