@@ -353,3 +353,22 @@ def test_decontaminate_bloom_prefilter_stays_in_scan_stage(spark):
     # the probe predicate exists and is a plain Filter over the
     # inlined word array (element_at against a literal, not a column)
     assert "element_at([" in plan
+
+
+def test_topk_window_uses_group_limit_pushdown(spark):
+    """window_top_orders_per_customer must keep Spark's
+    WindowGroupLimit rank pushdown, Partial BEFORE the exchange: each
+    map task keeps only its local top-3 per customer, so the shuffle
+    carries at most 3 rows per (task, customer) instead of every order
+    — the optimization that makes global top-k-per-group survive 100x
+    fact growth.  Disappearance (e.g. a filter rewritten off the
+    rank column) is a silent full-shuffle regression."""
+    import os
+
+    import __spark_entry__ as E
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    df = E.queries()["window_top_orders_per_customer"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or "Partial" in plan
