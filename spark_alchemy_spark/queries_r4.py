@@ -21,6 +21,28 @@ the round-3 review.
 * ``corpus_dup_ngram_fraction`` / ``prep_length_buckets`` — corpus
   curation signal + trainer layout report, both single narrow-shuffle
   aggregations.
+* Skew-resilient ordered-window family —
+  ``streak_longest_bucketed``, ``session_bucketed_stats``,
+  ``asof_bucketed_last_click``, ``ewma_bucketed_daily_revenue``: the
+  per-key tape splits into (key, bucket) segments whose summaries
+  merge exactly (run algebra / boundary merge / carry join / linear-
+  recurrence factoring), so one hot key's history never sits in one
+  task.
+* ``prep_decontaminate_bloom`` — benchmark-leakage guard with a
+  literal word-array Bloom prefilter ahead of the exact verify
+  semi-join (identical output, corpus-sized shuffle becomes
+  leak-sized).
+* ``dedup_strip_shared_spans`` / ``prep_strip_contaminated_spans`` —
+  cross-document (resp. benchmark-targeted) verbatim-span REMOVAL:
+  positional-gram coverage cut + per-doc rebuild.
+* ``stream_dedup_at_ingest`` — stateless stream-static LEFT ANTI
+  dedup of arriving docs against standing-corpus fingerprints.
+* ``prep_mixture_plan`` — integer-pinned token-budget mixture
+  planning (epochs + tail fraction + over-repetition flag).
+* ``cms_join_size_estimate`` — count-min inner-product join-size
+  estimation from shared-seed sketches (planning without shuffling).
+* ``plan_range_partitions_price`` — KLL equi-depth split points for
+  repartitionByRange/sorted writes, band-pinned vs exact percentile.
 
 Same determinism conventions as queries.py.
 """
