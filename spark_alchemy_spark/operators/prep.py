@@ -654,14 +654,14 @@ def mixture_plan(
         F.when(has, F.expr("target_tokens DIV available_tokens"))
         .cast("long")
         .alias("full_epochs"),
+        # parts-per-million via bigint floor division, THEN one exact
+        # double divide — never round() a double ratio (HALF_UP vs
+        # HALF_EVEN differs across engines at tie points)
         F.when(
             has,
-            F.round(
-                (F.col("target_tokens") % F.col("available_tokens")).cast(
-                    "double"
-                )
-                / F.col("available_tokens"),
-                6,
+            F.expr(
+                "CAST((target_tokens % available_tokens) * 1000000 "
+                "DIV available_tokens AS DOUBLE) / 1000000"
             ),
         ).alias("tail_fraction"),
         F.when(has, F.expr("target_tokens DIV available_tokens") >= repeat_warn_epochs)

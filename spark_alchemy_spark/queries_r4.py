@@ -788,8 +788,9 @@ def stream_dedup_at_ingest(spark, sf_dir):
            CASE WHEN available_tokens > 0
                 THEN target_tokens // available_tokens END AS full_epochs,
            CASE WHEN available_tokens > 0
-                THEN round(CAST(target_tokens % available_tokens AS DOUBLE)
-                           / available_tokens, 6) END AS tail_fraction,
+                THEN CAST((target_tokens % available_tokens) * 1000000
+                          // available_tokens AS DOUBLE) / 1000000
+                END AS tail_fraction,
            CASE WHEN available_tokens > 0
                 THEN target_tokens // available_tokens >= 4 END AS repeat_risk
     FROM plan
