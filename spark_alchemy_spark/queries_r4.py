@@ -944,3 +944,122 @@ def plan_range_partitions_price(spark, sf_dir):
         )
         .orderBy("split_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline over the round-4 operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_pipeline_report",
+    """
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS f
+      FROM documents),
+    m AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    s1 AS (SELECT fp.doc_id, fp.text FROM fp JOIN m USING (doc_id)),
+    toks1 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM s1),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - 8 + 2)) AS p,
+             unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+                     for i in range(1, len(ws) - 8 + 2)]) AS s
+      FROM toks1 WHERE len(ws) >= 8),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    removed AS (
+      SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS rp
+      FROM sh JOIN dup USING (s)),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS tp, unnest(ws) AS w
+      FROM toks1),
+    kept AS (
+      SELECT tok.doc_id, tok.tp, tok.w FROM tok
+      WHERE NOT EXISTS (SELECT 1 FROM removed
+                        WHERE removed.doc_id = tok.doc_id
+                          AND removed.rp = tok.tp)),
+    reb AS (
+      SELECT doc_id, count(*) AS nk,
+             string_agg(w, ' ' ORDER BY tp) AS ct
+      FROM kept GROUP BY doc_id),
+    s2 AS (
+      SELECT t.doc_id, coalesce(r.ct, '') AS text, coalesce(r.nk, 0) AS nk
+      FROM toks1 t LEFT JOIN reb r USING (doc_id)),
+    btoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 10),
+    bsh AS (
+      SELECT DISTINCT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]) AS s
+      FROM btoks WHERE len(ws) >= 3),
+    s2toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM s2),
+    s2sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS s
+      FROM s2toks WHERE len(ws) >= 3),
+    contaminated AS (
+      SELECT DISTINCT s2sh.doc_id FROM s2sh JOIN bsh USING (s)),
+    s3 AS (
+      SELECT * FROM s2toks
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT * FROM (
+      SELECT 1 AS stage, 'exact_dedup' AS name, count(*) AS n_docs,
+             CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+      FROM toks1
+      UNION ALL
+      SELECT 2, 'strip_spans', count(*), CAST(sum(nk) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'decontaminate', count(*), CAST(sum(len(ws)) AS BIGINT)
+      FROM s3)
+    ORDER BY stage
+    """,
+)
+def prep_pipeline_report(spark, sf_dir):
+    """Composed curation pipeline with per-stage lineage: exact dedup
+    (order-insensitive fingerprint, min-id survivor) -> cross-document
+    span REMOVAL (``dedup.strip_shared_spans``, k=8) -> benchmark
+    decontamination (``prep.decontaminate``, trigrams vs the ORIGINAL
+    docs 0-9) over the surviving, already-stripped text.  One report
+    row per stage (docs, tokens) — the audit a 100 TB curation DAG
+    emits between stages; each stage materializes once and feeds the
+    next, so the oracle replays the identical three-stage chain."""
+    from .functions.text import doc_fingerprint, token_count
+    from .operators.dedup import strip_shared_spans
+    from .operators.prep import decontaminate
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    minids = (
+        documents.select("doc_id", doc_fingerprint("text").alias("__f"))
+        .groupBy("__f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = documents.join(minids, "doc_id", "left_semi").select("doc_id", "text")
+    stripped = strip_shared_spans(s1, "doc_id", "text", k=8).localCheckpoint(
+        eager=False
+    )
+    s2 = stripped.select("doc_id", F.col("clean_text").alias("text"), "n_kept")
+    bench = documents.filter(F.col("doc_id") < 10)
+    s3 = decontaminate(s2.select("doc_id", "text"), bench, "doc_id", "text", n=3)
+
+    def stage(i, name, df_, tok_col):
+        return df_.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).cast("bigint").alias("n_tokens"),
+        ).select("stage", "name", "n_docs", "n_tokens")
+
+    report = (
+        stage(1, "exact_dedup", s1, token_count("text"))
+        .unionByName(stage(2, "strip_spans", s2, F.col("n_kept")))
+        .unionByName(stage(3, "decontaminate", s3, token_count("text")))
+    )
+    return report.orderBy("stage")
