@@ -173,3 +173,42 @@ def curation_report(
         )
         .orderBy("lang_pred")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to its group's
+    exact [``lo``, ``hi``] quantiles (linear interpolation — the
+    classic outlier treatment before averaging/regressing over skewed
+    features).  The bounds table is one grouped
+    ``percentile(col, array(lo, hi))`` aggregate — a single buffer per
+    group, broadcast back for the clamp, so the fact table never
+    shuffles; at 100 TB swap the exact percentile for a per-group KLL
+    (``functions.sketches``) and keep the same broadcast-clamp shape.
+
+    Returns ``df`` plus ``out_col`` (default ``<value_col>_wins``).
+    """
+    if not 0 <= lo <= hi <= 1:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    out_col = out_col or f"{value_col}_wins"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("__b")
+    ).select(
+        *group_cols,
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            out_col,
+            F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col(value_col))),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -1063,3 +1063,48 @@ def prep_pipeline_report(spark, sf_dir):
         .unionByName(stage(3, "decontaminate", s3, token_count("text")))
     )
     return report.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_winsorized_price_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag),
+    w AS (
+      SELECT l.l_returnflag,
+             greatest(b.lo, least(b.hi, l.l_extendedprice)) AS v
+      FROM lineitem l JOIN b USING (l_returnflag))
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(v), 2) AS avg_wins,
+           round(max(v), 2) AS max_wins,
+           round(min(v), 2) AS min_wins
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def curate_winsorized_price_stats(spark, sf_dir):
+    """Per-group winsorization (``operators.curate.winsorize``): clamp
+    ``l_extendedprice`` to each return flag's exact interpolated
+    [P1, P99] before averaging — the outlier treatment feature
+    pipelines apply ahead of normalization.  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the classic
+    rank*(n-1) interpolation, so bounds and clipped stats replay
+    bit-for-bit (rounded at 2 decimals like the other avg entries)."""
+    from .operators.curate import winsorize
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = winsorize(lineitem, ["l_returnflag"], "l_extendedprice", 0.01, 0.99)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice_wins"), 2).alias("avg_wins"),
+        F.round(F.max("l_extendedprice_wins"), 2).alias("max_wins"),
+        F.round(F.min("l_extendedprice_wins"), 2).alias("min_wins"),
+    )

@@ -108,3 +108,29 @@ def test_connected_components_string_ids_chain(spark):
     comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert {comp[n] for n in "abcd"} == {"a"}
     assert {comp[n] for n in "xy"} == {"x"}
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.curate import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0), ("b", 2000.0)],
+        "g string, v double",
+    )
+    out = winsorize(df, ["g"], "v", lo=0.10, hi=0.90)
+    a = out.filter(F.col("g") == "a")
+    mx = a.agg(F.max("v_wins")).collect()[0][0]
+    mn = a.agg(F.min("v_wins")).collect()[0][0]
+    # exact interpolated quantiles of 1..100 at 0.1/0.9: 10.9 and 90.1
+    assert abs(mn - 10.9) < 1e-9 and abs(mx - 90.1) < 1e-9
+    # untouched interior values survive exactly
+    assert a.filter(F.col("v") == 50.0).collect()[0]["v_wins"] == 50.0
+    # group b: its own bounds, not group a's
+    b = {r["v"]: r["v_wins"] for r in out.filter(F.col("g") == "b").collect()}
+    assert b[1000.0] >= 1000.0 and b[2000.0] <= 2000.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, ["g"], "v", lo=0.9, hi=0.1)
