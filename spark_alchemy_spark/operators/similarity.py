@@ -20,7 +20,7 @@ throughput beats codegen on wide vectors.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _as_double, cosine_similarity
@@ -1064,3 +1064,53 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(corpus, queries, short, id_col, vec_col, k)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (embedding storage tier)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str,
+    codes_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale`` =
+    max(|v_i|) and ``codes_i`` = floor(v_i / scale * 127 + 0.5) as
+    TINYINT — the standard 4x embedding-storage tier between raw
+    float32 and PQ (``build_pq_model``): reconstruction error is
+    bounded by scale/254 per element, distance ranking degrades far
+    less than PQ, and the codes column is a plain shuffle-/parquet-
+    friendly ``array<tinyint>``.
+
+    Pure codegen expressions — no UDF, no shuffle; the explicit
+    ``floor(x + 0.5)`` (instead of ``round``) pins half-way cases to
+    one rule every engine replays identically.  All-zero vectors get
+    scale 0 and all-zero codes.  Dequantize with
+    :func:`dequantize_int8`.
+    """
+    vec = F.col(vec_col)
+    scale = F.array_max(F.transform(vec, lambda v: F.abs(v)))
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            vec,
+            lambda v: F.floor(v.cast("double") / scale * 127 + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    ).otherwise(F.transform(vec, lambda v: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(codes_col, codes)
+
+
+def dequantize_int8(
+    codes_col: str = "codes", scale_col: str = "scale"
+) -> Column:
+    """Reconstruction expression for :func:`quantize_embeddings_int8`:
+    ``codes_i * scale / 127`` as ``array<double>``."""
+    return F.transform(
+        F.col(codes_col),
+        lambda c: c.cast("double") * F.col(scale_col) / 127,
+    )

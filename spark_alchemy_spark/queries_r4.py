@@ -1108,3 +1108,75 @@ def curate_winsorized_price_stats(spark, sf_dir):
         F.round(F.max("l_extendedprice_wins"), 2).alias("max_wins"),
         F.round(F.min("l_extendedprice_wins"), 2).alias("min_wins"),
     )
+
+
+@query(
+    "ann_int8_quantization",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(v))) AS s
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, embedding, s,
+             CASE WHEN s > 0 THEN
+               [CAST(floor(CAST(v AS DOUBLE) / s * 127 + 0.5) AS TINYINT)
+                for v in embedding]
+             ELSE [CAST(0 AS TINYINT) for v in embedding] END AS codes
+      FROM q),
+    e AS (
+      SELECT vec_id, s, codes,
+             list_aggregate(list_transform(codes,
+                            x -> CAST(x AS BIGINT)), 'sum') AS code_sum,
+             CASE WHEN s > 0 THEN
+               list_max([abs(CAST(embedding[i] AS DOUBLE)
+                             - CAST(codes[i] AS DOUBLE) * s / 127)
+                         for i in range(1, len(embedding) + 1)])
+             ELSE 0.0 END AS max_err
+      FROM c)
+    SELECT count(*) AS n_vectors,
+           CAST(sum(code_sum) AS BIGINT) AS sum_codes,
+           bool_and(s = 0 OR max_err <= s / 254 * 1.000001) AS max_err_ok
+    FROM e
+    """,
+)
+def ann_int8_quantization(spark, sf_dir):
+    """Int8 embedding storage tier
+    (``operators.similarity.quantize_embeddings_int8``): symmetric
+    per-vector scalar quantization to ``array<tinyint>`` (4x smaller
+    than float32, reconstruction bounded by scale/254 per element) —
+    pure codegen, no UDF, no shuffle.  The oracle replays the exact
+    floor-pinned arithmetic element-for-element and checks the same
+    code sum and error bound."""
+    from .operators.similarity import dequantize_int8, quantize_embeddings_int8
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(embeddings, "embedding")
+    e = q.select(
+        "scale",
+        F.aggregate(
+            F.transform(F.col("codes"), lambda c: c.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("code_sum"),
+        F.when(
+            F.col("scale") > 0,
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    dequantize_int8(),
+                    lambda a, b: F.abs(a - b),
+                )
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("max_err"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("code_sum").cast("bigint").alias("sum_codes"),
+        F.bool_and(
+            (F.col("scale") == 0)
+            | (F.col("max_err") <= F.col("scale") / 254 * 1.000001)
+        ).alias("max_err_ok"),
+    )

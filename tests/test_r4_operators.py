@@ -358,3 +358,42 @@ def test_strip_contaminated_spans_cuts_only_benchmark_coverage(spark):
     assert out[1]["clean_text"] == "intro text before the quiz and trailing discussion"
     assert out[2]["n_removed"] == 0
     assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+            (3, [3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings_int8(df, "embedding")
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == 1.0
+    assert rows[1]["codes"] == [64, -127, 32, 0]  # floor(x*127+0.5)
+    assert rows[2]["scale"] == 0.0 and rows[2]["codes"] == [0, 0, 0, 0]
+    assert rows[3]["codes"] == [127]
+    # reconstruction bounded by scale/254 per element
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantize_int8(),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("e"),
+        "scale",
+    )
+    bad = err.filter(
+        (F.col("scale") > 0) & (F.col("e") > F.col("scale") / 254 * 1.000001)
+    ).count()
+    assert bad == 0
