@@ -1180,3 +1180,36 @@ def ann_int8_quantization(spark, sf_dir):
             | (F.col("max_err") <= F.col("scale") / 254 * 1.000001)
         ).alias("max_err_ok"),
     )
+
+
+@query(
+    "ann_int8_topk",
+    """
+    SELECT vec_id AS query_id, 10 AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_int8_topk(spark, sf_dir):
+    """Asymmetric int8 search: full-precision queries scored against
+    the int8-quantized corpus
+    (``quantize_embeddings_int8`` -> ``dequantize_int8``), the serving
+    mode of the scalar-quantization storage tier.  Same
+    recall-invariant harness as the PQ/IVFPQ entries; int8 perturbs
+    cosine far less than PQ, so the bar is >= 8/10 of the exact float
+    top-10 per query (measured 10/10 at sf0.01)."""
+    from .operators.similarity import (
+        brute_force_topk,
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
+    corpus_q = quantize_embeddings_int8(embeddings, "embedding").select(
+        "vec_id", dequantize_int8().alias("embedding")
+    )
+    approx = brute_force_topk(corpus_q, queries_df, "vec_id", "embedding", k=10)
+    from .queries import _ann_recall_report
+
+    return _ann_recall_report(queries_df, exact, approx, min_hits=8)
