@@ -125,3 +125,33 @@ def cms_inner_product(a_bytes: bytes, b_bytes: bytes) -> int:
     return min(
         sum(x * y for x, y in zip(ra, rb)) for ra, rb in zip(tab_a, tab_b)
     )
+
+
+def sketch_guided_join(
+    left, right, on, est_threshold: int = 10_000_000,
+    eps: float = 0.0001, confidence: float = 0.99, seed: int = 42,
+):
+    """Join with the physical strategy chosen by the CMS join-size
+    estimate (:func:`cms_inner_product`): when the estimated output is
+    under ``est_threshold`` rows the right side gets a ``broadcast``
+    hint, otherwise a ``merge`` (sort-merge) hint — the decision a
+    cost-based optimizer makes from statistics, here made from two
+    KB-scale sketch aggregates without shuffling either input.  The
+    estimate is an upper bound, so a broadcast choice is safe against
+    underestimation by construction.
+
+    Returns (joined DataFrame, estimate).  Planning cost is two
+    sketch-aggregate jobs; amortize by persisting sketches for tables
+    that join repeatedly (they are plain binary columns).
+    """
+    from pyspark.sql import functions as F
+
+    ska = left.agg(
+        count_min_sketch_agg(on, eps, confidence, seed).alias("s")
+    ).collect()[0]["s"]
+    skb = right.agg(
+        count_min_sketch_agg(on, eps, confidence, seed).alias("s")
+    ).collect()[0]["s"]
+    est = cms_inner_product(ska, skb)
+    hinted = right.hint("broadcast" if est <= est_threshold else "merge")
+    return left.join(hinted, on), est

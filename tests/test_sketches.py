@@ -142,3 +142,22 @@ def test_cms_inner_product_join_size(spark):
     ).collect()[0]["s"]
     with pytest.raises(ValueError, match="not comparable"):
         cms_inner_product(ska, skc)
+
+
+def test_sketch_guided_join_picks_strategy(spark):
+    """Small estimated join -> broadcast hint in the plan; estimate
+    above threshold -> sort-merge. The decision is made from sketches
+    alone (no shuffle of either input before the choice)."""
+    from spark_alchemy_spark.functions.cms import sketch_guided_join
+
+    a = spark.range(2000).select((F.col("id") % 100).alias("k"), "id")
+    b = spark.range(500).select((F.col("id") % 100).alias("k"))
+    joined, est = sketch_guided_join(a, b, "k", est_threshold=10_000_000)
+    assert est >= 2000 * 5  # 20 per key in a x 5 per key in b x 100 keys
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    joined2, est2 = sketch_guided_join(a, b, "k", est_threshold=10)
+    plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2 and est2 == est
+    # correctness unchanged by the hint
+    assert joined.count() == joined2.count() == 2000 * 5
