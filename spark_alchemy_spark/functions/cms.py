@@ -128,24 +128,24 @@ def cms_inner_product(a_bytes: bytes, b_bytes: bytes) -> int:
 
 
 def sketch_guided_join(
-    left, right, on, est_threshold: int = 10_000_000,
+    left, right, on, broadcast_rows: int = 10_000_000,
     eps: float = 0.0001, confidence: float = 0.99, seed: int = 42,
 ):
-    """Join with the physical strategy chosen by the CMS join-size
-    estimate (:func:`cms_inner_product`): when the estimated output is
-    under ``est_threshold`` rows the right side gets a ``broadcast``
-    hint, otherwise a ``merge`` (sort-merge) hint — the decision a
-    cost-based optimizer makes from statistics, here made from two
-    KB-scale sketch aggregates without shuffling either input.  The
-    estimate is an upper bound, so a broadcast choice is safe against
-    underestimation by construction.
+    """Join with the physical strategy chosen from the two key
+    sketches, no shuffle of either input: the ``right`` side gets a
+    ``broadcast`` hint iff ITS row count (the sketch's exact
+    totalCount — what actually has to fit on every executor) is at
+    most ``broadcast_rows``, else a ``merge`` (sort-merge) hint.  The
+    join-OUTPUT estimate (:func:`cms_inner_product`, an upper bound)
+    is returned alongside for shuffle-partition sizing — it must NOT
+    gate the broadcast: a billion-row table with barely-overlapping
+    keys has a tiny pair estimate but would still OOM every executor
+    if shipped whole.
 
-    Returns (joined DataFrame, estimate).  Planning cost is two
+    Returns (joined DataFrame, pair_estimate).  Planning cost is two
     sketch-aggregate jobs; amortize by persisting sketches for tables
     that join repeatedly (they are plain binary columns).
     """
-    from pyspark.sql import functions as F
-
     ska = left.agg(
         count_min_sketch_agg(on, eps, confidence, seed).alias("s")
     ).collect()[0]["s"]
@@ -153,5 +153,6 @@ def sketch_guided_join(
         count_min_sketch_agg(on, eps, confidence, seed).alias("s")
     ).collect()[0]["s"]
     est = cms_inner_product(ska, skb)
-    hinted = right.hint("broadcast" if est <= est_threshold else "merge")
+    n_right = cms_total_count(skb)
+    hinted = right.hint("broadcast" if n_right <= broadcast_rows else "merge")
     return left.join(hinted, on), est

@@ -182,3 +182,19 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3, keep_pos: bool
         .filter(F.col("__full"))
         .drop("__full")
     )
+
+
+def bench_gram_set(benchmark, text_col: str, n: int = 3):
+    """DISTINCT word-``n``-gram set of a (small) benchmark/reference
+    corpus as a 1-column frame (``__s``) — the shared build for the
+    decontamination family (``prep.decontaminate``,
+    ``prep.decontaminate_bloom``, ``dedup.strip_contaminated_spans``).
+    The array builder is fine here: the benchmark side is the
+    broadcastable one."""
+    from pyspark.sql import functions as F
+
+    return benchmark.select(
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(text_col), n))
+        ).alias("__s")
+    ).distinct()

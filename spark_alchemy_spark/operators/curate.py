@@ -192,6 +192,12 @@ def winsorize(
     shuffles; at 100 TB swap the exact percentile for a per-group KLL
     (``functions.sketches``) and keep the same broadcast-clamp shape.
 
+    NULL handling: a NULL value stays NULL (greatest/least SKIP
+    nulls, so an unguarded clamp would fabricate the upper bound for
+    missing measurements); rows whose group keys contain NULL clamp
+    against their own NULL-group bounds (null-safe join, matching the
+    groupBy's NULL group) — winsorize never changes the row count.
+
     Returns ``df`` plus ``out_col`` (default ``<value_col>_wins``).
     """
     if not 0 <= lo <= hi <= 1:
@@ -200,15 +206,20 @@ def winsorize(
     bounds = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("__b")
     ).select(
-        *group_cols,
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
         F.element_at("__b", 1).alias("__lo"),
         F.element_at("__b", 2).alias("__hi"),
     )
+    cond = None
+    for g in group_cols:
+        c = df[g].eqNullSafe(bounds[f"__g_{g}"])
+        cond = c if cond is None else cond & c
+    clamp = F.when(
+        F.col(value_col).isNotNull() & F.col("__lo").isNotNull(),
+        F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col(value_col))),
+    ).otherwise(F.col(value_col))
     return (
-        df.join(F.broadcast(bounds), group_cols)
-        .withColumn(
-            out_col,
-            F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col(value_col))),
-        )
-        .drop("__lo", "__hi")
+        df.join(F.broadcast(bounds), cond, "left")
+        .withColumn(out_col, clamp)
+        .drop("__lo", "__hi", *[f"__g_{g}" for g in group_cols])
     )

@@ -136,15 +136,10 @@ def decontaminate(
     semi-join on the shingle key: documents never shuffle, only
     (id, shingle) pairs do, and the benchmark shingle set is typically
     small enough to broadcast."""
-    from ..functions.text import exploded_shingles
+    from ..functions.text import bench_gram_set, exploded_shingles
 
     bench_text_col = bench_text_col or text_col
-    # benchmark side: small (broadcastable) — the array builder is fine
-    bench_sh = benchmark.select(
-        F.explode(
-            F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
-        ).alias("__s")
-    ).distinct()
+    bench_sh = bench_gram_set(benchmark, bench_text_col, n)
     # corpus side: window-lead builder (codegen; per-doc duplicates are
     # harmless for a semi-join, so no distinct pass)
     doc_sh = exploded_shingles(docs, id_col, text_col, n)
@@ -178,7 +173,14 @@ def build_gram_bloom(
     ``gram_col``, built DISTRIBUTED: positions explode, each 64-bit
     word is a ``bit_or`` partial aggregate, and the final array is a
     map re-assembly.  No driver-side collect, no byte-array UDAF; the
-    result broadcasts as an ordinary tiny DataFrame."""
+    result broadcasts as an ordinary tiny DataFrame.
+
+    ``num_bits`` must be a positive multiple of 64: the build packs
+    bits into whole 64-bit words and the probe indexes that word
+    array, so a ragged size would silently truncate the top positions
+    — turning guaranteed-no-false-negatives into false negatives."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError("num_bits must be a positive multiple of 64")
     n_words = num_bits // 64
     pos = grams.select(
         F.explode(_bloom_positions(F.col(gram_col), num_bits, num_hashes)).alias(
@@ -254,13 +256,9 @@ def decontaminate_bloom(
     reordered past.  Same mechanism as Spark's runtime bloom join,
     where the filter rides the plan as a subquery result."""
     bench_text_col = bench_text_col or text_col
-    from ..functions.text import exploded_shingles
+    from ..functions.text import bench_gram_set, exploded_shingles
 
-    bench_sh = benchmark.select(
-        F.explode(
-            F.array_distinct(shingles_from_tokens(tokens(bench_text_col), n))
-        ).alias("__s")
-    ).distinct()
+    bench_sh = bench_gram_set(benchmark, bench_text_col, n)
     words = build_gram_bloom(bench_sh, "__s", num_bits, num_hashes).collect()[
         0
     ]["bloom"]
@@ -641,8 +639,12 @@ def mixture_plan(
             F.coalesce("available_tokens", F.lit(0).cast("long")).alias(
                 "available_tokens"
             ),
+            # DECIMAL(38,0) intermediates: budget x ppm-weight and
+            # remainder x 1e6 both overflow int64 at real corpus sizes
+            # (1e11-token budget, >9e12-token strata)
             F.expr(
-                f"CAST({int(token_budget)} AS BIGINT) * __w DIV {wsum}"
+                f"CAST(CAST({int(token_budget)} AS DECIMAL(38,0)) * __w "
+                f"DIV {wsum} AS BIGINT)"
             ).alias("target_tokens"),
         )
     )
@@ -660,8 +662,8 @@ def mixture_plan(
         F.when(
             has,
             F.expr(
-                "CAST((target_tokens % available_tokens) * 1000000 "
-                "DIV available_tokens AS DOUBLE) / 1000000"
+                "CAST(CAST(target_tokens % available_tokens AS DECIMAL(38,0))"
+                " * 1000000 DIV available_tokens AS DOUBLE) / 1000000"
             ),
         ).alias("tail_fraction"),
         F.when(has, F.expr("target_tokens DIV available_tokens") >= repeat_warn_epochs)

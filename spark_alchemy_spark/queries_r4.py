@@ -334,7 +334,7 @@ def hll_convert_accuracy(spark, sf_dir):
 @query(
     "corpus_dup_ngram_fraction",
     """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents),
@@ -554,10 +554,10 @@ def asof_bucketed_last_click(spark, sf_dir):
 @query(
     "prep_decontaminate_bloom",
     """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                      for i in range(1, len(ws) - 1)]) AS s
@@ -601,10 +601,10 @@ def prep_decontaminate_bloom(spark, sf_dir):
 @query(
     "dedup_strip_shared_spans",
     """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              unnest(range(1, len(ws) - 8 + 2)) AS p,
              unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
@@ -654,10 +654,10 @@ def dedup_strip_shared_spans(spark, sf_dir):
 @query(
     "prep_strip_contaminated_spans",
     """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              unnest(range(1, len(ws) - 8 + 2)) AS p,
              unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
@@ -713,7 +713,7 @@ def prep_strip_contaminated_spans(spark, sf_dir):
 @query(
     "stream_dedup_at_ingest",
     """
-    WITH fp AS (
+    WITH fp AS MATERIALIZED (
       SELECT doc_id, lang,
              md5(array_to_string(list_sort(list_distinct(
                list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS f
@@ -782,14 +782,14 @@ def stream_dedup_at_ingest(spark, sf_dir):
     plan AS (
       SELECT w.lang,
              coalesce(a.a, 0) AS available_tokens,
-             CAST(1000000 AS BIGINT) * wi // 1000000 AS target_tokens
+             CAST(CAST(1000000 AS HUGEINT) * wi // 1000000 AS BIGINT) AS target_tokens
       FROM w LEFT JOIN avail a USING (lang))
     SELECT lang, available_tokens, target_tokens,
            CASE WHEN available_tokens > 0
                 THEN target_tokens // available_tokens END AS full_epochs,
            CASE WHEN available_tokens > 0
-                THEN CAST((target_tokens % available_tokens) * 1000000
-                          // available_tokens AS DOUBLE) / 1000000
+                THEN CAST(CAST(target_tokens % available_tokens AS HUGEINT)
+                          * 1000000 // available_tokens AS DOUBLE) / 1000000
                 END AS tail_fraction,
            CASE WHEN available_tokens > 0
                 THEN target_tokens // available_tokens >= 4 END AS repeat_risk
@@ -954,17 +954,17 @@ def plan_range_partitions_price(spark, sf_dir):
 @query(
     "prep_pipeline_report",
     """
-    WITH fp AS (
+    WITH fp AS MATERIALIZED (
       SELECT doc_id, text,
              md5(array_to_string(list_sort(list_distinct(
                list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS f
       FROM documents),
     m AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
     s1 AS (SELECT fp.doc_id, fp.text FROM fp JOIN m USING (doc_id)),
-    toks1 AS (
+    toks1 AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM s1),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              unnest(range(1, len(ws) - 8 + 2)) AS p,
              unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
@@ -986,7 +986,7 @@ def plan_range_partitions_price(spark, sf_dir):
       SELECT doc_id, count(*) AS nk,
              string_agg(w, ' ' ORDER BY tp) AS ct
       FROM kept GROUP BY doc_id),
-    s2 AS (
+    s2 AS MATERIALIZED (
       SELECT t.doc_id, coalesce(r.ct, '') AS text, coalesce(r.nk, 0) AS nk
       FROM toks1 t LEFT JOIN reb r USING (doc_id)),
     btoks AS (
@@ -996,7 +996,7 @@ def plan_range_partitions_price(spark, sf_dir):
       SELECT DISTINCT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                               for i in range(1, len(ws) - 1)]) AS s
       FROM btoks WHERE len(ws) >= 3),
-    s2toks AS (
+    s2toks AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM s2),
     s2sh AS (

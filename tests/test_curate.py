@@ -134,3 +134,30 @@ def test_winsorize_clamps_to_group_quantiles(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, ["g"], "v", lo=0.9, hi=0.1)
+
+
+def test_winsorize_null_values_and_null_groups(spark):
+    """NULL values stay NULL (not fabricated as the clamp bound); rows
+    with NULL group keys survive with their own group's bounds."""
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.curate import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)]
+        + [("a", None), (None, 5.0), (None, 500.0), (None, None)],
+        "g string, v double",
+    )
+    out = winsorize(df, ["g"], "v", lo=0.10, hi=0.90)
+    assert out.count() == 104  # row count preserved
+    assert out.filter(F.col("g") == "a").filter(
+        F.col("v").isNull() & F.col("v_wins").isNotNull()
+    ).count() == 0
+    ng = {
+        (r["v"], r["v_wins"])
+        for r in out.filter(F.col("g").isNull()).collect()
+    }
+    # NULL group clamps within its own [P10, P90] of {5, 500}
+    vals = {p for p in ng if p[0] is not None}
+    assert all(5.0 <= w <= 500.0 for _, w in vals)
+    assert (None, None) in ng

