@@ -980,18 +980,10 @@ def strip_contaminated_spans(
 
     Returns (id_col, n_kept, n_removed, clean_text).
     """
-    from ..functions.text import exploded_shingles
+    from ..functions.text import bench_gram_set, exploded_shingles
 
     bench_text_col = bench_text_col or text_col
-    bench_sh = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(
-                    shingles_from_tokens(tokens(bench_text_col), k)
-                )
-            ).alias("__s")
-        ).distinct()
-    )
+    bench_sh = bench_gram_set(benchmark, bench_text_col, k)
     ids = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     sh = exploded_shingles(ids, "__id", "__t", k, keep_pos=True)
     flagged = sh.join(F.broadcast(bench_sh), "__s", "left_semi")
