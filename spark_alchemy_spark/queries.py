@@ -38,6 +38,13 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent dict overwrite hides the older entry from the
+            # battery while every count stays plausible — fail loud
+            raise ValueError(
+                f"battery entry {name!r} registered twice "
+                f"(existing: {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

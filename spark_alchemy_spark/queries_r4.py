@@ -1213,90 +1213,3 @@ def ann_int8_topk(spark, sf_dir):
     from .queries import _ann_recall_report
 
     return _ann_recall_report(queries_df, exact, approx, min_hits=8)
-
-
-# ---------------------------------------------------------------------------
-# Ordered conversion funnel
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "funnel_view_click_purchase",
-    """
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id),
-    s2 AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t1
-      WHERE e.event_type = 'click' GROUP BY e.user_id),
-    s3 AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t2
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
-    n AS (
-      SELECT (SELECT count(*) FROM s1) AS n1,
-             (SELECT count(*) FROM s2) AS n2,
-             (SELECT count(*) FROM s3) AS n3)
-    SELECT stage, n_users, conv_from_first_ppm FROM (
-      SELECT 1 AS stage, 'view' AS name, n1 AS n_users,
-             CAST(1000000 AS BIGINT) AS conv_from_first_ppm FROM n
-      UNION ALL
-      SELECT 2, 'click', n2, CAST(n2 * 1000000 // n1 AS BIGINT) FROM n
-      UNION ALL
-      SELECT 3, 'purchase', n3, CAST(n3 * 1000000 // n1 AS BIGINT) FROM n)
-    ORDER BY stage
-    """,
-)
-def funnel_view_click_purchase(spark, sf_dir):
-    """Ordered conversion funnel (view -> click AFTER that view ->
-    purchase AFTER that click): the sequential-conditional-min shape —
-    each stage is one groupBy over only ITS event type joined to the
-    previous stage's per-user timestamp, so the funnel costs three
-    narrow key-partitioned aggregations that reuse one hash
-    partitioning (no per-user event sort, no window over full
-    histories).  Conversion is reported in integer ppm of stage-1
-    users."""
-    (events,) = _t(spark, sf_dir, "events")
-
-    def stage_min(etype, prev=None, prev_t=None):
-        e = events.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
-
-    s1 = stage_min("view")
-    s2 = stage_min("click", s1, "t_view")
-    s3 = stage_min("purchase", s2, "t_click")
-    n = (
-        s1.agg(F.count(F.lit(1)).alias("n1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
-    )
-    # integer ppm of stage-1 users (bigint floor division, engine-portable)
-    report = n.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(1).alias("stage"),
-                    F.col("n1").alias("n_users"),
-                    F.lit(1000000).cast("bigint").alias("conv_from_first_ppm"),
-                ),
-                F.struct(
-                    F.lit(2).alias("stage"),
-                    F.col("n2").alias("n_users"),
-                    F.expr("CAST(n2 * 1000000 DIV n1 AS BIGINT)").alias(
-                        "conv_from_first_ppm"
-                    ),
-                ),
-                F.struct(
-                    F.lit(3).alias("stage"),
-                    F.col("n3").alias("n_users"),
-                    F.expr("CAST(n3 * 1000000 DIV n1 AS BIGINT)").alias(
-                        "conv_from_first_ppm"
-                    ),
-                ),
-            )
-        ).alias("__r")
-    ).select("__r.stage", "__r.n_users", "__r.conv_from_first_ppm")
-    return report.orderBy("stage")
