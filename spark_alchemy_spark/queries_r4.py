@@ -1213,3 +1213,72 @@ def ann_int8_topk(spark, sf_dir):
     from .queries import _ann_recall_report
 
     return _ann_recall_report(queries_df, exact, approx, min_hits=8)
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution (scalable fuzzy matching)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_blocked_near_names",
+    """
+    WITH k AS (
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[1] AS w1
+      FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM k a JOIN k b
+        ON a.p_brand = b.p_brand AND a.w1 = b.w1
+       AND a.p_partkey < b.p_partkey)
+    SELECT dist, count(*) AS n_pairs,
+           count(DISTINCT key_a) AS n_left
+    FROM pairs WHERE dist <= 2
+    GROUP BY dist ORDER BY dist
+    """,
+)
+def er_blocked_near_names(spark, sf_dir):
+    """Entity resolution at scale: BLOCKED fuzzy matching of part
+    names — candidate pairs come from an equi-join on the blocking key
+    (brand, first name token), then Levenshtein <= 2 verifies, so the
+    all-pairs O(n^2) the bounded ``string_edit_distance_pairs`` demo
+    runs never happens: pair volume rides the block sizes (hash join
+    on the key, same shape as the dedup family's shingle blocking; at
+    100 TB add a hot-block cap or a second blocking key the way
+    ``operators.dedup`` caps hot shingles).  Levenshtein is the
+    classic DP distance in both engines, so the histogram replays
+    exactly."""
+    part, = _t(spark, sf_dir, "part")
+    k = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
+    )
+    a = k.select(
+        F.col("p_brand").alias("b1"), F.col("w1").alias("wa"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"),
+    )
+    b = k.select(
+        F.col("p_brand").alias("b2"), F.col("w1").alias("wb"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b1") == F.col("b2"))
+        & (F.col("wa") == F.col("wb"))
+        & (F.col("key_a") < F.col("key_b")),
+    ).select(
+        "key_a", F.levenshtein("na", "nb").alias("dist")
+    )
+    return (
+        pairs.filter(F.col("dist") <= 2)
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("key_a").alias("n_left"),
+        )
+        .orderBy("dist")
+    )
