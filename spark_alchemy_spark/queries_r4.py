@@ -1282,3 +1282,66 @@ def er_blocked_near_names(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer training inner loop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_first_merges",
+    """
+    WITH words AS (
+      SELECT lower(w) AS w, count(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY lower(w)),
+    pairs AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, freq
+            FROM words WHERE len(w) >= 2)
+      GROUP BY pair)
+    SELECT pair, n FROM pairs
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_first_merges(spark, sf_dir):
+    """The BPE tokenizer-training inner loop, distributed: count every
+    ADJACENT symbol pair weighted by word frequency and rank the merge
+    candidates — the step run iteratively to learn a vocabulary.  The
+    word table aggregates first (map-side combinable; pair explosion
+    then rides DISTINCT words, not corpus tokens — at 100 TB the
+    distinct-word table is orders of magnitude smaller than the token
+    stream), pairs explode via ``sequence`` + ``substring`` inside
+    codegen, and one narrow (pair, partial-sum) shuffle finishes.
+    Deterministic top-20 via (count desc, pair) ordering."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = (
+        documents.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # length >= 2 guard matters: Spark's sequence(1, 0) DESCENDS, so a
+    # 1-char word would emit two bogus single-char "pairs"
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
