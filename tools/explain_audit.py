@@ -33,6 +33,12 @@ def main():
             continue
         try:
             df = QUERIES[name](spark, sf_dir)
+            # materialize THIS df's QueryExecution first (collect, not
+            # a noop write — write spawns a separate execution): with
+            # AQE the pre-execution plan is not final (codegen ids
+            # unassigned, runtime join/skew conversions not applied) —
+            # the audit must describe the plan that actually ran
+            df.collect()
             joins = ",".join(plans.join_strategies(df)) or "-"
             print(
                 f"{name:38s} joins={joins} "
