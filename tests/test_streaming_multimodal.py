@@ -349,3 +349,66 @@ def test_late_data_dropped_beyond_watermark_kept_within(spark, tmp_path):
     assert per_win["2026-01-01 00:00:00"] == 2, per_win
     # the within-watermark out-of-order event was kept
     assert per_win.get("2026-01-01 07:00:00") == 1, per_win
+
+
+def test_idle_session_finalizer_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout state finalization: user A's session (2 events,
+    last at 00:10, gap 30m) must be emitted EXACTLY ONCE after the
+    watermark passes 00:40, and its state removed; user B keeps an
+    open session and emits nothing.  Three microbatches advance the
+    watermark (propagation to the timeout check lags one batch in this
+    Spark version, hence two advancer batches)."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_alchemy_spark.streaming.stateful import idle_session_finalizer
+
+    d = tmp_path / "idle_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        ts = [
+            datetime(2026, 1, 1, h, m, tzinfo=timezone.utc) for h, m, _ in rows
+        ]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([u for _, _, u in rows], type=pa.int64()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    write("a.parquet", [(0, 0, 1), (0, 10, 1), (0, 5, 2)], 1_700_000_000)
+    write("b.parquet", [(6, 0, 2)], 1_700_000_100)
+    write("c.parquet", [(9, 0, 2)], 1_700_000_200)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = idle_session_finalizer(stream, gap="30 minutes", watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("idle_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM idle_sessions").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    assert len(rows) == 1, rows  # exactly one finalized session
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"].minute == 0 and r["session_end"].minute == 10
