@@ -43,6 +43,17 @@ the round-3 review.
   estimation from shared-seed sketches (planning without shuffling).
 * ``plan_range_partitions_price`` — KLL equi-depth split points for
   repartitionByRange/sorted writes, band-pinned vs exact percentile.
+* ``prep_pipeline_report`` — composed dedup -> span-strip ->
+  decontaminate chain with a per-stage lineage report.
+* ``curate_winsorized_price_stats`` — per-group winsorization
+  (broadcast quantile-bounds clamp).
+* ``ann_int8_quantization`` / ``ann_int8_topk`` — int8 scalar-
+  quantization storage tier + asymmetric serving, recall-pinned.
+* ``cms_join_size_estimate`` — count-min inner-product join sizing.
+* ``er_blocked_near_names`` — blocked entity resolution (blocking-key
+  hash join + bounded Levenshtein verify).
+* ``bpe_first_merges`` — BPE merge-step pair counting over the
+  distinct-word table.
 
 Same determinism conventions as queries.py.
 """
