@@ -669,3 +669,74 @@ def mixture_plan(
         F.when(has, F.expr("target_tokens DIV available_tokens") >= repeat_warn_epochs)
         .alias("repeat_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT pair assembly + validation
+# ---------------------------------------------------------------------------
+
+
+def assemble_sft_pairs(
+    df: DataFrame,
+    id_col: str,
+    prompt_col: str,
+    response_col: str,
+    template: str = "<|user|>{p}<|assistant|>{r}<|end|>",
+    min_response_tokens: int = 8,
+    max_response_ratio: int = 20,
+) -> DataFrame:
+    """Instruction-tuning pair assembly: render each (prompt, response)
+    through a chat ``template`` (codegen ``concat``) and attach the
+    validation flags SFT pipelines filter on — ``response_tokens``
+    floor, response/prompt token-ratio ceiling (integer
+    cross-multiplied: no float ratio), and ``dup_prompt`` (the same
+    prompt appearing in more than one pair — train/eval leakage and
+    gradient double-counting risk; one md5-key groupBy, map-side
+    combinable).  Returns the input plus (rendered, prompt_tokens,
+    response_tokens, valid, dup_prompt); filtering and packing
+    (:func:`pack_sequences_greedy`) stay caller-side.
+
+    ``template`` must contain the ``{p}`` and ``{r}`` placeholders
+    exactly once each.
+    """
+    from ..functions.text import token_count
+
+    if template.count("{p}") != 1 or template.count("{r}") != 1:
+        raise ValueError("template needs exactly one {p} and one {r}")
+    pre, rest = template.split("{p}")
+    mid, post = rest.split("{r}")
+    rendered = F.concat(
+        F.lit(pre), F.col(prompt_col), F.lit(mid), F.col(response_col), F.lit(post)
+    )
+    pt = token_count(prompt_col)
+    rt = token_count(response_col)
+    dup = (
+        df.groupBy(F.md5(F.col(prompt_col)).alias("__pk"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__pk")
+    )
+    out = df.select(
+        F.col(id_col),
+        rendered.alias("rendered"),
+        pt.cast("bigint").alias("prompt_tokens"),
+        rt.cast("bigint").alias("response_tokens"),
+        F.md5(F.col(prompt_col)).alias("__pk"),
+    )
+    out = out.join(
+        F.broadcast(dup.withColumn("__dup", F.lit(True))), "__pk", "left"
+    )
+    return out.select(
+        id_col,
+        "rendered",
+        "prompt_tokens",
+        "response_tokens",
+        (
+            (F.col("response_tokens") >= min_response_tokens)
+            & (
+                F.col("response_tokens")
+                <= F.col("prompt_tokens") * max_response_ratio
+            )
+        ).alias("valid"),
+        F.coalesce("__dup", F.lit(False)).alias("dup_prompt"),
+    )

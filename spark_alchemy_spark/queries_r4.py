@@ -1356,3 +1356,76 @@ def bpe_first_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT pair assembly report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prep_sft_pairs_report",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, lang,
+             array_to_string(ws[1:16], ' ') AS p,
+             array_to_string(ws[17:len(ws)], ' ') AS r,
+             least(len(ws), 16) AS pt,
+             greatest(len(ws) - 16, 0) AS rt
+      FROM toks),
+    dup AS (
+      SELECT md5(p) AS pk FROM pairs GROUP BY md5(p) HAVING count(*) > 1)
+    SELECT lang,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN rt >= 8 AND rt <= pt * 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN md5(p) IN (SELECT pk FROM dup)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prompt,
+           CAST(sum(rt) AS BIGINT) AS sum_response_tokens
+    FROM pairs GROUP BY lang
+    """,
+)
+def prep_sft_pairs_report(spark, sf_dir):
+    """Instruction-tuning assembly audit
+    (``operators.prep.assemble_sft_pairs``): synthetic (prompt,
+    response) pairs from each document (first 16 tokens / remainder)
+    rendered through a chat template and validated — per language the
+    report counts pairs, validity (response floor + integer
+    cross-multiplied ratio ceiling), duplicate prompts
+    (leakage/double-count risk), and the response token budget."""
+    from .operators.prep import assemble_sft_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tk = documents.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("__tk"),
+    )
+    pairs = tk.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice("__tk", 1, 16), " ").alias("prompt"),
+        F.array_join(
+            F.slice(
+                "__tk", 17, F.greatest(F.size("__tk") - 16, F.lit(0))
+            ),
+            " ",
+        ).alias("response"),
+    )
+    out = assemble_sft_pairs(pairs, "doc_id", "prompt", "response")
+    return (
+        out.join(pairs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("valid").cast("int")).cast("bigint").alias("n_valid"),
+            F.sum(F.col("dup_prompt").cast("int"))
+            .cast("bigint")
+            .alias("n_dup_prompt"),
+            F.sum("response_tokens").cast("bigint").alias("sum_response_tokens"),
+        )
+    )

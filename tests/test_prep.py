@@ -386,3 +386,32 @@ def test_mixture_plan_no_int64_overflow_at_corpus_scale(spark):
         f"DIV {big} AS DOUBLE) / 1000000 AS f"
     ).collect()[0]["f"]
     assert 0.999999 <= r <= 1.0
+
+
+def test_assemble_sft_pairs_flags(spark):
+    from spark_alchemy_spark.operators.prep import assemble_sft_pairs
+
+    long_r = " ".join(["w"] * 12)
+    df = spark.createDataFrame(
+        [
+            (1, "explain gravity please", long_r),          # valid
+            (2, "explain gravity please", long_r + " more"),  # dup prompt
+            (3, "short answer", "too short"),                 # response floor
+            (4, "a", " ".join(["x"] * 30)),                   # ratio ceiling (30 > 1*20)
+        ],
+        "pair_id long, prompt string, response string",
+    )
+    out = {
+        r["pair_id"]: r
+        for r in assemble_sft_pairs(df, "pair_id", "prompt", "response").collect()
+    }
+    assert out[1]["valid"] and out[1]["dup_prompt"]
+    assert out[2]["dup_prompt"]
+    assert not out[3]["valid"] and not out[3]["dup_prompt"]
+    assert not out[4]["valid"]
+    assert out[1]["rendered"].startswith("<|user|>explain gravity")
+    assert out[1]["rendered"].endswith("<|end|>")
+    import pytest
+
+    with pytest.raises(ValueError):
+        assemble_sft_pairs(df, "pair_id", "prompt", "response", template="{p}")
