@@ -686,57 +686,49 @@ def assemble_sft_pairs(
     max_response_ratio: int = 20,
 ) -> DataFrame:
     """Instruction-tuning pair assembly: render each (prompt, response)
-    through a chat ``template`` (codegen ``concat``) and attach the
+    through a chat ``template`` (codegen ``concat``; the ``{p}`` and
+    ``{r}`` placeholders may appear in either order) and attach the
     validation flags SFT pipelines filter on — ``response_tokens``
     floor, response/prompt token-ratio ceiling (integer
     cross-multiplied: no float ratio), and ``dup_prompt`` (the same
     prompt appearing in more than one pair — train/eval leakage and
-    gradient double-counting risk; one md5-key groupBy, map-side
-    combinable).  Returns the input plus (rendered, prompt_tokens,
+    gradient double-counting risk).  The duplicate flag is a window
+    count partitioned by the prompt's md5 key: ONE bounded shuffle, no
+    broadcast of an unbounded key set, a single scan of ``df``, and
+    NULL prompts group together (window partitioning treats NULL as a
+    key) so duplicated null prompts are flagged too.
+
+    Returns every input column plus (rendered, prompt_tokens,
     response_tokens, valid, dup_prompt); filtering and packing
     (:func:`pack_sequences_greedy`) stay caller-side.
-
-    ``template`` must contain the ``{p}`` and ``{r}`` placeholders
-    exactly once each.
     """
+    import re
+
+    from pyspark.sql.window import Window
+
     from ..functions.text import token_count
 
     if template.count("{p}") != 1 or template.count("{r}") != 1:
         raise ValueError("template needs exactly one {p} and one {r}")
-    pre, rest = template.split("{p}")
-    mid, post = rest.split("{r}")
-    rendered = F.concat(
-        F.lit(pre), F.col(prompt_col), F.lit(mid), F.col(response_col), F.lit(post)
-    )
-    pt = token_count(prompt_col)
-    rt = token_count(response_col)
-    dup = (
-        df.groupBy(F.md5(F.col(prompt_col)).alias("__pk"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("__pk")
-    )
-    out = df.select(
-        F.col(id_col),
+    parts = []
+    for piece in re.split(r"(\{p\}|\{r\})", template):
+        if piece == "{p}":
+            parts.append(F.col(prompt_col))
+        elif piece == "{r}":
+            parts.append(F.col(response_col))
+        elif piece:
+            parts.append(F.lit(piece))
+    rendered = F.concat(*parts)
+    pt = token_count(prompt_col).cast("bigint")
+    rt = token_count(response_col).cast("bigint")
+    w = Window.partitionBy(F.md5(F.col(prompt_col)))
+    return df.select(
+        "*",
         rendered.alias("rendered"),
-        pt.cast("bigint").alias("prompt_tokens"),
-        rt.cast("bigint").alias("response_tokens"),
-        F.md5(F.col(prompt_col)).alias("__pk"),
-    )
-    out = out.join(
-        F.broadcast(dup.withColumn("__dup", F.lit(True))), "__pk", "left"
-    )
-    return out.select(
-        id_col,
-        "rendered",
-        "prompt_tokens",
-        "response_tokens",
+        pt.alias("prompt_tokens"),
+        rt.alias("response_tokens"),
         (
-            (F.col("response_tokens") >= min_response_tokens)
-            & (
-                F.col("response_tokens")
-                <= F.col("prompt_tokens") * max_response_ratio
-            )
+            (rt >= min_response_tokens) & (rt <= pt * max_response_ratio)
         ).alias("valid"),
-        F.coalesce("__dup", F.lit(False)).alias("dup_prompt"),
+        (F.count(F.lit(1)).over(w) > 1).alias("dup_prompt"),
     )

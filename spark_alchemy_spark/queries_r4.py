@@ -49,11 +49,12 @@ the round-3 review.
   (broadcast quantile-bounds clamp).
 * ``ann_int8_quantization`` / ``ann_int8_topk`` — int8 scalar-
   quantization storage tier + asymmetric serving, recall-pinned.
-* ``cms_join_size_estimate`` — count-min inner-product join sizing.
 * ``er_blocked_near_names`` — blocked entity resolution (blocking-key
   hash join + bounded Levenshtein verify).
 * ``bpe_first_merges`` — BPE merge-step pair counting over the
   distinct-word table.
+* ``prep_sft_pairs_report`` — SFT pair assembly + validation audit
+  (template render, ratio/floor flags, duplicate-prompt leakage).
 
 Same determinism conventions as queries.py.
 """
@@ -1418,8 +1419,7 @@ def prep_sft_pairs_report(spark, sf_dir):
     )
     out = assemble_sft_pairs(pairs, "doc_id", "prompt", "response")
     return (
-        out.join(pairs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
+        out.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.col("valid").cast("int")).cast("bigint").alias("n_valid"),

@@ -65,7 +65,14 @@ def _finalize_idle_session(gap_ms: int):
             return
         start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
-            ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            # __ms is TRUE epoch ms computed JVM-side (unix_millis):
+            # applyInPandasWithState hands timestamps over as tz-naive
+            # SESSION-LOCAL wall time, so deriving epoch from ts here
+            # would shift by the session-timezone offset and set a
+            # timeout before/after the (true-epoch) watermark — a
+            # confirmed INVALID_TIMEOUT_TIMESTAMP crash under
+            # non-UTC session timezones
+            ms = pdf["__ms"].astype("int64").tolist()
             if ms:
                 lo, hi = min(ms), max(ms)
                 start_ms = lo if start_ms is None else min(start_ms, lo)
@@ -101,8 +108,11 @@ def idle_session_finalizer(
         unit.rstrip("s") + "s"
     ]
     gap_ms = int(qty) * mult
+    from pyspark.sql import functions as F
+
     return (
         events.withWatermark("ts", watermark)
+        .withColumn("__ms", F.unix_millis("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _finalize_idle_session(gap_ms),

@@ -415,3 +415,29 @@ def test_assemble_sft_pairs_flags(spark):
 
     with pytest.raises(ValueError):
         assemble_sft_pairs(df, "pair_id", "prompt", "response", template="{p}")
+
+
+def test_assemble_sft_pairs_passthrough_null_and_reversed_template(spark):
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.prep import assemble_sft_pairs
+
+    long_r = " ".join(["w"] * 12)
+    df = spark.createDataFrame(
+        [
+            (1, "meta", None, long_r),
+            (2, "meta", None, long_r),
+            (3, "meta", "unique prompt here", long_r),
+        ],
+        "pair_id long, extra string, prompt string, response string",
+    )
+    out = assemble_sft_pairs(
+        df, "pair_id", "prompt", "response",
+        template="<|assistant|>{r}<|user|>{p}<|end|>",  # response-first works
+    )
+    rows = {r["pair_id"]: r for r in out.collect()}
+    assert rows[3]["extra"] == "meta"          # input columns pass through
+    assert rows[1]["dup_prompt"] and rows[2]["dup_prompt"]  # NULL dups flagged
+    assert not rows[3]["dup_prompt"]
+    assert rows[3]["rendered"].startswith("<|assistant|>w w")
+    assert rows[3]["rendered"].endswith("unique prompt here<|end|>")

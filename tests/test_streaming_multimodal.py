@@ -388,27 +388,34 @@ def test_idle_session_finalizer_event_time_timeout(spark, tmp_path):
     write("c.parquet", [(9, 0, 2)], 1_700_000_200)
 
     old_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        stream = (
-            spark.readStream.schema("ts timestamp, user_id long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(d))
-        )
-        out = idle_session_finalizer(stream, gap="30 minutes", watermark="1 hour")
-        q = (
-            out.writeStream.format("memory")
-            .queryName("idle_sessions")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        rows = spark.sql("SELECT * FROM idle_sessions").collect()
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # run under BOTH timezones: the timeout timestamp is true-epoch ms
+    # (unix_millis JVM-side) so a non-UTC session timezone must neither
+    # crash (INVALID_TIMEOUT_TIMESTAMP — the bug this pins) nor shift
+    # the fired session
+    for i, tz in enumerate(["UTC", "America/Los_Angeles"]):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            stream = (
+                spark.readStream.schema("ts timestamp, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            out = idle_session_finalizer(
+                stream, gap="30 minutes", watermark="1 hour"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"idle_sessions_{i}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = spark.sql(f"SELECT * FROM idle_sessions_{i}").collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
 
-    assert len(rows) == 1, rows  # exactly one finalized session
-    r = rows[0]
-    assert r["user_id"] == 1 and r["n_events"] == 2
-    assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+        assert len(rows) == 1, (tz, rows)  # exactly one finalized session
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n_events"] == 2, tz
+        assert r["session_start"].minute == 0 and r["session_end"].minute == 10
