@@ -1429,3 +1429,48 @@ def prep_sft_pairs_report(spark, sf_dir):
             F.sum("response_tokens").cast("bigint").alias("sum_response_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_ks_price_by_returnflag",
+    """
+    WITH per_v AS MATERIALIZED (
+      SELECT l_extendedprice AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_extendedprice),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM per_v),
+    t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM per_v)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+                        - CAST(cum_b AS HUGEINT) * n_a) * 1000000
+                    // (CAST(n_a AS HUGEINT) * n_b)) AS BIGINT) AS ks_ppm
+    FROM cum, t GROUP BY n_a, n_b
+    """,
+)
+def drift_ks_price_by_returnflag(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift
+    (``operators.expectations.ks_statistic_ppm``): the price
+    distributions of returned (A) vs refused (R) lines compared
+    binning-free —
+    counts per DISTINCT value (map-side combinable), one cumsum
+    window, and the max CDF gap cross-multiplied in DECIMAL(38) and
+    floored to integer ppm, so the statistic replays exactly in any
+    engine (no float division).  Complements the binned PSI entry."""
+    from .operators.expectations import ks_statistic_ppm
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    a = lineitem.filter(F.col("l_returnflag") == "A")
+    b = lineitem.filter(F.col("l_returnflag") == "R")
+    return ks_statistic_ppm(a, b, "l_extendedprice")

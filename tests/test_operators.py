@@ -657,3 +657,32 @@ def test_tfidf_surfaces_distinctive_terms(spark):
     # 'common' appears everywhere (idf=0) — never the top term
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark):
+    """ks_statistic_ppm == the classic two-sample KS D (floor-ppm) on
+    known samples; identical distributions give 0; disjoint give 1e6."""
+    from spark_alchemy_spark.operators.expectations import ks_statistic_ppm
+
+    a_vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    b_vals = [4.0, 5.0, 6.0, 7.0]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    r = ks_statistic_ppm(a, b, "v").collect()[0]
+    # reference D: max over merged values of |F_a - F_b|
+    import itertools
+
+    def cdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    d = max(
+        abs(cdf(a_vals, x) - cdf(b_vals, x))
+        for x in sorted(set(a_vals + b_vals))
+    )
+    assert r["n_a"] == 6 and r["n_b"] == 4
+    assert r["ks_ppm"] == int(d * 1_000_000)  # exact: 3/6 - 0/4 = 0.5
+    same = ks_statistic_ppm(a, a, "v").collect()[0]
+    assert same["ks_ppm"] == 0
+    c = spark.createDataFrame([(100.0,), (200.0,)], "v double")
+    disj = ks_statistic_ppm(a, c, "v").collect()[0]
+    assert disj["ks_ppm"] == 1_000_000
