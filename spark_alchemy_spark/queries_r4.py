@@ -1474,3 +1474,56 @@ def drift_ks_price_by_returnflag(spark, sf_dir):
     a = lineitem.filter(F.col("l_returnflag") == "A")
     b = lineitem.filter(F.col("l_returnflag") == "R")
     return ks_statistic_ppm(a, b, "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix + per-class metrics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','that','with','for','was'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['el','los','las','es','una','en','por','con','para','como'], w))) AS s_es
+      FROM toks),
+    pred AS (
+      SELECT lang,
+        CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+             ELSE 'und' END AS lang_pred
+      FROM scores)
+    SELECT lang, lang_pred, count(*) AS n,
+           CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hit_ppm
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier EVALUATION tooling: the stopword-profile language ID
+    (``functions.text.lang_id``) scored against the corpus's labeled
+    ``lang`` column as a (label, prediction) confusion matrix — one
+    narrow two-key groupBy; the hit ratio per cell is integer ppm
+    (trivially 1e6 on diagonal cells, 0 off-diagonal — pinning both
+    the matrix and the arithmetic).  The evaluation loop every
+    learned quality/language filter runs before deployment."""
+    from .functions.text import lang_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pred = documents.select("lang", lang_id("text").alias("lang_pred"))
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hit_ppm"),
+    )
