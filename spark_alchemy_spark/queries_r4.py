@@ -1527,3 +1527,91 @@ def text_langid_confusion(spark, sf_dir):
             " DIV count(*) AS BIGINT)"
         ).alias("hit_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation: MRR of the BM25 run against a replayable judgment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_mrr_bm25",
+    """
+    WITH ws AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(w) AS term FROM ws
+      ) WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, len(w) AS dl FROM ws),
+    sc AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM ws),
+    per AS (
+      SELECT tf.doc_id AS doc_id,
+             ln(1 + CAST(n_docs - dfreq + 0.5 AS DOUBLE)
+                    / CAST(dfreq + 0.5 AS DOUBLE))
+               * tf * CAST(2.2 AS DOUBLE)
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (1 - 0.75 + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+      FROM tf JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN sc),
+    run AS (
+      SELECT doc_id, round(round(sum(s), 6), 4) AS score
+      FROM per GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM run),
+    rel AS (
+      SELECT doc_id FROM ws
+      WHERE list_contains(w, 'hash') AND list_contains(w, 'join')
+        AND list_contains(w, 'filter')),
+    hit AS (
+      SELECT min(rnk) AS first_rank FROM ranked
+      WHERE doc_id IN (SELECT doc_id FROM rel))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_relevant,
+           CAST(first_rank AS BIGINT) AS first_rank,
+           CAST(1000000 // first_rank AS BIGINT) AS mrr_ppm
+    FROM hit
+    """,
+)
+def rank_mrr_bm25(spark, sf_dir):
+    """Retrieval EVALUATION: mean reciprocal rank of the BM25 run
+    (``operators.ranking.bm25_scores``, top-50 for 'hash join filter')
+    against a judgment DuckDB can replay exactly — relevant = documents
+    containing ALL three query terms.  Rank order is the returned
+    4-decimal score with doc-id tie-break (the same total order the
+    hash-green ``text_bm25_search`` entry pins), and the reciprocal
+    rank is integer ppm — the IR-metric loop (MRR/recall@k) every
+    retrieval stack runs, here engine-for-engine reproducible."""
+    from pyspark.sql.window import Window
+
+    from .functions.text import tokens
+    from .operators.ranking import bm25_scores
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    run = bm25_scores(
+        documents, "doc_id", "text", ["hash", "join", "filter"], topk=50
+    )
+    ranked = run.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rnk"),
+    )
+    tk = documents.select("doc_id", tokens("text").alias("__w"))
+    rel = tk.filter(
+        F.array_contains("__w", "hash")
+        & F.array_contains("__w", "join")
+        & F.array_contains("__w", "filter")
+    ).select("doc_id")
+    n_rel = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
+    hit = (
+        ranked.join(rel, "doc_id", "left_semi")
+        .agg(F.min("rnk").cast("bigint").alias("first_rank"))
+    )
+    return n_rel.crossJoin(hit).select(
+        "n_relevant",
+        "first_rank",
+        F.expr("CAST(1000000 DIV first_rank AS BIGINT)").alias("mrr_ppm"),
+    )
