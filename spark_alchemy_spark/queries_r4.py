@@ -55,6 +55,10 @@ the round-3 review.
   distinct-word table.
 * ``prep_sft_pairs_report`` — SFT pair assembly + validation audit
   (template render, ratio/floor flags, duplicate-prompt leakage).
+* Evaluation tier — ``drift_ks_price_by_returnflag`` (two-sample KS in
+  integer ppm, binning-free complement to PSI),
+  ``text_langid_confusion`` (classifier confusion matrix vs labels),
+  ``rank_mrr_bm25`` (retrieval MRR against a replayable judgment).
 
 Same determinism conventions as queries.py.
 """
