@@ -691,3 +691,32 @@ def test_strip_shared_spans_matches_reference(spark, docs):
         for r in strip_shared_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == expected
+
+
+_ks_vals = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=25
+)
+
+
+@_settings
+@given(a_vals=_ks_vals, b_vals=_ks_vals)
+def test_ks_statistic_matches_reference(spark, a_vals, b_vals):
+    """ks_statistic_ppm == floor-ppm of the classic two-sample D on
+    arbitrary small-alphabet samples (heavy ties exercise the
+    distinct-value aggregation path)."""
+    from spark_alchemy_spark.operators.expectations import ks_statistic_ppm
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "v double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "v double")
+    r = ks_statistic_ppm(a, b, "v").collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    expected = max(
+        abs(
+            sum(1 for v in a_vals if v <= x) * nb
+            - sum(1 for v in b_vals if v <= x) * na
+        )
+        * 1_000_000
+        // (na * nb)
+        for x in sorted(set(a_vals) | set(b_vals))
+    )
+    assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (na, nb, expected)
