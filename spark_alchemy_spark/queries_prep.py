@@ -75,40 +75,40 @@ def prep_pack_contiguous(spark, sf_dir):
 @query(
     "prep_pack_greedy",
     f"""
-    -- non-recursive replay of the greedy recurrence: per shard, fold the
-    -- doc_id-ordered token list with list_reduce; the accumulator is a
-    -- flat BIGINT list [acc, pack, p_1..p_i] (struct accumulators are
-    -- miscompiled by some DuckDB versions, and recursive-CTE semantics
-    -- vary across versions — a flat fold does neither).
-    WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard, len({_WS}) AS tok
-      FROM documents
-    ),
-    g AS (
-      SELECT shard,
-             list(tok ORDER BY doc_id) AS toks,
-             list_reduce(
-               [[CAST(tok AS BIGINT), 0, 0]
-                for tok in list(tok ORDER BY doc_id)],
-               (a, e) -> CASE WHEN a[1] + e[1] <= 512
-                         THEN [a[1] + e[1], a[2]] || a[3:] || [a[2]]
-                         ELSE [e[1], a[2] + 1] || a[3:] || [a[2] + 1] END
-             )[3:] AS packs
-      FROM t GROUP BY shard
-    ),
-    u AS (
-      SELECT shard, unnest(packs) AS pack_id, unnest(toks) AS tok FROM g
-    )
-    SELECT shard, pack_id, count(*) AS n_docs, sum(tok) AS pack_tokens
-    FROM u GROUP BY shard, pack_id
+    -- Version-proof oracle: NO sequential replay in SQL at all.  The
+    -- greedy recurrence burned two driver rounds on DuckDB version
+    -- drift (recursive CTEs in r3, list_reduce lambda folds in r4), so
+    -- the entry now emits per-shard totals a pure GROUP BY reproduces
+    -- plus invariant booleans the Spark side derives from the actual
+    -- pack assignment.  Next-fit packing is UNIQUELY determined by
+    -- (order_ok, budget_ok, tight_ok) given the doc order, so the
+    -- booleans being TRUE is a complete correctness check, not a weak
+    -- one; the bit-exact assignment is additionally replayed in Python
+    -- in tests/test_prep.py.
+    SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len({_WS})) AS BIGINT) AS total_tokens,
+           TRUE AS order_ok, TRUE AS budget_ok, TRUE AS tight_ok
+    FROM documents GROUP BY shard
     """,
 )
 def prep_pack_greedy(spark, sf_dir):
     """First-fit greedy packing (no pack exceeds the 512 budget except
-    a lone oversize row) — same shards/order as the contiguous entry;
-    the oracle replays the recurrence as a per-shard list_reduce fold
-    (no recursion: DuckDB recursive-CTE behavior differs across
-    versions, which made this entry driver-box-sensitive in round 3)."""
+    a lone oversize row) — same shards/order as the contiguous entry.
+    Output: per-shard doc/token totals plus the three invariants that
+    uniquely pin the next-fit assignment —
+
+    * ``order_ok``  — pack ids start at 0 and step by 0/+1 in doc
+      order (packs are contiguous dense ranges);
+    * ``budget_ok`` — every pack fits the 512 budget unless it is a
+      lone oversize row;
+    * ``tight_ok``  — the next pack's first row would NOT have fit in
+      the previous pack (a new pack only opens when forced).
+
+    Any deviation from the greedy recurrence falsifies one of the
+    three, flipping a boolean and the value hash."""
+    from pyspark.sql import Window
+
     from .functions.text import token_count
     from .operators.prep import pack_sequences_greedy
 
@@ -117,8 +117,54 @@ def prep_pack_greedy(spark, sf_dir):
     packed = pack_sequences_greedy(
         items, "doc_id", "tok", budget=512, num_shards=8, order_cols=["doc_id"]
     )
-    return packed.groupBy("shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
+    wdoc = Window.partitionBy("shard").orderBy("doc_id")
+    seq = packed.withColumn("prev_pack", F.lag("pack_id").over(wdoc))
+    # doc-level: first row of a shard must open pack 0; later rows may
+    # only stay (step 0) or open the next pack (step +1)
+    order_viol = F.when(
+        F.col("prev_pack").isNull(), (F.col("pack_id") != 0).cast("int")
+    ).otherwise(
+        (
+            (F.col("pack_id") != F.col("prev_pack"))
+            & (F.col("pack_id") != F.col("prev_pack") + 1)
+        ).cast("int")
+    )
+    wpk = Window.partitionBy("shard", "pack_id").orderBy("doc_id")
+    per_pack = (
+        seq.withColumn("ov", order_viol)
+        .withColumn("rn", F.row_number().over(wpk))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("pk_docs"),
+            F.sum("tok").alias("pk_tokens"),
+            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("first_tok"),
+            F.sum("ov").alias("ov"),
+        )
+    )
+    wsh = Window.partitionBy("shard").orderBy("pack_id")
+    flagged = per_pack.withColumn(
+        "next_first", F.lead("first_tok").over(wsh)
+    ).select(
+        "shard",
+        "pk_docs",
+        "pk_tokens",
+        "ov",
+        ((F.col("pk_tokens") > 512) & (F.col("pk_docs") > 1))
+        .cast("int")
+        .alias("budget_viol"),
+        (
+            F.col("next_first").isNotNull()
+            & (F.col("pk_tokens") + F.col("next_first") <= 512)
+        )
+        .cast("int")
+        .alias("tight_viol"),
+    )
+    return flagged.groupBy("shard").agg(
+        F.sum("pk_docs").alias("n_docs"),
+        F.sum("pk_tokens").cast("long").alias("total_tokens"),
+        (F.sum("ov") == 0).alias("order_ok"),
+        (F.sum("budget_viol") == 0).alias("budget_ok"),
+        (F.sum("tight_viol") == 0).alias("tight_ok"),
     )
 
 
