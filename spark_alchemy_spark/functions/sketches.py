@@ -189,7 +189,11 @@ def kll_weighted_quantiles(
 
     Returns one row per group: (*group_cols, q_<rank>... , n_weight).
     """
-    w = _c(weight_col).cast("int")
+    # try_cast, not cast: under ANSI mode (the pyspark-4 default) a
+    # plain cast of an out-of-int32 weight would throw CAST_OVERFLOW at
+    # runtime (and silently wrap with ANSI off) instead of dropping the
+    # row as the contract above promises.
+    w = _c(weight_col).try_cast("int")
     expanded = df.select(
         *group_cols,
         F.explode(F.array_repeat(_c(value_col).cast("double"), w)).alias("__v"),

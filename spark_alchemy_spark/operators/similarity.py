@@ -606,6 +606,31 @@ def append_ivf_index(
     """
     spark = new_batch.sparkSession
     cents = spark.read.parquet(path + "/centroids")
+
+    # Resolve the build-time baseline BEFORE appending: the pre-sidecar
+    # fallback rescans the STANDING lists, and doing that after the
+    # append would fold the batch being measured into its own baseline,
+    # biasing drift_ratio toward 1.0.
+    try:
+        base = spark.read.parquet(path + "/stats").collect()[0]
+        build_mean = float(base["mean_assigned_cos"])
+    except AnalysisException as e:
+        # Pre-sidecar index: ONLY a missing /stats path may fall back
+        # to the standing-list rescan.  Any other analysis failure (a
+        # corrupt or schema-mismatched sidecar) must propagate — a
+        # silent rescan here would mask exactly the drift this report
+        # exists to surface.
+        err_class = (
+            e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        )
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+            raise
+        lists = spark.read.parquet(path + "/lists")
+        rescored = _assign_to_lists(lists, id_col, "__v", cents)
+        build_mean = float(
+            rescored.agg(F.avg("__best_cos").alias("m")).collect()[0]["m"]
+        )
+
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
         eager=False
     )
@@ -625,19 +650,6 @@ def append_ivf_index(
             "drift_ratio": 1.0,
             "retrain_recommended": False,
         }
-    try:
-        base = spark.read.parquet(path + "/stats").collect()[0]
-        build_mean = float(base["mean_assigned_cos"])
-    except AnalysisException:
-        # pre-sidecar index (PATH_NOT_FOUND specifically — any other
-        # read error must propagate, or a transient failure would
-        # silently trigger a full standing-list rescan and compute a
-        # drift-masking baseline that includes appended batches)
-        lists = spark.read.parquet(path + "/lists")
-        rescored = _assign_to_lists(lists, id_col, "__v", cents)
-        build_mean = float(
-            rescored.agg(F.avg("__best_cos").alias("m")).collect()[0]["m"]
-        )
     ratio = (float(batch["m"]) / build_mean) if build_mean else 1.0
     return {
         "n_appended": int(batch["n"]),

@@ -472,7 +472,14 @@ def longest_streak_bucketed(
     ``bucket`` defaults to ``date_trunc('day', ts_col)``; any
     expression MONOTONE in (ts order) works.  Ties inside a timestamp
     must stay within one bucket, which holds for any ts-derived
-    bucket."""
+    bucket.
+
+    Order-key contract (narrower than the exact ``longest_streak``,
+    which accepts ANY orderable types): ``ts_col`` and ``tiebreak_col``
+    must be timestamp / timestamp_ntz / date / integral — the merge
+    fold encodes both as longs.  Anything else (e.g. a string
+    tiebreak) raises ValueError up front instead of failing the ANSI
+    cast mid-job (or silently NULL-mis-ordering with ANSI off)."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType,
@@ -518,17 +525,39 @@ def longest_streak_bucketed(
             )
         ).alias("best"),
     )
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        DateType,
+        IntegralType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     _TS_TYPES = (TimestampType, TimestampNTZType)
 
-    def _ord(c: Column) -> Column:
-        # microsecond-exact ordering for timestamps (a plain long cast
-        # truncates to seconds and could mis-order sub-second ties);
-        # NTZ casts through LTZ first (driver testdata ships NTZ)
-        if isinstance(df.schema[ts_col].dataType, _TS_TYPES):
-            return F.unix_micros(c.cast("timestamp"))
-        return c.cast("long")
+    def _ord_encoder(col_name: str):
+        # long-encode an order key, microsecond-exact for timestamps (a
+        # plain long cast truncates to seconds and could mis-order
+        # sub-second ties); NTZ casts through LTZ first (driver
+        # testdata ships NTZ); dates count days.  Validated up front so
+        # unsupported types (e.g. a string tiebreak the exact
+        # longest_streak happily orders) fail with a clear error
+        # instead of an ANSI cast failure mid-job.
+        dtype = df.schema[col_name].dataType
+        if isinstance(dtype, _TS_TYPES):
+            return lambda c: F.unix_micros(c.cast("timestamp"))
+        if isinstance(dtype, DateType):
+            return lambda c: F.unix_date(c)
+        if isinstance(dtype, IntegralType):
+            return lambda c: c.cast("long")
+        raise ValueError(
+            f"longest_streak_bucketed: column {col_name!r} has type "
+            f"{dtype.simpleString()}; supported order-key types are "
+            "timestamp, timestamp_ntz, date, and integral numerics "
+            "(use longest_streak for other orderable types)"
+        )
+
+    _ord = _ord_encoder(ts_col)
+    _ord_tie = _ord_encoder(tiebreak_col)
 
     flat = summaries.select(
         key,
@@ -538,15 +567,15 @@ def longest_streak_bucketed(
         F.col("pre.v").alias("p_v"),
         F.col("pre.__len").alias("p_len"),
         _ord(F.col("pre.__start.t")).alias("p_t"),
-        F.col("pre.__start.e").cast("long").alias("p_e"),
+        _ord_tie(F.col("pre.__start.e")).alias("p_e"),
         F.col("suf.v").alias("s_v"),
         F.col("suf.__len").alias("s_len"),
         _ord(F.col("suf.__start.t")).alias("s_t"),
-        F.col("suf.__start.e").cast("long").alias("s_e"),
+        _ord_tie(F.col("suf.__start.e")).alias("s_e"),
         (-F.col("best.nl")).alias("b_len"),
         F.col("best.v").alias("b_v"),
         _ord(F.col("best.__start.t")).alias("b_t"),
-        F.col("best.__start.e").cast("long").alias("b_e"),
+        _ord_tie(F.col("best.__start.e")).alias("b_e"),
     )
     bkt_ord = (
         F.unix_micros(F.col("__bkt").cast("timestamp"))

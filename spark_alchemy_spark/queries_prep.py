@@ -430,29 +430,34 @@ def text_vocab_topk(spark, sf_dir):
 @query(
     "timeseries_ewma_users",
     """
-    WITH RECURSIVE e AS (
+    -- Closed form, no recursion: the EWMA recurrence telescopes to
+    --   s_n = 0.7^(n-1) * x_1 + sum_{j=2..n} 0.3 * 0.7^(n-j) * x_j
+    -- which one window + GROUP BY computes.  (Recursive CTEs are
+    -- banned from oracles: driver-box DuckDB recursion semantics
+    -- drifted across versions.)  Rounded to 3 decimals because the
+    -- closed form and the Spark side's exact sequential fold differ by
+    -- O(1e-12) in float; the bit-exact recurrence itself is pinned in
+    -- tests/test_operators.py::test_ewma_recurrence_and_determinism.
+    WITH e AS (
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
       FROM events
-    ),
-    s AS (
-      SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
-      UNION ALL
-      SELECT e.user_id, e.rn,
-             CAST(0.3 AS DOUBLE) * e.value + CAST(0.7 AS DOUBLE) * s.ewma
-      FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
     )
     SELECT user_id, max(rn) AS n_events,
-           round(max_by(ewma, rn), 6) AS final_ewma
-    FROM s GROUP BY user_id
+           round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+                     ELSE 0.3 * power(0.7, n - rn) * value END), 3)
+             AS final_ewma
+    FROM e GROUP BY user_id
     """,
 )
 def timeseries_ewma_users(spark, sf_dir):
     """Per-user EWMA (alpha=0.3) over event values in time order —
-    the sequential recurrence runs as one Arrow pass per user and the
-    oracle replays it as a recursive CTE, bit-identically (same float
-    ops in the same order)."""
+    the sequential recurrence runs as one Arrow pass per user
+    (operators/temporal.py::ewma); the oracle computes the telescoped
+    closed form, with a 3-decimal round absorbing the fold-vs-sum
+    float gap."""
     from .operators.temporal import ewma
 
     (events,) = _t(spark, sf_dir, "events")
@@ -462,7 +467,7 @@ def timeseries_ewma_users(spark, sf_dir):
     )
     return scanned.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias(
+        F.round(F.max_by("ewma", F.struct("ts", "event_id")), 3).alias(
             "final_ewma"
         ),
     )

@@ -27,6 +27,62 @@ from .queries import _t, query
 from .queries_ext import _sink_name
 
 
+def _cc_oracle_ctes(k_rounds=12):
+    """Non-recursive connected-components oracle prefix: n-gram Jaccard
+    pairs (same as the Spark side) closed into components by ``k_rounds``
+    unrolled min-label propagation steps, plus ONE extra canary round.
+    Recursive CTEs are banned from oracles (driver-box DuckDB recursion
+    semantics drifted across versions, round-3 red); a fixed unroll uses
+    only joins + GROUP BY.  ``bad`` counts labels still moving after
+    round ``k_rounds`` — the caller appends a poison row when ``n > 0``
+    so an under-unrolled oracle flips the gate loudly instead of
+    silently mislabeling (near-dup components are tiny; eccentricity
+    beyond 12 would take a 13-hop duplicate chain)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, k_rounds + 2):
+        rounds.append(
+            f"""
+    l{i} AS MATERIALIZED (
+      SELECT e.a AS node, min(least(la.lbl, lb.lbl)) AS lbl
+      FROM edges e JOIN {prev} la ON la.node = e.a
+                   JOIN {prev} lb ON lb.node = e.b
+      GROUP BY e.a),"""
+        )
+        prev = f"l{i}"
+    return (
+        """
+    WITH
+    tok AS (
+      SELECT doc_id AS __id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT __id, unnest(list_distinct(
+               [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+                FOR i IN range(1, len(tk) - 1)])) AS s
+      FROM tok WHERE len(tk) >= 3),
+    sizes AS (SELECT __id, count(*) AS n FROM sh GROUP BY __id),
+    inter AS (
+      SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.__id < b.__id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
+      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
+    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    l0 AS MATERIALIZED (
+      SELECT a AS node, a AS lbl FROM (SELECT DISTINCT a FROM edges) t),"""
+        + "".join(rounds)
+        + f"""
+    comp AS (SELECT node, lbl AS comp FROM l{k_rounds}),
+    bad AS (SELECT count(*) AS n FROM l{k_rounds} x
+            JOIN l{k_rounds + 1} y ON x.node = y.node AND x.lbl <> y.lbl)"""
+    )
+
+
 @query(
     "source_partitioned_pruning",
     """
@@ -807,44 +863,24 @@ def map_functions_events(spark, sf_dir):
 
 @query(
     "dedup_cluster_components",
-    """
-    WITH RECURSIVE
-    tok AS (
-      SELECT doc_id AS __id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents),
-    sh AS (
-      SELECT __id, unnest(list_distinct(
-               [list_aggregate(tk[i:i+2], 'string_agg', ' ')
-                FOR i IN range(1, len(tk) - 1)])) AS s
-      FROM tok WHERE len(tk) >= 3),
-    sizes AS (SELECT __id, count(*) AS n FROM sh GROUP BY __id),
-    inter AS (
-      SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.__id < b.__id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
-      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(node, lbl) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-      UNION
-      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
-    comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+    _cc_oracle_ctes()
+    + """
     SELECT comp, count(*) AS n_members, min(node) AS min_doc,
            max(node) AS max_doc
     FROM comp GROUP BY comp
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM bad WHERE n > 0
     """,
 )
 def dedup_cluster_components(spark, sf_dir):
     """Dedup pairs -> dedup CLUSTERS: n-gram Jaccard pairs closed into
     connected components (operators/graph.py, min-label propagation
     with checkpointed lineage), so chained duplicates A~B~C collapse to
-    one canonical id even when A~C never matched directly.  Oracle: a
-    recursive CTE reaches the same fixpoint."""
+    one canonical id even when A~C never matched directly.  Oracle:
+    unrolled min-label propagation (``_cc_oracle_ctes``) reaches the
+    same fixpoint without recursive CTEs."""
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import connected_components
 
@@ -889,37 +925,15 @@ def source_compaction_roundtrip(spark, sf_dir):
 
 @query(
     "curate_canonical_docs",
-    """
-    WITH RECURSIVE
-    tok AS (
-      SELECT doc_id AS __id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents),
-    sh AS (
-      SELECT __id, unnest(list_distinct(
-               [list_aggregate(tk[i:i+2], 'string_agg', ' ')
-                FOR i IN range(1, len(tk) - 1)])) AS s
-      FROM tok WHERE len(tk) >= 3),
-    sizes AS (SELECT __id, count(*) AS n FROM sh GROUP BY __id),
-    inter AS (
-      SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.__id < b.__id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
-      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(node, lbl) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-      UNION
-      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
-    comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+    _cc_oracle_ctes()
+    + """,
     dropped AS (SELECT node FROM comp WHERE node <> comp)
     SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
     GROUP BY lang
+    UNION ALL
+    SELECT 'UNCONVERGED_ORACLE', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM bad WHERE n > 0
     """,
 )
 def curate_canonical_docs(spark, sf_dir):
@@ -927,7 +941,8 @@ def curate_canonical_docs(spark, sf_dir):
     components -> keep only each cluster's canonical (minimum-id)
     document -> corpus stats over the survivors.  This is the shape a
     production curation job ships: transitive duplicates drop even when
-    the endpoints never matched pairwise."""
+    the endpoints never matched pairwise.  Oracle: non-recursive
+    unrolled propagation (``_cc_oracle_ctes``)."""
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import connected_components
 

@@ -32,11 +32,26 @@ from .queries_ext import _sink_name
 @query(
     "sql_recursive_cte_chain",
     """
-    WITH RECURSIVE chain AS (
-      SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
-      FROM supplier
-      UNION ALL
-      SELECT leaf, node // 10, depth + 1 FROM chain WHERE node > 0
+    -- Unrolled (non-recursive) replay of the digit-hierarchy walk: the
+    -- recursion emits depth k (k >= 1) iff leaf // 10^(k-1) > 0, i.e.
+    -- leaf*10 >= 10^k, so a powers-of-ten VALUES table reproduces the
+    -- whole chain with one join.  Recursive CTEs are banned from
+    -- oracles (DuckDB recursion semantics drifted across driver-box
+    -- versions); k <= 18 covers any BIGINT suppkey.
+    WITH pows(k, p) AS (
+      VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100), (3, 1000),
+             (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
+             (8, 100000000), (9, 1000000000), (10, 10000000000),
+             (11, 100000000000), (12, 1000000000000),
+             (13, 10000000000000), (14, 100000000000000),
+             (15, 1000000000000000), (16, 10000000000000000),
+             (17, 100000000000000000), (18, 1000000000000000000)
+    ),
+    chain AS (
+      SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) // p AS node,
+             k AS depth
+      FROM supplier, pows
+      WHERE k = 0 OR CAST(s_suppkey AS BIGINT) * 10 >= p
     )
     SELECT leaf, max(depth) AS depth_to_root,
            CAST(sum(node) AS BIGINT) AS chain_sum

@@ -686,3 +686,47 @@ def test_ks_statistic_matches_scipy_style_reference(spark):
     c = spark.createDataFrame([(100.0,), (200.0,)], "v double")
     disj = ks_statistic_ppm(a, c, "v").collect()[0]
     assert disj["ks_ppm"] == 1_000_000
+
+
+def test_longest_streak_bucketed_order_key_types(spark):
+    """Order-key contract (ADVICE r4): date ts columns are long-encoded
+    (day count) so the bucketed variant matches the exact operator on
+    DateType inputs, while an unsupported string tiebreak raises a
+    clear ValueError up front instead of an ANSI cast failure."""
+    import datetime
+
+    from spark_alchemy_spark.operators.temporal import (
+        longest_streak,
+        longest_streak_bucketed,
+    )
+
+    d = datetime.date
+    rows = [
+        (1, "a", d(2024, 1, 1), 1), (1, "a", d(2024, 1, 2), 2),
+        (1, "b", d(2024, 1, 3), 3), (1, "a", d(2024, 1, 4), 4),
+        (2, "b", d(2024, 2, 1), 1), (2, "b", d(2024, 2, 2), 2),
+        (2, "b", d(2024, 2, 3), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts date, event_id long"
+    )
+    exact = {
+        tuple(r)
+        for r in longest_streak(
+            df, "user_id", "event_type", ["ts", "event_id"]
+        ).collect()
+    }
+    bucketed = {
+        tuple(r)
+        for r in longest_streak_bucketed(
+            df, "user_id", "event_type", "ts", "event_id",
+            bucket=F.date_trunc("month", F.col("ts").cast("timestamp")),
+        ).collect()
+    }
+    assert bucketed == exact
+
+    str_tie = df.withColumn("tie", F.col("event_id").cast("string"))
+    with pytest.raises(ValueError, match="supported order-key types"):
+        longest_streak_bucketed(
+            str_tie, "user_id", "event_type", "ts", "tie"
+        )

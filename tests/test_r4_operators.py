@@ -126,6 +126,19 @@ def test_kll_weighted_quantiles_zero_weight_rows_are_absent(spark):
     assert out["n_weight"] == 2 and out["q_1_0"] == 1.0
 
 
+def test_kll_weighted_quantiles_out_of_int32_weight_drops_row(spark):
+    """A weight outside int32 drops its row (documented contract):
+    try_cast makes it NULL instead of CAST_OVERFLOW under ANSI mode or
+    a silent wrap (bogus huge array_repeat) with ANSI off."""
+    from spark_alchemy_spark.functions.sketches import kll_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0, w=2), Row(g="a", v=99.0, w=2**31 + 7)]
+    )
+    out = kll_weighted_quantiles(df, ["g"], "v", "w", ranks=[1.0]).collect()[0]
+    assert out["n_weight"] == 2 and out["q_1_0"] == 1.0
+
+
 def test_kll_weighted_shuffle_carries_sketches_not_rows(spark):
     """The expansion must stay map-side: the aggregate below the
     exchange is the partial kll sketch, so the shuffle volume is

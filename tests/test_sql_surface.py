@@ -191,3 +191,89 @@ def test_dense_image_readable_by_spark(spark):
     )
     assert abs(est - 6000) / 6000 < 0.08
     assert union_images([None, None]) is None
+
+
+# ---------------------------------------------------------------------------
+# Oracle portability guard (VERDICT r4 task 2): the driver gate runs the
+# ORACLES on whatever DuckDB version its box ships, and two rounds were
+# burned on version drift (recursive-CTE semantics in r3, list_reduce
+# lambda-fold miscompiles in r4).  These tests reject the banned
+# constructs outright so no future DuckDB bump can flip a hash:
+#
+#   * ``list_reduce`` / ``reduce(`` — lambda folds with accumulators,
+#     the r4 failure class;
+#   * ``WITH RECURSIVE`` — the r3 failure class (replaced by unrolled
+#     propagation / closed forms / powers tables);
+#   * two-argument lambdas ``(a, b) ->`` — the accumulator/comparator
+#     lambda family behind both (single-arg element-wise lambdas like
+#     ``x -> len(x)`` are standard map semantics and stay allowed);
+#   * list/struct/map-typed OUTPUT cells — the driver canonicalizer
+#     sorts cell values, and nested-cell ordering/rendering is engine-
+#     version territory (checked structurally via DESCRIBE, which
+#     binds and type-checks every oracle without executing it).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_sqls():
+    import __spark_entry__ as entrymod
+
+    return entrymod.oracle_sql()
+
+
+def _strip_sql_comments(sql: str) -> str:
+    import re
+
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def test_oracles_free_of_version_sensitive_constructs():
+    import re
+
+    banned = {
+        "list_reduce fold": re.compile(r"list_reduce", re.I),
+        "reduce() fold": re.compile(r"(?<![\w.])reduce\s*\(", re.I),
+        "recursive CTE": re.compile(r"\brecursive\b", re.I),
+        "two-arg lambda": re.compile(r"\(\s*\w+\s*,\s*\w+\s*\)\s*->"),
+    }
+    offenders = []
+    for name, sql in _oracle_sqls().items():
+        body = _strip_sql_comments(sql)
+        for label, pat in banned.items():
+            if pat.search(body):
+                offenders.append(f"{name}: {label}")
+    assert not offenders, (
+        "version-sensitive DuckDB constructs in oracles (rewrite with "
+        "joins/windows/GROUP BY or reshape the entry output): "
+        + "; ".join(offenders)
+    )
+
+
+def test_oracle_output_columns_are_scalar_typed():
+    import os
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    from spark_alchemy_spark.sources import TABLES
+
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    offenders = []
+    for name, sql in _oracle_sqls().items():
+        try:
+            cols = con.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # bind failure is its own offense
+            offenders.append(f"{name}: DESCRIBE failed: {exc}")
+            continue
+        for col, ctype, *_ in cols:
+            up = ctype.upper()
+            if "[]" in up or any(k in up for k in ("STRUCT", "MAP", "LIST")):
+                offenders.append(f"{name}.{col}: {ctype}")
+    assert not offenders, (
+        "nested-typed oracle output cells (canonicalizer-unsafe, "
+        "engine-version-sensitive rendering): " + "; ".join(offenders)
+    )
