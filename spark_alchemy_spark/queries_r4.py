@@ -1619,3 +1619,5 @@ def rank_mrr_bm25(spark, sf_dir):
         "first_rank",
         F.expr("CAST(1000000 DIV first_rank AS BIGINT)").alias("mrr_ppm"),
     )
+
+from . import queries_r5  # noqa: E402,F401  (registration side effect)

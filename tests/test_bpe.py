@@ -1,0 +1,118 @@
+"""BPE training-loop tests: the distributed trainer vs a sequential
+Python reference replay of the classic algorithm, plus the
+non-overlapping merge rule and determinism edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Sequential textbook BPE on a word-frequency table: best pair by
+    (count desc, left, right), leftmost non-overlapping application."""
+    state = {w: [list(w), f] for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in state.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, n))
+        for entry in state.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return merges
+
+
+def _train(spark, word_freqs: dict[str, int], n_merges: int):
+    from spark_alchemy_spark.operators.bpe import train_bpe_merges
+
+    df = spark.createDataFrame(
+        [Row(w=w, freq=f) for w, f in word_freqs.items()]
+    )
+    return [
+        (r["step"], r["lhs"], r["rhs"], r["n"])
+        for r in train_bpe_merges(df, n_merges).orderBy("step").collect()
+    ]
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    """The canonical BPE teaching corpus (Sennrich-style): the
+    distributed trainer must replay the sequential reference exactly,
+    merges and counts both."""
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert _train(spark, corpus, 6) == _reference_bpe(corpus, 6)
+
+
+def test_bpe_nonoverlapping_merge_rule(spark):
+    """'aaaa' under merge (a, a) must become [aa, aa] and 'aaa' must
+    become [aa, a] — leftmost non-overlapping, never re-matching the
+    just-merged right symbol."""
+    corpus = {"aaaa": 3, "aaa": 2, "ab": 1}
+    got = _train(spark, corpus, 2)
+    ref = _reference_bpe(corpus, 2)
+    assert got == ref
+    # step 1 pairs: (a,a) count 3*3 + 2*2 = 13
+    assert got[0] == (1, "a", "a", 13)
+    # after merge: aaaa->[aa,aa], aaa->[aa,a]; step 2 best is (aa,aa)=3
+    assert got[1] == (2, "aa", "aa", 3)
+
+
+def test_bpe_stops_when_pairs_exhausted(spark):
+    """Single-char vocab has no adjacent pairs: the loop stops early
+    and returns an empty merges table with the right schema."""
+    got = _train(spark, {"a": 5, "b": 3}, 4)
+    assert got == []
+
+
+def test_bpe_tiebreak_is_lexicographic(spark):
+    """Equal counts break by (lhs, rhs) ascending, deterministically."""
+    corpus = {"zy": 2, "ab": 2}
+    got = _train(spark, corpus, 1)
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_words_filters_non_alpha(spark):
+    from spark_alchemy_spark.operators.bpe import bpe_words
+
+    docs = spark.createDataFrame(
+        [Row(text="Hello world hello  WORLD 42 a-b (x)")]
+    )
+    got = {r["w"]: r["freq"] for r in bpe_words(docs).collect()}
+    assert got == {"hello": 2, "world": 2}
+
+
+@pytest.mark.parametrize("checkpoint_every", [1, 2])
+def test_bpe_checkpoint_cadence_does_not_change_output(
+    spark, checkpoint_every
+):
+    from spark_alchemy_spark.operators.bpe import train_bpe_merges
+
+    corpus = {"banana": 4, "bandana": 2, "cabana": 3}
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    got = [
+        tuple(r)
+        for r in train_bpe_merges(
+            df, 5, checkpoint_every=checkpoint_every
+        ).orderBy("step").collect()
+    ]
+    assert got == [
+        (s, l, r, n) for s, l, r, n in _reference_bpe(corpus, 5)
+    ]
