@@ -988,3 +988,121 @@ def strip_contaminated_spans(
     sh = exploded_shingles(ids, "__id", "__t", k, keep_pos=True)
     flagged = sh.join(F.broadcast(bench_sh), "__s", "left_semi")
     return _strip_flagged_grams(docs, id_col, text_col, k, flagged)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+    _force_bucketed: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs: seeded spherical
+    k-means clusters (``similarity.train_ivf_centroids`` — the trained
+    IVF centroid path), candidate pairs generated ONLY within shared
+    clusters, then verified by exact cosine ``>= threshold``.
+
+    Candidate rule: (x, y) is a candidate iff x's TOP-1 cluster is
+    among y's ``nprobe`` nearest clusters, or vice versa.  ``nprobe=1``
+    is the classic SemDeDup within-cluster prune (pairs straddling a
+    centroid boundary are missed — the bet the SemDeDup paper makes
+    for tight duplicates); 2+ catches boundary pairs;
+    ``nprobe = n_centroids`` makes the candidate set provably ALL
+    pairs (every vector probes every cluster), so the operator
+    delegates that case to the blocked exact BLAS kernel
+    (``_all_pairs_cosine_blocked``) instead of materializing the same
+    pair set through k-fold-redundant bucket joins — output identical
+    by construction (``tests/test_semantic_dedup.py`` pins the
+    bucketed path against it at probe-all via ``_force_bucketed``).
+    This is the same probe-all-equals-brute-force contract as
+    ``ann_ivf_topk``, and it is what lets the battery entry hold the
+    machine to an exact all-pairs oracle.
+
+    Candidate volume at selective nprobe is sum over clusters of
+    |top-1 members| x |probe members| — bounded by cluster sizes times
+    nprobe, never all-pairs.  Candidates travel as SKINNY (id, id)
+    rows; vectors re-attach by hash join after the distinct.
+
+    Returns (id_a, id_b, cos) with cos rounded to 4 (matching the
+    DuckDB oracle's rounding), id_a < id_b, each pair exactly once.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import train_ivf_centroids
+
+    v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    if nprobe >= n_centroids and not _force_bucketed:
+        return _all_pairs_cosine_blocked(v, threshold)
+
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), "__list")
+    assign = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select("__id", "__list", "__rk")
+        .localCheckpoint(eager=False)  # reused by both join sides
+    )
+    top1 = assign.filter(F.col("__rk") == 1).select(
+        F.col("__id").alias("__ida"), "__list"
+    )
+    probes = assign.select(F.col("__id").alias("__idb"), "__list")
+    cand = (
+        top1.join(probes, ["__list"])
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 4)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    **pair_kwargs,
+) -> DataFrame:
+    """Cluster-then-prune semantic dedup, collapsed transitively: the
+    ``semantic_dup_pairs`` graph closed into connected components
+    (``graph.connected_components`` min-label propagation), keeping
+    each component's minimum id as the canonical survivor.  Returns one
+    row per duplicate component: (comp, n_members, min_id, max_id,
+    n_dropped) — singletons (vectors in no pair) are implicitly kept
+    and not reported."""
+    from .graph import connected_components
+
+    pairs = semantic_dup_pairs(df, id_col, vec_col, threshold, **pair_kwargs)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_id"),
+        F.max("node").alias("max_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import _t, query
+from .queries_scale import _cc_close_sql
 
 # ---------------------------------------------------------------------------
 # BPE training loop
@@ -84,6 +85,47 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         + "".join(steps)[:-1]
         + "\n    "
         + final
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    """
+    WITH
+    v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45),"""
+    + _cc_close_sql()
+    + """
+    SELECT comp, count(*) AS n_members, min(node) AS min_id,
+           max(node) AS max_id, count(*) - 1 AS n_dropped
+    FROM comp GROUP BY comp
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM bad WHERE n > 0
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup end to end
+    (``operators/dedup.py::semantic_dedup_components``): seeded
+    k-means clusters -> within-cluster candidate pairs -> exact-cosine
+    verify -> transitive collapse -> canonical survivors.  Run at
+    ``nprobe = n_centroids`` so the cluster-bucketed machine reduces
+    EXACTLY to brute force and the full train/assign/bucket/verify/
+    collapse pipeline is held to the exact all-pairs + unrolled-CC
+    oracle — the same probe-all contract as ``ann_ivf_topk``
+    (selective-nprobe recall on planted duplicates is pinned in
+    tests/test_semantic_dedup.py)."""
+    from .operators.dedup import semantic_dedup_components
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_components(
+        embeddings, "vec_id", "embedding", threshold=0.45,
+        n_centroids=16, nprobe=16, seed=42,
     )
 
 

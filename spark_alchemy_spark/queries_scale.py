@@ -27,17 +27,20 @@ from .queries import _t, query
 from .queries_ext import _sink_name
 
 
-def _cc_oracle_ctes(k_rounds=12):
-    """Non-recursive connected-components oracle prefix: n-gram Jaccard
-    pairs (same as the Spark side) closed into components by ``k_rounds``
-    unrolled min-label propagation steps, plus ONE extra canary round.
-    Recursive CTEs are banned from oracles (driver-box DuckDB recursion
-    semantics drifted across versions, round-3 red); a fixed unroll uses
-    only joins + GROUP BY.  ``bad`` counts labels still moving after
-    round ``k_rounds`` — the caller appends a poison row when ``n > 0``
-    so an under-unrolled oracle flips the gate loudly instead of
-    silently mislabeling (near-dup components are tiny; eccentricity
-    beyond 12 would take a 13-hop duplicate chain)."""
+def _cc_close_sql(k_rounds=12):
+    """Non-recursive connected-components closure: given an
+    already-defined CTE ``pairs(id_a, id_b)``, emit the CTEs that close
+    it into components by ``k_rounds`` unrolled min-label propagation
+    steps, plus ONE extra canary round.  Recursive CTEs are banned from
+    oracles (driver-box DuckDB recursion semantics drifted across
+    versions, round-3 red); a fixed unroll uses only joins + GROUP BY.
+    ``bad`` counts labels still moving after round ``k_rounds`` — the
+    caller appends a poison row when ``n > 0`` so an under-unrolled
+    oracle flips the gate loudly instead of silently mislabeling
+    (near-dup components are tiny; eccentricity beyond 12 would take a
+    13-hop duplicate chain).  MATERIALIZED is load-bearing: each round
+    references the previous twice, and inlining would double the plan
+    per round (2^13 leaf scans blew the driver-box fd limit)."""
     rounds = []
     prev = "l0"
     for i in range(1, k_rounds + 2):
@@ -50,6 +53,24 @@ def _cc_oracle_ctes(k_rounds=12):
       GROUP BY e.a),"""
         )
         prev = f"l{i}"
+    return (
+        """
+    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    l0 AS MATERIALIZED (
+      SELECT a AS node, a AS lbl FROM (SELECT DISTINCT a FROM edges) t),"""
+        + "".join(rounds)
+        + f"""
+    comp AS (SELECT node, lbl AS comp FROM l{k_rounds}),
+    bad AS (SELECT count(*) AS n FROM l{k_rounds} x
+            JOIN l{k_rounds + 1} y ON x.node = y.node AND x.lbl <> y.lbl)"""
+    )
+
+
+def _cc_oracle_ctes(k_rounds=12):
+    """Shingle-pipeline connected-components oracle prefix: n-gram
+    Jaccard pairs (same semantics as the Spark side) fed into the
+    shared non-recursive closure (``_cc_close_sql``)."""
     return (
         """
     WITH
@@ -70,16 +91,8 @@ def _cc_oracle_ctes(k_rounds=12):
     pairs AS (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.__id = id_a JOIN sizes sb ON sb.__id = id_b
-      WHERE i * 10 >= (sa.n + sb.n - i) * 6),
-    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    l0 AS MATERIALIZED (
-      SELECT a AS node, a AS lbl FROM (SELECT DISTINCT a FROM edges) t),"""
-        + "".join(rounds)
-        + f"""
-    comp AS (SELECT node, lbl AS comp FROM l{k_rounds}),
-    bad AS (SELECT count(*) AS n FROM l{k_rounds} x
-            JOIN l{k_rounds + 1} y ON x.node = y.node AND x.lbl <> y.lbl)"""
+      WHERE i * 10 >= (sa.n + sb.n - i) * 6),"""
+        + _cc_close_sql(k_rounds)
     )
 
 

@@ -1,0 +1,116 @@
+"""Semantic dedup (SemDeDup-style) tests: probe-all bucketed path vs
+the delegated exact kernel, selective-probe recall on planted tight
+duplicates, and transitive component collapse."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"], r["cos"]) for r in df.collect()}
+
+
+def test_probe_all_bucketed_equals_blocked_kernel(spark):
+    """nprobe = n_centroids makes the candidate set provably all pairs;
+    the bucketed machinery (forced) must emit exactly what the blocked
+    BLAS kernel (the delegation target) emits."""
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    delegated = semantic_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=8, nprobe=8
+    )
+    bucketed = semantic_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=8, nprobe=8,
+        _force_bucketed=True,
+    )
+    got_d, got_b = _pairs_set(delegated), _pairs_set(bucketed)
+    assert got_d == got_b and got_d  # identical and non-empty
+
+
+def _planted_corpus(spark, seed=7):
+    """32 well-separated base vectors + 3 planted tight duplicate
+    groups (cos > 0.999 within group): a(0,1,2 chain), b(10,11),
+    c(20,21)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(32, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    for vid, src in [(100, 0), (101, 0), (110, 10), (120, 20)]:
+        dup = base[src] + rng.normal(scale=1e-3, size=16)
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in dup]))
+    return spark.createDataFrame(rows)
+
+
+def test_planted_duplicates_found_at_nprobe_1(spark):
+    """Tight duplicates (the SemDeDup regime) share a top-1 cluster by
+    construction, so the classic nprobe=1 within-cluster prune finds
+    every planted pair that brute force finds."""
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    corpus = _planted_corpus(spark)
+    exact = _pairs_set(
+        semantic_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.99,
+            n_centroids=8, nprobe=8,
+        )
+    )
+    clustered = _pairs_set(
+        semantic_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.99,
+            n_centroids=8, nprobe=1,
+        )
+    )
+    assert exact, "planted duplicates must be found by brute force"
+    assert clustered == exact
+    found_ids = {frozenset((a, b)) for a, b, _ in exact}
+    assert frozenset((0, 100)) in found_ids
+    assert frozenset((10, 110)) in found_ids
+    assert frozenset((20, 120)) in found_ids
+
+
+def test_components_collapse_transitively(spark):
+    """0~100 and 0~101 (and 100~101) collapse to one component with the
+    minimum id as canonical survivor."""
+    from spark_alchemy_spark.operators.dedup import semantic_dedup_components
+
+    corpus = _planted_corpus(spark)
+    comps = {
+        r["comp"]: (r["n_members"], r["min_id"], r["max_id"], r["n_dropped"])
+        for r in semantic_dedup_components(
+            corpus, "vec_id", "embedding", threshold=0.99,
+            n_centroids=8, nprobe=8,
+        ).collect()
+    }
+    assert comps[0] == (3, 0, 101, 2)
+    assert comps[10] == (2, 10, 110, 1)
+    assert comps[20] == (2, 20, 120, 1)
+
+
+def test_selective_probe_is_subset_of_exact(spark):
+    """On the near-random driver embeddings (weak 0.4-band pairs, the
+    anti-SemDeDup regime) a selective probe returns a SUBSET of the
+    exact pairs — never an invented pair, never a wrong cosine."""
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = _pairs_set(
+        semantic_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_centroids=8, nprobe=8,
+        )
+    )
+    selective = _pairs_set(
+        semantic_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_centroids=8, nprobe=2,
+        )
+    )
+    assert selective <= exact
