@@ -557,6 +557,9 @@ _EXACT_PAIR_SQL = """
 """
 
 
+_EXACT_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pair_recall_report(spark, sf_dir, approx_pairs, min_recall: float):
     """(n_exact_pairs, recall_ok): the approximate pair set must recover
     at least ``min_recall`` of the exact trigram-Jaccard>=0.6 pairs.
@@ -565,16 +568,25 @@ def _pair_recall_report(spark, sf_dir, approx_pairs, min_recall: float):
     the DuckDB oracle from the raw documents."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    # materialize the exact reference ONCE: it feeds both the capture
-    # semi-join and the denominator count, and the shingle pipeline
-    # behind it (plus its eager hot-set detection pass) is the dominant
-    # cost of every recall entry
-    exact = (
-        ngram_jaccard_pairs(documents, "doc_id", "text", max_shingle_df=None)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # materialize the exact reference ONCE PER (session, sf_dir): it
+    # feeds both the capture semi-join and the denominator count of
+    # EVERY recall entry (minhash, simhash), and the shingle pipeline
+    # behind it is the dominant cost of each — recomputing the same
+    # checkpointed pair set per entry was pure bench tax (VERDICT r4
+    # task 5).  Keyed by applicationId so a dead session's checkpoint
+    # can't leak into a new one.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    exact = _EXACT_PAIR_CACHE.get(key)
+    if exact is None:
+        (documents,) = _t(spark, sf_dir, "documents")
+        exact = (
+            ngram_jaccard_pairs(
+                documents, "doc_id", "text", max_shingle_df=None
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        _EXACT_PAIR_CACHE[key] = exact
     captured = exact.join(
         approx_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     )
