@@ -89,6 +89,62 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 
 @query(
+    "plan_cms_join_choice",
+    """
+    SELECT 'small_dim' AS join_case,
+           (SELECT count(*) FROM lineitem l JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey) AS n_rows,
+           TRUE AS plan_ok
+    UNION ALL
+    SELECT 'big_fact',
+           (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey),
+           TRUE
+    """,
+)
+def plan_cms_join_choice(spark, sf_dir):
+    """Sketch-guided join planning on real tables
+    (``functions/cms.py::sketch_guided_join``): the physical strategy
+    is chosen from the two key COUNT-MIN sketches alone — no shuffle of
+    either input before the choice.  The supplier dimension fits the
+    broadcast budget -> BroadcastHashJoin; the orders side exceeds a
+    1k-row budget -> sort-merge.  ``plan_ok`` asserts the PLANNED
+    strategy read from each join's physical plan (the planner decision
+    the sketch drives; AQE may later convert at runtime, which is its
+    job), so the plan assertion rides the oracle entry (VERDICT r4
+    task 8); join row counts are the oracle-checked values."""
+    from .functions.cms import sketch_guided_join
+
+    lineitem, orders, supplier = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier"
+    )
+    j1, _ = sketch_guided_join(
+        lineitem.select(F.col("l_suppkey").alias("k")),
+        supplier.select(F.col("s_suppkey").alias("k")),
+        "k",
+        broadcast_rows=10_000_000,
+    )
+    p1 = j1._jdf.queryExecution().executedPlan().toString()
+    n1 = j1.count()
+    j2, _ = sketch_guided_join(
+        lineitem.select(F.col("l_orderkey").alias("k")),
+        orders.select(F.col("o_orderkey").alias("k")),
+        "k",
+        broadcast_rows=1_000,
+    )
+    p2 = j2._jdf.queryExecution().executedPlan().toString()
+    n2 = j2.count()
+    return spark.createDataFrame(
+        [
+            ("small_dim", n1, "BroadcastHashJoin" in p1),
+            ("big_fact", n2, "SortMergeJoin" in p2
+             and "BroadcastHashJoin" not in p2),
+        ],
+        "join_case string, n_rows long, plan_ok boolean",
+    )
+
+
+@query(
     "dedup_semantic_clusters",
     """
     WITH

@@ -1,6 +1,7 @@
 """Streaming operators (batch-equivalence via availableNow replay) and
 multimodal column plumbing."""
 
+import json
 import pytest
 from pyspark.sql import functions as F
 
@@ -419,3 +420,80 @@ def test_idle_session_finalizer_event_time_timeout(spark, tmp_path):
         r = rows[0]
         assert r["user_id"] == 1 and r["n_events"] == 2, tz
         assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+
+
+def test_idle_session_state_rows_shrink_to_open_sessions(spark, tmp_path):
+    """State-growth guard (VERDICT r4 task 7): after finalization the
+    state store must hold OPEN sessions only — numRowsTotal in the last
+    stateOperators progress equals the open-session count, and removals
+    were actually reported.  A cleanup regression (state never removed
+    on timeout) would keep numRowsTotal at #users and fail here even
+    though the emitted rows still look right."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_alchemy_spark.streaming.stateful import idle_session_finalizer
+
+    d = tmp_path / "idle_state_growth"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        ts = [
+            datetime(2026, 1, 1, h, m, tzinfo=timezone.utc) for h, m, _ in rows
+        ]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([u for _, _, u in rows], type=pa.int64()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # 4 users with early sessions that must finalize; 2 users whose
+    # events ride the watermark frontier and stay open
+    write(
+        "a.parquet",
+        [(0, 0, u) for u in (1, 2, 3, 4)] + [(0, 10, u) for u in (1, 2)],
+        1_700_000_000,
+    )
+    write("b.parquet", [(6, 0, 10)], 1_700_000_100)
+    write("c.parquet", [(9, 0, 10), (9, 1, 11)], 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = idle_session_finalizer(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("idle_state_growth")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM idle_state_growth").collect()
+    assert {r["user_id"] for r in rows} == {1, 2, 3, 4}
+    assert len(rows) == 4  # exactly once each
+
+    state_progress = [
+        p["stateOperators"][0]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert state_progress, "no stateOperators progress recorded"
+    final = state_progress[-1]
+    # open sessions only: users 10 and 11
+    assert final["numRowsTotal"] == 2, final
+    # the four finalized sessions were REMOVED from the store, not
+    # merely masked from output
+    assert sum(p.get("numRowsRemoved", 0) for p in state_progress) >= 4, (
+        state_progress
+    )
