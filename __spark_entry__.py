@@ -77,6 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: path exercised inside it), ann_brute_force_topk ->
 #: cms_join_size_estimate (brute-force is the recall reference inside
 #: the other ANN entries).
+#: Round-5 rotation (same policy; swapped-out entries were driver-green
+#: in r4 and remain in the full sweep): text_zipf_slope ->
+#: bpe_train_merges (the text tier keeps text_quality +
+#: quality_unigram_logprob in the head; the full BPE training loop is
+#: the tokenizer tier's new flagship), graph_triangle_count ->
+#: dedup_semantic_clusters (graph stays covered by pagerank +
+#: dedup_cluster_components; semantic dedup is a new operator family).
 _GATE_HEAD = [
     "hll_init_agg_cardinality", "hll_merge_reaggregate", "hll_row_merge_union",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
@@ -91,10 +98,10 @@ _GATE_HEAD = [
     "dedup_simhash", "dedup_incremental_batch", "dedup_cluster_components",
     "cms_join_size_estimate", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "curate_corpus_report", "prep_decontaminate", "prep_pack_greedy",
-    "prep_contamination_containment", "text_quality", "text_zipf_slope",
+    "prep_contamination_containment", "text_quality", "bpe_train_merges",
     "quality_unigram_logprob", "stream_windowed_counts",
     "stream_stateful_user_counters", "stream_stream_interval_join",
-    "stream_chained_windows", "graph_pagerank_topk", "graph_triangle_count",
+    "stream_chained_windows", "graph_pagerank_topk", "dedup_semantic_clusters",
     "geo_cell_radius_join", "media_image_features", "source_jdbc_roundtrip",
 ]
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_words", "train_bpe_merges"]
+__all__ = ["bpe_words", "encode_with_merges", "train_bpe_merges"]
 
 
 def bpe_words(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -172,3 +172,40 @@ def train_bpe_merges(
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, n long"
     )
+
+
+def encode_with_merges(
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "w",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Apply an ORDERED merges list (the ``train_bpe_merges`` artifact,
+    collected — bounded by n_merges) to a word table: each word's
+    character sequence folds through the merges in training order, the
+    same leftmost non-overlapping rule as training.  Adds
+    ``n_subtokens`` (the word's encoded length) — join this against
+    the corpus word stream to tokenize at corpus scale while paying
+    the merge folds only once per DISTINCT word.
+
+    One projection per merge with a ``localCheckpoint`` plan barrier
+    every ``checkpoint_every`` merges: ``_apply_merge`` references its
+    input expression ~6 times, so chaining N folds into one collapsed
+    projection grows the expression tree 6^N-fold — 8 unbarriered
+    merges OOM'd the JVM at plan-build time (Catalyst's
+    CollapseProject inlines consecutive projections, so only a
+    materialization boundary actually bounds the nesting)."""
+    w = F.col(word_col)
+    out = words.withColumn(
+        "__syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+        ),
+    )
+    for i, m in enumerate(merges):
+        # accept (step, lhs, rhs, n) rows or bare (lhs, rhs) pairs
+        lhs, rhs = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        out = out.withColumn("__syms", _apply_merge(F.col("__syms"), lhs, rhs))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            out = out.localCheckpoint(eager=False)
+    return out.withColumn("n_subtokens", F.size("__syms")).drop("__syms")

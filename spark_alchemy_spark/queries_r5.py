@@ -33,9 +33,12 @@ from .queries_scale import _cc_close_sql
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled non-recursive replay of the BPE training loop.  Word
-    state per round is the parenthesis-wrapped symbol string
+def _bpe_rounds_ctes(n_merges: int) -> str:
+    """Unrolled non-recursive replay of the BPE training loop, through
+    CTEs ``m1..mN`` (per-round best pair) and ``s0..sN`` (per-round
+    word states; the word rides every state so encode-style consumers
+    can map word -> final symbol count).  Word state is the
+    parenthesis-wrapped symbol string
     ``(h)(e)(l)(l)(o)``: adjacent-pair counting splits it back to a
     symbol list, and applying merge (l, r) is one string
     ``replace('(l)(r)' -> '(lr)')`` — SQL replace scans left to right
@@ -59,15 +62,11 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         ) GROUP BY 1, 2
       ) ORDER BY n DESC, l, r LIMIT 1),
     s{k} AS MATERIALIZED (
-      SELECT freq,
+      SELECT w, freq,
              replace(st, '(' || m.l || ')(' || m.r || ')',
                      '(' || m.l || m.r || ')') AS st
       FROM s{k - 1}, m{k} m),"""
         )
-    final = "\n    UNION ALL ".join(
-        f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, n FROM m{k}"
-        for k in range(1, n_merges + 1)
-    )
     return (
         """
     WITH w0 AS MATERIALIZED (
@@ -78,14 +77,46 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       WHERE regexp_full_match(w, '[a-z]+')
       GROUP BY w),
     s0 AS MATERIALIZED (
-      SELECT freq,
+      SELECT w, freq,
              '(' || array_to_string([w[i:i] FOR i IN range(1, len(w) + 1)],
                                     ')(') || ')' AS st
       FROM w0),"""
         + "".join(steps)[:-1]
-        + "\n    "
-        + final
     )
+
+
+_BPE_CACHE: dict = {}
+
+
+def _trained_merges(spark, sf_dir):
+    """(checkpointed words DF, ordered merges list), cached per
+    (session, sf dir): the train and encode entries share one training
+    run instead of each paying the full loop (same pattern as the
+    exact-pair reference cache in queries.py)."""
+    from .operators.bpe import bpe_words, train_bpe_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = bpe_words(documents).localCheckpoint(eager=False)
+    merges = [
+        (r["step"], r["lhs"], r["rhs"], r["n"])
+        for r in train_bpe_merges(words, n_merges=_BPE_N_MERGES)
+        .orderBy("step")
+        .collect()  # bounded: n_merges rows — the tokenizer artifact
+    ]
+    _BPE_CACHE[key] = (words, merges)
+    return words, merges
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, n FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_rounds_ctes(n_merges) + "\n    " + final
 
 
 @query(
@@ -185,15 +216,73 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
-@query("bpe_train_merges", _bpe_oracle_sql(_BPE_N_MERGES))
+@query("bpe_train_merges", _bpe_train_oracle(_BPE_N_MERGES))
 def bpe_train_merges(spark, sf_dir):
     """Full BPE tokenizer training over the corpus word table
     (``operators/bpe.py::train_bpe_merges``): 8 merge rounds, each one
     narrow pair-count shuffle over DISTINCT words plus a driver argmax
     of exactly one row, merge application as a JVM ``aggregate`` fold.
     Output: the ordered merges table (step, lhs, rhs, n) — the actual
-    artifact a training pipeline consumes."""
-    from .operators.bpe import bpe_words, train_bpe_merges
+    artifact a training pipeline consumes.  Shares one training run
+    with ``bpe_encode_corpus`` via ``_trained_merges``."""
+    _, merges = _trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, n long"
+    )
+
+
+@query(
+    "bpe_encode_corpus",
+    _bpe_rounds_ctes(_BPE_N_MERGES)
+    + f""",
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(st[2:len(st)-1], ')(')) AS nsub
+      FROM s{_BPE_N_MERGES}),
+    tok AS (
+      SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+      FROM documents)
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(nsub) AS BIGINT) AS n_subtokens,
+           CAST((sum(nsub) * 1000000) // count(*) AS BIGINT)
+             AS subtokens_per_word_ppm
+    FROM tok JOIN enc USING (w)
+    GROUP BY lang
+    """,
+)
+def bpe_encode_corpus(spark, sf_dir):
+    """The trained tokenizer APPLIED — the consumer side of
+    ``bpe_train_merges``: train the 8 merges, fold them through every
+    DISTINCT word once (``operators/bpe.py::encode_with_merges`` — the
+    merge folds never touch the corpus-sized token stream), then join
+    the encoded lengths back onto the corpus word stream for per-lang
+    token accounting (the number a training-data budget actually
+    needs).  Compression is reported as integer ppm so any engine
+    replays it exactly.  The inner join on the word table implicitly
+    keeps the same [a-z]+ universe the trainer saw."""
+    from .operators.bpe import encode_with_merges
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return train_bpe_merges(bpe_words(documents), n_merges=_BPE_N_MERGES)
+    words, merges = _trained_merges(spark, sf_dir)
+    enc = encode_with_merges(words, merges).select("w", "n_subtokens")
+    corpus_words = documents.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    return (
+        corpus_words.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subtokens").cast("bigint").alias("n_subtokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subtokens",
+            F.expr("CAST((n_subtokens * 1000000) DIV n_words AS BIGINT)")
+            .alias("subtokens_per_word_ppm"),
+        )
+    )

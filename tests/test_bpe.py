@@ -116,3 +116,38 @@ def test_bpe_checkpoint_cadence_does_not_change_output(
     assert got == [
         (s, l, r, n) for s, l, r, n in _reference_bpe(corpus, 5)
     ]
+
+
+def test_encode_with_merges_matches_reference(spark):
+    """encode_with_merges must yield each word's reference-encoded
+    symbol count after applying the trained merges in order."""
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1}
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    merges = [tuple(r) for r in train_bpe_merges(df, 6).orderBy("step").collect()]
+
+    # reference: replay the merges sequentially per word
+    def encode(word):
+        syms = list(word)
+        for _, left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {
+        r["w"]: r["n_subtokens"]
+        for r in encode_with_merges(df, merges).collect()
+    }
+    assert got == {w: encode(w) for w in corpus}
+    assert got["a"] == 1  # single-char word survives every fold

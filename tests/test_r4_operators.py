@@ -66,12 +66,15 @@ def test_longest_streak_null_types_form_runs(spark):
 
 def test_longest_streak_matches_udtf_entry(spark):
     """The production window operator and the Spark 4 UDTF API demo
-    must produce identical results on the same events table."""
+    must produce identical results on the same events — the UDTF entry
+    runs on its pinned user quarter (user_id % 4 = 0), so the JVM side
+    is compared on that same slice."""
     from spark_alchemy_spark.queries import QUERIES
 
     jvm = {
         tuple(r)
         for r in QUERIES["streak_longest_per_user"](spark, SF).collect()
+        if r["user_id"] % 4 == 0
     }
     udtf = {
         tuple(r)
