@@ -114,3 +114,24 @@ def test_selective_probe_is_subset_of_exact(spark):
         )
     )
     assert selective <= exact
+
+
+def test_bucketed_path_plan_has_no_corpus_cartesian(spark):
+    """Scale contract for the selective-probe path: the only
+    nested-loop join in the plan is the centroid-broadcast scoring
+    stage (16 rows); candidates come from an equi-join on the cluster
+    id, never a corpus x corpus cartesian."""
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = semantic_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=8, nprobe=2
+    )
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # one BNLJ per centroid crossJoin (corpus scoring); queries re-use
+    # the same broadcast — anything beyond 2 means a corpus-sized
+    # nested loop crept in
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
