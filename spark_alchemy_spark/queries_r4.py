@@ -1239,9 +1239,11 @@ def ann_int8_topk(spark, sf_dir):
         quantize_embeddings_int8,
     )
 
+    from .queries import _ann_exact_cached
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
-    exact = brute_force_topk(embeddings, queries_df, "vec_id", "embedding", k=10)
+    exact = _ann_exact_cached(spark, sf_dir)
     corpus_q = quantize_embeddings_int8(embeddings, "embedding").select(
         "vec_id", dequantize_int8().alias("embedding")
     )

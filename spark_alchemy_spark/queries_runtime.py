@@ -436,13 +436,12 @@ def ann_pq_topk(spark, sf_dir):
     recovers >= 60% of the exact cosine top-10 (measured 0.9-1.0 at
     sf0.01, 0.7-1.0 at sf0.1; seeded training + first-minimum code
     assignment make the per-query hit counts stable integers)."""
-    from .operators.similarity import brute_force_topk, pq_topk
+    from .operators.similarity import pq_topk
+    from .queries import _ann_exact_cached
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
-    exact = brute_force_topk(
-        embeddings, queries_df, "vec_id", "embedding", k=10
-    )
+    exact = _ann_exact_cached(spark, sf_dir)
     pq = pq_topk(
         embeddings,
         queries_df,
@@ -476,13 +475,12 @@ def ann_ivfpq_topk(spark, sf_dir):
     UNIFORMLY RANDOM synthetic embeddings, ANN's adversarial case;
     clustered real embeddings probe far fewer lists for the same
     recall)."""
-    from .operators.similarity import brute_force_topk, ivfpq_topk
+    from .operators.similarity import ivfpq_topk
+    from .queries import _ann_exact_cached
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
-    exact = brute_force_topk(
-        embeddings, queries_df, "vec_id", "embedding", k=10
-    )
+    exact = _ann_exact_cached(spark, sf_dir)
     pq = ivfpq_topk(
         embeddings,
         queries_df,
