@@ -286,3 +286,67 @@ def bpe_encode_corpus(spark, sf_dir):
             .alias("subtokens_per_word_ppm"),
         )
     )
+
+
+@query(
+    "prep_pack_bpe_budget",
+    _bpe_rounds_ctes(_BPE_N_MERGES)
+    + f""",
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(st[2:len(st)-1], ')(')) AS nsub
+      FROM s{_BPE_N_MERGES}),
+    doc AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(nsub) AS BIGINT) AS tok FROM (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+        FROM documents) JOIN enc USING (w)
+      GROUP BY doc_id),
+    c AS (
+      SELECT doc_id % 8 AS shard, tok,
+             sum(tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS excl
+      FROM doc)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor(excl / 512) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY shard, pack_id
+    """,
+)
+def prep_pack_bpe_budget(spark, sf_dir):
+    """The trainer's final layout job, composed end to end: train the
+    tokenizer (shared run, ``_trained_merges``), encode every DISTINCT
+    word once, roll encoded lengths up to per-document SUBTOKEN counts,
+    then contiguous-pack documents into 512-SUBTOKEN training
+    sequences across 8 shards (``operators/prep.py::pack_sequences``,
+    window cumsum — no Python, no global sort).  This is
+    ``prep_pack_contiguous`` with the whitespace token count replaced
+    by the learned tokenizer's actual cost — the budget that matters
+    to a training run.  Documents with no [a-z]+ words have no
+    subtokens and drop out of the layout on both sides."""
+    from .operators.bpe import encode_with_merges
+    from .operators.prep import pack_sequences
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    words, merges = _trained_merges(spark, sf_dir)
+    enc = encode_with_merges(words, merges).select("w", "n_subtokens")
+    doc_tokens = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+                )
+            ).alias("w"),
+        )
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_subtokens").cast("bigint").alias("tok"))
+    )
+    packed = pack_sequences(
+        doc_tokens, "doc_id", "tok", budget=512, num_shards=8,
+        order_cols=["doc_id"],
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("pack_tokens"),
+    )
