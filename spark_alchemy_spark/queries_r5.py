@@ -1,5 +1,5 @@
-"""Battery extension, round 5: tokenizer training, semantic dedup, and
-plan-level additions flagged by the round-4 review.
+"""Battery extension, round 5: the tokenizer tier end to end, semantic
+dedup, and plan-level additions flagged by the round-4 review.
 
 * ``bpe_train_merges`` — the FULL BPE training loop (not just one
   candidate count): N rounds of pair-count -> argmax -> merge-apply
@@ -10,13 +10,22 @@ plan-level additions flagged by the round-4 review.
   strings applies it (leftmost non-overlapping — exactly the BPE
   rule), unrolled by a Python generator the same way the
   connected-components oracle unrolls label propagation.
+* ``bpe_encode_corpus`` — the trained merges APPLIED: per-word folds
+  over the vocab only, joined back onto the corpus word stream for
+  per-lang subtoken accounting (integer-ppm compression).
+* ``prep_pack_bpe_budget`` — the trainer's layout job composed:
+  training -> encoding -> per-doc subtoken counts -> contiguous
+  packing into 512-SUBTOKEN sequences across shards.
 * ``dedup_semantic_clusters`` — SemDeDup-style semantic dedup:
   k-means/IVF clusters over embeddings (reusing the trained-centroid
   path from ``operators/similarity.py``), then WITHIN-cluster
-  near-centroid pruning by exact cosine — bucketed by construction, no
-  all-pairs joins anywhere.
+  candidate pruning by exact cosine; probe-all reduces exactly to
+  brute force and is held to an all-pairs + unrolled-CC oracle.
+* ``plan_cms_join_choice`` — sketch-guided join strategy selection on
+  real tables, planned strategy asserted inside the entry.
 
-Same determinism conventions as queries.py.
+The train/encode/pack entries share one training run per session
+(``_trained_merges``).  Same determinism conventions as queries.py.
 """
 
 from __future__ import annotations
