@@ -203,8 +203,23 @@ def encode_with_merges(
         ),
     )
     for i, m in enumerate(merges):
-        # accept (step, lhs, rhs, n) rows or bare (lhs, rhs) pairs
-        lhs, rhs = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        # accept (step, lhs, rhs, n) rows or bare (lhs, rhs) pairs —
+        # explicitly, so a 3-field tuple fails HERE with the shapes
+        # named instead of as an opaque TypeError deep in the fold
+        if len(m) >= 4:
+            lhs, rhs = m[1], m[2]
+        elif len(m) == 2:
+            lhs, rhs = m[0], m[1]
+        else:
+            raise ValueError(
+                f"merges[{i}] has {len(m)} fields; expected "
+                "(step, lhs, rhs, n) rows or bare (lhs, rhs) pairs"
+            )
+        if not (isinstance(lhs, str) and isinstance(rhs, str)):
+            raise ValueError(
+                f"merges[{i}]: lhs/rhs must be strings, got "
+                f"({type(lhs).__name__}, {type(rhs).__name__})"
+            )
         out = out.withColumn("__syms", _apply_merge(F.col("__syms"), lhs, rhs))
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
             out = out.localCheckpoint(eager=False)

@@ -663,7 +663,12 @@ def _all_pairs_cosine_blocked(
             ai = np.repeat(ia, len(ib))
             bi = np.tile(ib, len(ia))
             cos = sims.ravel()
-        keep = cos >= threshold - 1e-6  # final exact filter happens JVM-side
+        # pre-filter slack must exceed HALF THE ROUNDING STEP: the JVM
+        # side keeps a pair iff round(cos, 4) >= threshold, so a raw
+        # cos as low as threshold - 5e-5 still rounds up into the kept
+        # set — a 1e-6 margin here silently dropped that band before
+        # the exact filter ever saw it (round-5 review finding)
+        keep = cos >= threshold - 5.1e-5  # final exact filter is JVM-side
         a_ids, b_ids = ids[ai[keep]], ids[bi[keep]]
         return pd.DataFrame(
             {

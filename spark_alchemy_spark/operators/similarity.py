@@ -607,10 +607,28 @@ def append_ivf_index(
     spark = new_batch.sparkSession
     cents = spark.read.parquet(path + "/centroids")
 
-    # Resolve the build-time baseline BEFORE appending: the pre-sidecar
-    # fallback rescans the STANDING lists, and doing that after the
-    # append would fold the batch being measured into its own baseline,
-    # biasing drift_ratio toward 1.0.
+    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
+        eager=False
+    )
+    batch = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
+    ).collect()[0]
+    if int(batch["n"]) == 0:
+        # empty append period: harmless no-op — return BEFORE resolving
+        # the baseline, so a pre-sidecar index doesn't pay a full
+        # standing-list rescan just to discard it
+        return {
+            "n_appended": 0,
+            "batch_mean_cos": None,
+            "build_mean_cos": None,
+            "drift_ratio": 1.0,
+            "retrain_recommended": False,
+        }
+
+    # Resolve the build-time baseline BEFORE the append WRITE: the
+    # pre-sidecar fallback rescans the STANDING lists, and doing that
+    # after the write would fold the batch being measured into its own
+    # baseline, biasing drift_ratio toward 1.0.
     try:
         base = spark.read.parquet(path + "/stats").collect()[0]
         build_mean = float(base["mean_assigned_cos"])
@@ -631,25 +649,10 @@ def append_ivf_index(
             rescored.agg(F.avg("__best_cos").alias("m")).collect()[0]["m"]
         )
 
-    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
-        eager=False
-    )
     assigned.drop("__best_cos").repartition("list_id").write.mode(
         "append"
     ).partitionBy("list_id").parquet(path + "/lists")
 
-    batch = assigned.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
-    ).collect()[0]
-    if int(batch["n"]) == 0:
-        # empty append period: harmless no-op, nothing to measure
-        return {
-            "n_appended": 0,
-            "batch_mean_cos": None,
-            "build_mean_cos": None,
-            "drift_ratio": 1.0,
-            "retrain_recommended": False,
-        }
     ratio = (float(batch["m"]) / build_mean) if build_mean else 1.0
     return {
         "n_appended": int(batch["n"]),

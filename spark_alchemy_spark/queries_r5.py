@@ -71,10 +71,15 @@ def _bpe_rounds_ctes(n_merges: int) -> str:
         ) GROUP BY 1, 2
       ) ORDER BY n DESC, l, r LIMIT 1),
     s{k} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE, not a cross join: when the corpus runs out
+      -- of adjacent pairs before round {k}, m{k} is EMPTY and a cross
+      -- join would empty every later word state (breaking the encode/
+      -- pack consumers of s_N); with no merge the state passes through
       SELECT w, freq,
-             replace(st, '(' || m.l || ')(' || m.r || ')',
-                     '(' || m.l || m.r || ')') AS st
-      FROM s{k - 1}, m{k} m),"""
+             CASE WHEN m.l IS NULL THEN st
+                  ELSE replace(st, '(' || m.l || ')(' || m.r || ')',
+                               '(' || m.l || m.r || ')') END AS st
+      FROM s{k - 1} LEFT JOIN m{k} m ON TRUE),"""
         )
     return (
         """
@@ -98,11 +103,12 @@ _BPE_CACHE: dict = {}
 
 
 def _trained_merges(spark, sf_dir):
-    """(checkpointed words DF, ordered merges list), cached per
-    (session, sf dir): the train and encode entries share one training
-    run instead of each paying the full loop (same pattern as the
+    """(checkpointed words DF, ordered merges list, checkpointed
+    encoded-word DF), cached per (session, sf dir): the train, encode,
+    and pack entries share ONE training run and ONE encode pass
+    instead of each paying the full loops (same pattern as the
     exact-pair reference cache in queries.py)."""
-    from .operators.bpe import bpe_words, train_bpe_merges
+    from .operators.bpe import bpe_words, encode_with_merges, train_bpe_merges
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BPE_CACHE.get(key)
@@ -116,8 +122,13 @@ def _trained_merges(spark, sf_dir):
         .orderBy("step")
         .collect()  # bounded: n_merges rows — the tokenizer artifact
     ]
-    _BPE_CACHE[key] = (words, merges)
-    return words, merges
+    enc = (
+        encode_with_merges(words, merges)
+        .select("w", "n_subtokens")
+        .localCheckpoint(eager=False)
+    )
+    _BPE_CACHE[key] = (words, merges, enc)
+    return words, merges, enc
 
 
 def _bpe_train_oracle(n_merges: int) -> str:
@@ -207,15 +218,16 @@ def plan_cms_join_choice(spark, sf_dir):
 )
 def dedup_semantic_clusters(spark, sf_dir):
     """SemDeDup-style semantic dedup end to end
-    (``operators/dedup.py::semantic_dedup_components``): seeded
-    k-means clusters -> within-cluster candidate pairs -> exact-cosine
-    verify -> transitive collapse -> canonical survivors.  Run at
-    ``nprobe = n_centroids`` so the cluster-bucketed machine reduces
-    EXACTLY to brute force and the full train/assign/bucket/verify/
-    collapse pipeline is held to the exact all-pairs + unrolled-CC
-    oracle — the same probe-all contract as ``ann_ivf_topk``
-    (selective-nprobe recall on planted duplicates is pinned in
-    tests/test_semantic_dedup.py)."""
+    (``operators/dedup.py::semantic_dedup_components``): duplicate
+    pairs -> transitive collapse -> canonical survivors.  Run at
+    ``nprobe = n_centroids``, where the candidate set is provably all
+    pairs and ``semantic_dup_pairs`` DELEGATES to the blocked exact
+    BLAS kernel — so what this oracle gates is the exact-pair kernel
+    plus the component collapse.  The cluster-bucketed machinery
+    (train/assign/bucket join) is pinned separately in
+    tests/test_semantic_dedup.py: forced-bucketed probe-all must equal
+    the delegated kernel, and selective-nprobe recall is asserted on
+    planted duplicates."""
     from .operators.dedup import semantic_dedup_components
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -234,7 +246,7 @@ def bpe_train_merges(spark, sf_dir):
     Output: the ordered merges table (step, lhs, rhs, n) — the actual
     artifact a training pipeline consumes.  Shares one training run
     with ``bpe_encode_corpus`` via ``_trained_merges``."""
-    _, merges = _trained_merges(spark, sf_dir)
+    _, merges, _ = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, n long"
     )
@@ -269,11 +281,8 @@ def bpe_encode_corpus(spark, sf_dir):
     needs).  Compression is reported as integer ppm so any engine
     replays it exactly.  The inner join on the word table implicitly
     keeps the same [a-z]+ universe the trainer saw."""
-    from .operators.bpe import encode_with_merges
-
     (documents,) = _t(spark, sf_dir, "documents")
-    words, merges = _trained_merges(spark, sf_dir)
-    enc = encode_with_merges(words, merges).select("w", "n_subtokens")
+    _, _, enc = _trained_merges(spark, sf_dir)
     corpus_words = documents.select(
         "lang",
         F.explode(
@@ -332,12 +341,10 @@ def prep_pack_bpe_budget(spark, sf_dir):
     by the learned tokenizer's actual cost — the budget that matters
     to a training run.  Documents with no [a-z]+ words have no
     subtokens and drop out of the layout on both sides."""
-    from .operators.bpe import encode_with_merges
     from .operators.prep import pack_sequences
 
     (documents,) = _t(spark, sf_dir, "documents")
-    words, merges = _trained_merges(spark, sf_dir)
-    enc = encode_with_merges(words, merges).select("w", "n_subtokens")
+    _, _, enc = _trained_merges(spark, sf_dir)
     doc_tokens = (
         documents.select(
             "doc_id",

@@ -151,3 +151,68 @@ def test_encode_with_merges_matches_reference(spark):
     }
     assert got == {w: encode(w) for w in corpus}
     assert got["a"] == 1  # single-char word survives every fold
+
+
+def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """When the corpus runs out of adjacent pairs before _BPE_N_MERGES
+    rounds, the oracle's later word-state CTEs must pass through
+    unchanged (LEFT JOIN ON TRUE), not collapse to zero rows — and the
+    Spark entry must agree with the oracle on such a corpus."""
+    import duckdb
+
+    from spark_alchemy_spark.queries_r5 import (
+        _BPE_N_MERGES,
+        _bpe_rounds_ctes,
+    )
+
+    # 'ab' admits exactly ONE merge (a,b); rounds 2..8 find no pairs
+    docs = spark.createDataFrame(
+        [(1, "en", "ab ab x9"), (2, "de", "ab b a")],
+        "doc_id long, lang string, text string",
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    oracle = (
+        _bpe_rounds_ctes(_BPE_N_MERGES)
+        + f""",
+    enc AS (SELECT w, len(string_split(st[2:len(st)-1], ')(')) AS nsub
+            FROM s{_BPE_N_MERGES})
+    SELECT w, nsub FROM enc ORDER BY w
+    """
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    got = con.sql(oracle).fetchall()
+    # 'ab' -> [ab] (1), 'a' -> [a] (1), 'b' -> [b] (1); 'x9' filtered
+    assert got == [("a", 1), ("ab", 1), ("b", 1)]
+
+    from spark_alchemy_spark.operators.bpe import (
+        bpe_words,
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    words = bpe_words(docs)
+    merges = [
+        tuple(r)
+        for r in train_bpe_merges(words, _BPE_N_MERGES).orderBy("step").collect()
+    ]
+    assert len(merges) == 1  # early stop after the single merge
+    spark_side = {
+        (r["w"], r["n_subtokens"])
+        for r in encode_with_merges(words, merges).collect()
+    }
+    assert spark_side == set(got)
+
+
+def test_encode_with_merges_rejects_bad_shapes(spark):
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark.operators.bpe import encode_with_merges
+
+    df = spark.createDataFrame([Row(w="ab", freq=1)])
+    with pytest.raises(ValueError, match="expected"):
+        encode_with_merges(df, [(1, "a", "b")])  # 3-field tuple
+    with pytest.raises(ValueError, match="must be strings"):
+        encode_with_merges(df, [(1, 2)])
