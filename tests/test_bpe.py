@@ -216,3 +216,66 @@ def test_encode_with_merges_rejects_bad_shapes(spark):
         encode_with_merges(df, [(1, "a", "b")])  # 3-field tuple
     with pytest.raises(ValueError, match="must be strings"):
         encode_with_merges(df, [(1, 2)])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hsettings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_hsettings
+@given(
+    corpus=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_property_matches_reference(spark, corpus, n_merges):
+    """Property law: on ANY word-frequency table the distributed
+    trainer replays the sequential reference exactly — merges, counts,
+    tie-breaks, early stop — and the encoded lengths match the
+    reference replay.  A 3-letter alphabet with repeats forces heavy
+    pair ties and overlap (aaa/abab), the hard cases for the
+    leftmost-non-overlapping rule."""
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    got = [
+        tuple(r) for r in train_bpe_merges(df, n_merges).orderBy("step").collect()
+    ]
+    ref = _reference_bpe(corpus, n_merges)
+    assert got == ref
+
+    # encoded lengths must equal the reference replay of those merges
+    def encode(word):
+        syms = list(word)
+        for _, left, right, _ in ref:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    enc = {
+        r["w"]: r["n_subtokens"]
+        for r in encode_with_merges(df, got).collect()
+    }
+    assert enc == {w: encode(w) for w in corpus}
