@@ -135,3 +135,51 @@ def test_bucketed_path_plan_has_no_corpus_cartesian(spark):
     # the same broadcast — anything beyond 2 means a corpus-sized
     # nested loop crept in
     assert final.count("BroadcastNestedLoopJoin") <= 2, final
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hsettings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_hsettings
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_vecs=st.integers(min_value=4, max_value=24),
+    dim=st.sampled_from([4, 8]),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+    k=st.sampled_from([2, 4]),
+)
+def test_probe_all_equals_kernel_property(spark, seed, n_vecs, dim, threshold, k):
+    """Property law: for ANY corpus, probe-all through the forced
+    bucketed machinery equals the delegated blocked kernel — the
+    equality the gate entry's delegation rests on, across random
+    vector sets (including degenerate near-parallel and zero-ish
+    vectors), dimensions, thresholds, and cluster counts."""
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n_vecs, dim))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(m)
+    ]
+    emb = spark.createDataFrame(rows)
+
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    delegated = _pairs_set(
+        semantic_dup_pairs(
+            emb, "vec_id", "embedding", threshold=threshold,
+            n_centroids=k, nprobe=k, seed=7,
+        )
+    )
+    bucketed = _pairs_set(
+        semantic_dup_pairs(
+            emb, "vec_id", "embedding", threshold=threshold,
+            n_centroids=k, nprobe=k, seed=7, _force_bucketed=True,
+        )
+    )
+    assert delegated == bucketed
