@@ -508,6 +508,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     train_iters: int = 4,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> None:
     """One-off IVF index build: train centroids, assign every corpus
     vector to its nearest list, and persist the corpus Hive-partitioned
@@ -517,7 +518,7 @@ def build_ivf_index(
     storage.  Centroids live in a sidecar table.  This is the 100 TB
     shape: the expensive assignment shuffle happens once at build; each
     query batch reads ~nprobe/n_centroids of the data."""
-    cents = train_ivf_centroids(
+    cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
     )
     assigned = _assign_to_lists(corpus, id_col, vec_col, cents)

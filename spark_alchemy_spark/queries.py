@@ -687,6 +687,26 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 _ANN_EXACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_CENTROIDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_centroids_cached(spark, sf_dir) -> DataFrame:
+    """Seeded k-means centroids over the full embeddings corpus at the
+    battery's standard parameters (16 lists, 4 Lloyd rounds, seed 42),
+    trained once per (session, sf dir) and shared by every entry that
+    trains the same model (ivf / ivfpq / the persisted-index build).
+    Training is deterministic, so sharing changes nothing but cost."""
+    from .operators.similarity import train_ivf_centroids
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_CENTROIDS_CACHE.get(key)
+    if cents is None:
+        (embeddings,) = _t(spark, sf_dir, "embeddings")
+        cents = train_ivf_centroids(
+            embeddings, "embedding", n_centroids=16, iters=4, seed=42
+        ).localCheckpoint(eager=False)
+        _IVF_CENTROIDS_CACHE[key] = cents
+    return cents
 
 
 def _ann_exact_cached(spark, sf_dir) -> DataFrame:
@@ -781,6 +801,7 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(
         embeddings, queries_df, "vec_id", "embedding", k=10,
         n_centroids=16, nprobe=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
     )
 
 
@@ -815,7 +836,10 @@ def ann_ivf_indexed_topk(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_index"))
-    build_ivf_index(embeddings, "vec_id", "embedding", path, n_centroids=16)
+    build_ivf_index(
+        embeddings, "vec_id", "embedding", path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
     )

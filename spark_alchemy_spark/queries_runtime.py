@@ -481,6 +481,8 @@ def ann_ivfpq_topk(spark, sf_dir):
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     exact = _ann_exact_cached(spark, sf_dir)
+    from .queries import _ivf_centroids_cached
+
     pq = ivfpq_topk(
         embeddings,
         queries_df,
@@ -488,6 +490,7 @@ def ann_ivfpq_topk(spark, sf_dir):
         "embedding",
         k=10,
         nprobe=10,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
         shortlist=150,
     )
     from .queries import _ann_recall_report

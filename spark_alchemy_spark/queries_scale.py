@@ -1418,8 +1418,15 @@ def graph_pagerank_topk(spark, sf_dir):
     from .operators.graph import pagerank
 
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    # fact-fact join: keep it a sort-merge (both sides scale with the
+    # corpus; a broadcast hint here would be a 100 TB OOM), but project
+    # both sides to join columns only so the shuffle carries 2 ints
     pairs = (
-        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .select(
             F.col("o_custkey").alias("c"),
             (F.col("l_suppkey") + 1000000).alias("s"),
