@@ -179,6 +179,7 @@ def encode_with_merges(
     merges: list[tuple],
     word_col: str = "w",
     checkpoint_every: int = 2,
+    keep_syms: bool = False,
 ) -> DataFrame:
     """Apply an ORDERED merges list (the ``train_bpe_merges`` artifact,
     collected — bounded by n_merges) to a word table: each word's
@@ -194,7 +195,10 @@ def encode_with_merges(
     projection grows the expression tree 6^N-fold — 8 unbarriered
     merges OOM'd the JVM at plan-build time (Catalyst's
     CollapseProject inlines consecutive projections, so only a
-    materialization boundary actually bounds the nesting)."""
+    materialization boundary actually bounds the nesting).
+
+    ``keep_syms=True`` additionally keeps the final symbol array as
+    ``syms`` (vocabulary-accounting consumers explode it)."""
     w = F.col(word_col)
     out = words.withColumn(
         "__syms",
@@ -223,4 +227,7 @@ def encode_with_merges(
         out = out.withColumn("__syms", _apply_merge(F.col("__syms"), lhs, rhs))
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
             out = out.localCheckpoint(eager=False)
-    return out.withColumn("n_subtokens", F.size("__syms")).drop("__syms")
+    out = out.withColumn("n_subtokens", F.size("__syms"))
+    if keep_syms:
+        return out.withColumnRenamed("__syms", "syms")
+    return out.drop("__syms")

@@ -103,12 +103,10 @@ _BPE_CACHE: dict = {}
 
 
 def _trained_merges(spark, sf_dir):
-    """(checkpointed words DF, ordered merges list, checkpointed
-    encoded-word DF), cached per (session, sf dir): the train, encode,
-    and pack entries share ONE training run and ONE encode pass
-    instead of each paying the full loops (same pattern as the
-    exact-pair reference cache in queries.py)."""
-    from .operators.bpe import bpe_words, encode_with_merges, train_bpe_merges
+    """(checkpointed words DF, ordered merges list), cached per
+    (session, sf dir): every BPE entry shares ONE training run (same
+    pattern as the exact-pair reference cache in queries.py)."""
+    from .operators.bpe import bpe_words, train_bpe_merges
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BPE_CACHE.get(key)
@@ -122,13 +120,32 @@ def _trained_merges(spark, sf_dir):
         .orderBy("step")
         .collect()  # bounded: n_merges rows — the tokenizer artifact
     ]
-    enc = (
-        encode_with_merges(words, merges)
-        .select("w", "n_subtokens")
-        .localCheckpoint(eager=False)
-    )
-    _BPE_CACHE[key] = (words, merges, enc)
-    return words, merges, enc
+    _BPE_CACHE[key] = (words, merges)
+    return words, merges
+
+
+_BPE_ENC_CACHE: dict = {}
+
+
+def _encoded_words(spark, sf_dir):
+    """Checkpointed (w, n_subtokens) table, built LAZILY on first use
+    and shared by the encode/pack entries.  Kept out of
+    ``_trained_merges``: constructing the chained-fold encode plan
+    costs ~1-2s of driver-side expression building, which the train
+    entry (gate head) must not pay for a table it never reads."""
+    from .operators.bpe import encode_with_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    enc = _BPE_ENC_CACHE.get(key)
+    if enc is None:
+        words, merges = _trained_merges(spark, sf_dir)
+        enc = (
+            encode_with_merges(words, merges)
+            .select("w", "n_subtokens")
+            .localCheckpoint(eager=False)
+        )
+        _BPE_ENC_CACHE[key] = enc
+    return enc
 
 
 def _bpe_train_oracle(n_merges: int) -> str:
@@ -246,7 +263,7 @@ def bpe_train_merges(spark, sf_dir):
     Output: the ordered merges table (step, lhs, rhs, n) — the actual
     artifact a training pipeline consumes.  Shares one training run
     with ``bpe_encode_corpus`` via ``_trained_merges``."""
-    _, merges, _ = _trained_merges(spark, sf_dir)
+    _, merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, n long"
     )
@@ -282,7 +299,7 @@ def bpe_encode_corpus(spark, sf_dir):
     replays it exactly.  The inner join on the word table implicitly
     keeps the same [a-z]+ universe the trainer saw."""
     (documents,) = _t(spark, sf_dir, "documents")
-    _, _, enc = _trained_merges(spark, sf_dir)
+    enc = _encoded_words(spark, sf_dir)
     corpus_words = documents.select(
         "lang",
         F.explode(
@@ -344,7 +361,7 @@ def prep_pack_bpe_budget(spark, sf_dir):
     from .operators.prep import pack_sequences
 
     (documents,) = _t(spark, sf_dir, "documents")
-    _, _, enc = _trained_merges(spark, sf_dir)
+    enc = _encoded_words(spark, sf_dir)
     doc_tokens = (
         documents.select(
             "doc_id",
@@ -365,4 +382,84 @@ def prep_pack_bpe_budget(spark, sf_dir):
     return packed.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "bpe_vocab_table",
+    _bpe_rounds_ctes(_BPE_N_MERGES)
+    + f""",
+    base AS MATERIALIZED (
+      SELECT DISTINCT unnest([w[i:i] FOR i IN range(1, len(w) + 1)]) AS symbol
+      FROM w0),
+    base_ids AS (
+      SELECT symbol, 'base' AS kind,
+             CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+               AS token_id
+      FROM base),
+    merged_ids AS (
+      {" UNION ALL ".join(
+          f"SELECT l || r AS symbol, 'merged' AS kind, "
+          f"(SELECT count(*) FROM base) + {k} - 1 AS token_id FROM m{k}"
+          for k in range(1, _BPE_N_MERGES + 1)
+      )}),
+    occ AS MATERIALIZED (
+      SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS corpus_occ FROM (
+        SELECT unnest(string_split(st[2:len(st)-1], ')(')) AS sym, freq
+        FROM s{_BPE_N_MERGES})
+      GROUP BY sym)
+    SELECT v.symbol, v.kind, v.token_id,
+           coalesce(o.corpus_occ, 0) AS corpus_occ
+    FROM (SELECT * FROM base_ids UNION ALL SELECT * FROM merged_ids) v
+    LEFT JOIN occ o ON o.symbol = v.symbol
+    """,
+)
+def bpe_vocab_table(spark, sf_dir):
+    """The tokenizer's VOCABULARY artifact: base symbols (the corpus's
+    characters, ids assigned alphabetically) plus the N merged symbols
+    (ids continuing in merge order — the standard BPE id convention),
+    each with its occurrence count in the fully ENCODED corpus
+    (weighted by word frequency).  A merged symbol later consumed by a
+    bigger merge keeps its id but shows the residual occurrence count
+    — exactly what a tokenizer-coverage report needs.  All driver
+    materializations are bounded: <=26 base symbols, N merge rows."""
+    from pyspark.sql.window import Window
+
+    from .operators.bpe import encode_with_merges
+
+    words, merges = _trained_merges(spark, sf_dir)
+    enc = encode_with_merges(words, merges, keep_syms=True)
+    occ = (
+        enc.select(F.explode("syms").alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("corpus_occ"))
+    )
+    base = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring("w", i, 1),
+                )
+            ).alias("symbol")
+        )
+        .distinct()
+    )
+    # global row_number over <=26 base symbols: bounded by the alphabet
+    base_ids = base.withColumn(
+        "token_id", (F.row_number().over(Window.orderBy("symbol")) - 1).cast("long")
+    ).withColumn("kind", F.lit("base"))
+    n_base = base_ids.count()  # bounded: <= 26
+    merged_ids = spark.createDataFrame(
+        [(l + r, "merged", n_base + step - 1) for step, l, r, _ in merges],
+        "symbol string, kind string, token_id long",
+    )
+    vocab = base_ids.select("symbol", "kind", "token_id").unionByName(
+        merged_ids
+    )
+    return vocab.join(occ, "symbol", "left").select(
+        "symbol",
+        "kind",
+        "token_id",
+        F.coalesce("corpus_occ", F.lit(0)).alias("corpus_occ"),
     )

@@ -279,3 +279,51 @@ def test_bpe_property_matches_reference(spark, corpus, n_merges):
         for r in encode_with_merges(df, got).collect()
     }
     assert enc == {w: encode(w) for w in corpus}
+
+
+def test_vocab_table_ids_and_occurrences(spark):
+    """Vocabulary artifact law: base symbols get alphabetical ids,
+    merged symbols continue in merge order, and occurrence counts are
+    the frequency-weighted symbol counts of the fully encoded corpus."""
+    from pyspark.sql import Row
+
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    corpus = {"low": 5, "lowest": 2}
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    merges = [
+        tuple(r) for r in train_bpe_merges(df, 2).orderBy("step").collect()
+    ]
+    enc = encode_with_merges(df, merges, keep_syms=True)
+    rows = {r["w"]: r["syms"] for r in enc.collect()}
+    # reference replay
+    ref = {}
+    for w in corpus:
+        syms = list(w)
+        for _, left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ref[w] = syms
+    assert rows == ref
+    # weighted occurrence counts match a hand count
+    occ = {}
+    for w, syms in ref.items():
+        for s in syms:
+            occ[s] = occ.get(s, 0) + corpus[w]
+    got_occ = {}
+    for r in (
+        enc.select("freq", "syms").collect()
+    ):
+        for s in r["syms"]:
+            got_occ[s] = got_occ.get(s, 0) + r["freq"]
+    assert got_occ == occ
