@@ -29,7 +29,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_words", "encode_with_merges", "train_bpe_merges"]
+__all__ = [
+    "bpe_words",
+    "corpus_word_stream",
+    "encode_with_merges",
+    "train_bpe_merges",
+]
+
+
+def corpus_word_stream(
+    documents: DataFrame, text_col: str = "text", *carry_cols: str
+) -> DataFrame:
+    """The corpus word stream feeding every BPE stage: lowercased
+    whitespace tokens, one row per occurrence, with any ``carry_cols``
+    (doc_id, lang, ...) riding along.  ONE definition on purpose — the
+    encode/pack entries inner-join this stream against the trained
+    word table, so a tokenization-rule drift between trainer and
+    consumer would silently drop tokens instead of failing."""
+    return documents.select(
+        *carry_cols,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("w"),
+    )
 
 
 def bpe_words(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -40,13 +62,7 @@ def bpe_words(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # translate-empty check, not a regex: same [a-z]+ predicate with no
     # per-token regex-engine cost on the corpus-sized stream
     return (
-        documents.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
-                )
-            ).alias("w")
-        )
+        corpus_word_stream(documents, text_col)
         .filter(F.translate(F.col("w"), "abcdefghijklmnopqrstuvwxyz", "") == "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -229,5 +245,10 @@ def encode_with_merges(
             out = out.localCheckpoint(eager=False)
     out = out.withColumn("n_subtokens", F.size("__syms"))
     if keep_syms:
+        if "syms" in words.columns:
+            raise ValueError(
+                "keep_syms=True would shadow the input's existing "
+                "'syms' column; rename it first"
+            )
         return out.withColumnRenamed("__syms", "syms")
     return out.drop("__syms")

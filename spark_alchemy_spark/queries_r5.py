@@ -128,8 +128,9 @@ _BPE_ENC_CACHE: dict = {}
 
 
 def _encoded_words(spark, sf_dir):
-    """Checkpointed (w, n_subtokens) table, built LAZILY on first use
-    and shared by the encode/pack entries.  Kept out of
+    """Checkpointed (w, freq, syms, n_subtokens) table, built LAZILY on
+    first use and shared by EVERY encode consumer (encode / pack /
+    vocab — projections are free off the checkpoint).  Kept out of
     ``_trained_merges``: constructing the chained-fold encode plan
     costs ~1-2s of driver-side expression building, which the train
     entry (gate head) must not pay for a table it never reads."""
@@ -139,11 +140,9 @@ def _encoded_words(spark, sf_dir):
     enc = _BPE_ENC_CACHE.get(key)
     if enc is None:
         words, merges = _trained_merges(spark, sf_dir)
-        enc = (
-            encode_with_merges(words, merges)
-            .select("w", "n_subtokens")
-            .localCheckpoint(eager=False)
-        )
+        enc = encode_with_merges(
+            words, merges, keep_syms=True
+        ).localCheckpoint(eager=False)
         _BPE_ENC_CACHE[key] = enc
     return enc
 
@@ -299,13 +298,10 @@ def bpe_encode_corpus(spark, sf_dir):
     replays it exactly.  The inner join on the word table implicitly
     keeps the same [a-z]+ universe the trainer saw."""
     (documents,) = _t(spark, sf_dir, "documents")
-    enc = _encoded_words(spark, sf_dir)
-    corpus_words = documents.select(
-        "lang",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-        ).alias("w"),
-    )
+    from .operators.bpe import corpus_word_stream
+
+    enc = _encoded_words(spark, sf_dir).select("w", "n_subtokens")
+    corpus_words = corpus_word_stream(documents, "text", "lang")
     return (
         corpus_words.join(enc, "w")
         .groupBy("lang")
@@ -358,19 +354,13 @@ def prep_pack_bpe_budget(spark, sf_dir):
     by the learned tokenizer's actual cost — the budget that matters
     to a training run.  Documents with no [a-z]+ words have no
     subtokens and drop out of the layout on both sides."""
+    from .operators.bpe import corpus_word_stream
     from .operators.prep import pack_sequences
 
     (documents,) = _t(spark, sf_dir, "documents")
-    enc = _encoded_words(spark, sf_dir)
+    enc = _encoded_words(spark, sf_dir).select("w", "n_subtokens")
     doc_tokens = (
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col("text")), " "), lambda x: x != ""
-                )
-            ).alias("w"),
-        )
+        corpus_word_stream(documents, "text", "doc_id")
         .join(enc, "w")
         .groupBy("doc_id")
         .agg(F.sum("n_subtokens").cast("bigint").alias("tok"))
@@ -422,20 +412,21 @@ def bpe_vocab_table(spark, sf_dir):
     (weighted by word frequency).  A merged symbol later consumed by a
     bigger merge keeps its id but shows the residual occurrence count
     — exactly what a tokenizer-coverage report needs.  All driver
-    materializations are bounded: <=26 base symbols, N merge rows."""
-    from pyspark.sql.window import Window
-
-    from .operators.bpe import encode_with_merges
-
-    words, merges = _trained_merges(spark, sf_dir)
-    enc = encode_with_merges(words, merges, keep_syms=True)
+    materializations are bounded: <=26 base symbols, N merge rows —
+    so the whole vocab skeleton is built driver-side in ONE collect
+    (no global window, no second corpus-derived job) and only the
+    occurrence aggregation runs distributed, off the session's shared
+    encoded-word checkpoint."""
+    _, merges = _trained_merges(spark, sf_dir)
+    enc = _encoded_words(spark, sf_dir)
     occ = (
         enc.select(F.explode("syms").alias("symbol"), "freq")
         .groupBy("symbol")
         .agg(F.sum("freq").cast("bigint").alias("corpus_occ"))
     )
-    base = (
-        words.select(
+    base_syms = sorted(
+        r["symbol"]
+        for r in enc.select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("w")),
@@ -444,18 +435,14 @@ def bpe_vocab_table(spark, sf_dir):
             ).alias("symbol")
         )
         .distinct()
+        .collect()  # bounded: <= 26 alphabet characters
     )
-    # global row_number over <=26 base symbols: bounded by the alphabet
-    base_ids = base.withColumn(
-        "token_id", (F.row_number().over(Window.orderBy("symbol")) - 1).cast("long")
-    ).withColumn("kind", F.lit("base"))
-    n_base = base_ids.count()  # bounded: <= 26
-    merged_ids = spark.createDataFrame(
-        [(l + r, "merged", n_base + step - 1) for step, l, r, _ in merges],
-        "symbol string, kind string, token_id long",
-    )
-    vocab = base_ids.select("symbol", "kind", "token_id").unionByName(
-        merged_ids
+    vocab_rows = [(s, "base", i) for i, s in enumerate(base_syms)] + [
+        (l + r, "merged", len(base_syms) + step - 1)
+        for step, l, r, _ in merges
+    ]
+    vocab = spark.createDataFrame(
+        vocab_rows, "symbol string, kind string, token_id long"
     )
     return vocab.join(occ, "symbol", "left").select(
         "symbol",

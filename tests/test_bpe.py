@@ -41,6 +41,24 @@ def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
     return merges
 
 
+def _reference_encode(word, merges):
+    """Sequential leftmost-non-overlapping replay of an ordered merges
+    list over one word; returns the final symbol list."""
+    syms = list(word)
+    for m in merges:
+        left, right = m[1], m[2]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def _train(spark, word_freqs: dict[str, int], n_merges: int):
     from spark_alchemy_spark.operators.bpe import train_bpe_merges
 
@@ -130,26 +148,11 @@ def test_encode_with_merges_matches_reference(spark):
     df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
     merges = [tuple(r) for r in train_bpe_merges(df, 6).orderBy("step").collect()]
 
-    # reference: replay the merges sequentially per word
-    def encode(word):
-        syms = list(word)
-        for _, left, right, _ in merges:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return len(syms)
-
     got = {
         r["w"]: r["n_subtokens"]
         for r in encode_with_merges(df, merges).collect()
     }
-    assert got == {w: encode(w) for w in corpus}
+    assert got == {w: len(_reference_encode(w, merges)) for w in corpus}
     assert got["a"] == 1  # single-char word survives every fold
 
 
@@ -259,26 +262,11 @@ def test_bpe_property_matches_reference(spark, corpus, n_merges):
     ref = _reference_bpe(corpus, n_merges)
     assert got == ref
 
-    # encoded lengths must equal the reference replay of those merges
-    def encode(word):
-        syms = list(word)
-        for _, left, right, _ in ref:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return len(syms)
-
     enc = {
         r["w"]: r["n_subtokens"]
         for r in encode_with_merges(df, got).collect()
     }
-    assert enc == {w: encode(w) for w in corpus}
+    assert enc == {w: len(_reference_encode(w, ref)) for w in corpus}
 
 
 def test_vocab_table_ids_and_occurrences(spark):
@@ -299,21 +287,7 @@ def test_vocab_table_ids_and_occurrences(spark):
     ]
     enc = encode_with_merges(df, merges, keep_syms=True)
     rows = {r["w"]: r["syms"] for r in enc.collect()}
-    # reference replay
-    ref = {}
-    for w in corpus:
-        syms = list(w)
-        for _, left, right, _ in merges:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        ref[w] = syms
+    ref = {w: _reference_encode(w, merges) for w in corpus}
     assert rows == ref
     # weighted occurrence counts match a hand count
     occ = {}
@@ -327,3 +301,31 @@ def test_vocab_table_ids_and_occurrences(spark):
         for s in r["syms"]:
             got_occ[s] = got_occ.get(s, 0) + r["freq"]
     assert got_occ == occ
+
+
+def test_bpe_vocab_entry_id_convention(spark):
+    """The vocab entry's id convention, pinned independently of the
+    oracle: base symbols get alphabetical ids 0..B-1, merged symbols
+    continue B, B+1, ... in merge order, and every occurrence count is
+    non-negative with the top base symbols actually occurring."""
+    from spark_alchemy_spark.queries import QUERIES
+    from spark_alchemy_spark.queries_r5 import _trained_merges
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["bpe_vocab_table"](spark, sf).collect()
+    base = sorted(
+        (r["token_id"], r["symbol"]) for r in rows if r["kind"] == "base"
+    )
+    merged = sorted(
+        (r["token_id"], r["symbol"]) for r in rows if r["kind"] == "merged"
+    )
+    # base: contiguous ids from 0, symbols in alphabetical order
+    assert [i for i, _ in base] == list(range(len(base)))
+    assert [sym for _, sym in base] == sorted(sym for _, sym in base)
+    # merged: continue after base, in merge order, symbol = lhs+rhs
+    _, merges = _trained_merges(spark, sf)
+    assert [i for i, _ in merged] == [
+        len(base) + step - 1 for step, _, _, _ in merges
+    ]
+    assert [sym for _, sym in merged] == [l + r for _, l, r, _ in merges]
+    assert all(r["corpus_occ"] >= 0 for r in rows)
