@@ -1092,22 +1092,105 @@ def semantic_dedup_components(
     id_col: str,
     vec_col: str,
     threshold: float,
+    driver_pair_limit: int = 50_000,
     **pair_kwargs,
 ) -> DataFrame:
     """Cluster-then-prune semantic dedup, collapsed transitively: the
-    ``semantic_dup_pairs`` graph closed into connected components
-    (``graph.connected_components`` min-label propagation), keeping
-    each component's minimum id as the canonical survivor.  Returns one
-    row per duplicate component: (comp, n_members, min_id, max_id,
-    n_dropped) — singletons (vectors in no pair) are implicitly kept
-    and not reported."""
+    ``semantic_dup_pairs`` graph closed into connected components,
+    keeping each component's minimum id as the canonical survivor.
+    Returns one row per duplicate component: (comp, n_members, min_id,
+    max_id, n_dropped) — singletons (vectors in no pair) are
+    implicitly kept and not reported.
+
+    Component closure follows the counted-guard discipline of
+    ``curate.apply_near_dedup``: the pair list is COUNTED first, and
+    only a measured-small list (<= ``driver_pair_limit``) is collapsed
+    by driver union–find (a dup pair list is pair-bounded, typically
+    thousands of edges even on a huge corpus); above the limit the
+    distributed min-label propagation
+    (``graph.connected_components``) runs instead — nothing unbounded
+    ever reaches the driver."""
     from .graph import connected_components
 
-    pairs = semantic_dup_pairs(df, id_col, vec_col, threshold, **pair_kwargs)
-    comps = connected_components(pairs, "id_a", "id_b")
+    pairs = semantic_dup_pairs(
+        df, id_col, vec_col, threshold, **pair_kwargs
+    ).localCheckpoint(eager=False)
+    n_pairs = pairs.count()
+    if 0 < n_pairs <= driver_pair_limit:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for row in pairs.select("id_a", "id_b").collect():
+            ra, rb = find(row["id_a"]), find(row["id_b"])
+            if ra != rb:  # min root wins
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comps = df.sparkSession.createDataFrame(
+            [(x, find(x)) for x in parent], "node long, comp long"
+        )
+    else:
+        comps = connected_components(pairs, "id_a", "id_b")
     return comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_id"),
         F.max("node").alias("max_id"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+def doc_hash_embeddings(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Hashing-trick document embeddings — the model-free entry point
+    to semantic dedup: each token hashes to a bucket (md5 hex -> int,
+    reproducible bit-exactly in any SQL engine, unlike xxhash chains)
+    with a ±1 sign from the next hex digit, and a document's vector is
+    the signed token count per bucket (signed to de-bias the
+    hashing-trick collisions, the standard feature-hashing trick).
+    Documents with identical token multisets map to identical vectors;
+    near-duplicates land at cosine ~1.  One corpus pass, one
+    (doc, bucket) shuffle, dense ``vec`` arrays built JVM-side.
+    Tokenization is ``bpe.corpus_word_stream`` — the one shared corpus
+    tokenization rule."""
+    from ..operators.bpe import corpus_word_stream
+
+    w = F.col("w")
+    bucket = (
+        F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % dim
+    ).alias("__b")
+    sign = (
+        F.when(
+            F.conv(F.substring(F.md5(w), 5, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("__s")
+    )
+    agg = (
+        corpus_word_stream(documents, text_col, id_col)
+        .select(id_col, bucket, sign)
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").cast("double").alias("__v"))
+    )
+    return agg.groupBy(id_col).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+                    ),
+                    i,
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("vec")
     )

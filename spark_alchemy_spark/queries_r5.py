@@ -450,3 +450,64 @@ def bpe_vocab_table(spark, sf_dir):
         "token_id",
         F.coalesce("corpus_occ", F.lit(0)).alias("corpus_occ"),
     )
+
+
+@query(
+    "dedup_semantic_docs",
+    """
+    WITH
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+      FROM documents),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 32 AS b,
+             CASE WHEN CAST(('0x' || substr(md5(w), 5, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok),
+    agg AS MATERIALIZED (
+      SELECT doc_id, b, CAST(sum(s) AS DOUBLE) AS v
+      FROM hb GROUP BY doc_id, b),
+    nrm AS MATERIALIZED (
+      SELECT doc_id, sqrt(sum(v*v)) AS n FROM agg GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, sum(a.v * b.v) AS dot
+      FROM agg a JOIN agg b ON a.b = b.b AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT ia AS id_a, ib AS id_b
+      FROM dots JOIN nrm x ON x.doc_id = ia JOIN nrm y ON y.doc_id = ib
+      WHERE x.n > 0 AND y.n > 0
+        AND round(dot / (x.n * y.n), 4) >= 0.95),"""
+    + _cc_close_sql()
+    + """
+    SELECT comp, count(*) AS n_members, min(node) AS min_id,
+           max(node) AS max_id, count(*) - 1 AS n_dropped
+    FROM comp GROUP BY comp
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM bad WHERE n > 0
+    """,
+)
+def dedup_semantic_docs(spark, sf_dir):
+    """Model-free semantic dedup over RAW TEXT: hashing-trick document
+    embeddings (``operators/dedup.py::doc_hash_embeddings`` — md5
+    bucket + ±1 sign per token, replayable bit-exactly in any SQL
+    engine) fed through the same cluster-then-prune machine as
+    ``dedup_semantic_clusters`` at probe-all, collapsed into duplicate
+    components with min-id survivors.  The oracle recomputes the
+    cosine RELATIONALLY (a bucket equi-join dot product — no arrays,
+    no lambdas) and closes the pair graph with the shared unrolled
+    propagation.  Cosine >= 0.95 over signed 32-bucket count vectors
+    is a near-identical-token-multiset signal — the semantic-dedup
+    tier a pipeline can run before any embedding model exists."""
+    from .operators.dedup import doc_hash_embeddings, semantic_dedup_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    embeds = doc_hash_embeddings(documents, "doc_id", "text", dim=32)
+    return semantic_dedup_components(
+        embeds, "doc_id", "vec", threshold=0.95,
+        n_centroids=16, nprobe=16, seed=42,
+    )

@@ -183,3 +183,56 @@ def test_probe_all_equals_kernel_property(spark, seed, n_vecs, dim, threshold, k
         )
     )
     assert delegated == bucketed
+
+
+def test_doc_hash_embeddings_match_python_replay(spark):
+    """The hashing-trick embedding must replay exactly in plain Python
+    (md5 bucket + ±1 sign per token, signed counts per bucket) — the
+    portability property the SQL oracle relies on."""
+    import hashlib
+
+    from spark_alchemy_spark.operators.dedup import doc_hash_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world hello"), (2, ""), (3, "a  b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["vec"] for r in doc_hash_embeddings(docs, dim=8).collect()}
+
+    def ref(text, dim=8):
+        vec = [0.0] * dim
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:4], 16) % dim
+            s = 1 if int(h[4], 16) % 2 == 0 else -1
+            vec[b] += s
+        return vec
+
+    assert got[1] == ref("Hello world hello")
+    assert got[3] == ref("a  b")
+    assert 2 not in got  # zero-token doc has no embedding row
+    assert all(len(v) == 8 for v in got.values())
+
+
+def test_semantic_components_driver_guard_matches_distributed(spark):
+    """The counted driver union–find and the distributed propagation
+    must produce identical components (forced via driver_pair_limit)."""
+    from spark_alchemy_spark.operators.dedup import semantic_dedup_components
+
+    corpus = _planted_corpus(spark)
+    kw = dict(threshold=0.99, n_centroids=8, nprobe=8)
+    via_driver = {
+        tuple(r)
+        for r in semantic_dedup_components(
+            corpus, "vec_id", "embedding", driver_pair_limit=50_000, **kw
+        ).collect()
+    }
+    via_distributed = {
+        tuple(r)
+        for r in semantic_dedup_components(
+            corpus, "vec_id", "embedding", driver_pair_limit=0, **kw
+        ).collect()
+    }
+    assert via_driver == via_distributed and via_driver
