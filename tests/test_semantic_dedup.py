@@ -236,3 +236,43 @@ def test_semantic_components_driver_guard_matches_distributed(spark):
         ).collect()
     }
     assert via_driver == via_distributed and via_driver
+
+
+@_hsettings
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c!X", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    dim=st.sampled_from([4, 8]),
+)
+def test_doc_hash_embeddings_property(spark, texts, dim):
+    """Property law: for ANY text (mixed case, punctuation, repeated
+    spaces, empties) the hashing-trick embedding equals the Python
+    replay — the engine-portability contract the SQL oracle rests on."""
+    import hashlib
+
+    from spark_alchemy_spark.operators.dedup import doc_hash_embeddings
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["vec"]
+        for r in doc_hash_embeddings(docs, dim=dim).collect()
+    }
+
+    for i, t in enumerate(texts):
+        vec = [0.0] * dim
+        any_tok = False
+        for w in t.lower().split(" "):
+            if not w:
+                continue
+            any_tok = True
+            h = hashlib.md5(w.encode()).hexdigest()
+            vec[int(h[:4], 16) % dim] += 1 if int(h[4], 16) % 2 == 0 else -1
+        if any_tok:
+            assert got[i] == vec, (t, got[i], vec)
+        else:
+            assert i not in got
