@@ -1,10 +1,26 @@
-"""Distributed BPE tokenizer training (the full merge loop).
+"""Distributed byte-level BPE tokenizer training (the full merge loop).
 
 ``queries_r4.bpe_first_merges`` demonstrates ONE merge-candidate count;
 this module runs the actual training loop a pipeline consumes: N rounds
 of (count adjacent symbol pairs over the DISTINCT-WORD table -> pick
 the best pair -> apply the merge to every word's symbol sequence),
 producing the ordered merges table that defines the tokenizer.
+
+Representation (round 6, VERDICT r5 task 1): **symbols are hex byte
+strings** — a word is first UTF-8 encoded and its per-byte hex pairs
+(``"68" "65" "6C" ...``, uppercase) are the base symbols; a merge
+concatenates hex strings.  This makes the tokenizer byte-level (any
+punctuation, digit, or multi-byte UTF-8 input has a well-defined
+symbol sequence; nothing silently falls out of the vocabulary) and
+makes every symbol safe to embed in the oracle's delimiter-wrapped
+string encoding (hex chars are ``[0-9A-F]``, so ``(`` ``)`` wrappers
+can never collide with symbol content).
+
+Pre-tokenization is GPT-2-style class splitting
+(:func:`pre_tokenize`): runs of letters, runs of digits, and runs of
+other non-space characters are separate words — ``"table-1.0"``
+yields ``table`` ``-`` ``1`` ``.`` ``0`` — so punctuation never glues
+unrelated words into one vocabulary entry.
 
 Spark-first design, per round:
 
@@ -22,50 +38,92 @@ Spark-first design, per round:
 * lineage is truncated with ``localCheckpoint`` every
   ``checkpoint_every`` rounds (the ``graph.pagerank`` cadence pattern)
   so the plan does not grow linearly with rounds.
+
+Encoding has TWO implementations sharing one contract (the trained
+merges applied in training order, each as one leftmost-non-overlapping
+pass):
+
+* :func:`encode_with_merges` — pure-Catalyst ``aggregate`` folds, one
+  projection per merge.  Zero Python, but each fold references its
+  input ~6x, so the expression tree grows 6^N per collapsed projection
+  — fine at N<=8 with checkpoint barriers, structurally not a
+  32k-merge encoder.
+* :func:`encode_with_merge_ranks` — the vocab-scale path (VERDICT r5
+  task 2): ONE Arrow-batched pandas UDF pass over the DISTINCT-word
+  table holding the broadcast merge-rank dict.  Python is acceptable
+  here because the input is the VOCAB, not the corpus — the
+  corpus-sized token stream still pays only a hash join against the
+  encoded word table.  Cost per word is O(len^2) independent of the
+  merge count, so a production 32k-merge vocabulary is one flat pass.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "PRE_TOKEN_RE",
     "bpe_words",
     "corpus_word_stream",
+    "encode_with_merge_ranks",
     "encode_with_merges",
+    "pre_tokenize",
     "train_bpe_merges",
+    "word_syms",
 ]
+
+#: GPT-2-style pre-tokenization classes: letter runs, digit runs, and
+#: runs of any other non-space characters.  Identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB oracle replay) — both support
+#: the Unicode classes and both scope ``\s`` to ASCII whitespace.
+PRE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def pre_tokenize(text: Column) -> Column:
+    """Lowercase + class-split pre-tokenization: the array of
+    pre-tokens (letter runs / digit runs / punctuation runs) of one
+    text value.  ONE definition on purpose — trainer, encoder, packing
+    and the hashing-trick embeddings all tokenize through here, so a
+    rule drift between producer and consumer cannot happen silently."""
+    return F.regexp_extract_all(F.lower(text), F.lit(PRE_TOKEN_RE), 0)
 
 
 def corpus_word_stream(
     documents: DataFrame, text_col: str = "text", *carry_cols: str
 ) -> DataFrame:
-    """The corpus word stream feeding every BPE stage: lowercased
-    whitespace tokens, one row per occurrence, with any ``carry_cols``
-    (doc_id, lang, ...) riding along.  ONE definition on purpose — the
-    encode/pack entries inner-join this stream against the trained
-    word table, so a tokenization-rule drift between trainer and
-    consumer would silently drop tokens instead of failing."""
+    """The corpus word stream feeding every BPE stage: one row per
+    pre-token occurrence (:func:`pre_tokenize` rule), with any
+    ``carry_cols`` (doc_id, lang, ...) riding along."""
     return documents.select(
         *carry_cols,
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-        ).alias("w"),
+        F.explode(pre_tokenize(F.col(text_col))).alias("w"),
     )
 
 
 def bpe_words(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct-word frequency table for BPE training: lowercased
-    whitespace tokens restricted to pure ``[a-z]+`` (punctuation-bearing
-    tokens would need byte-level pre-tokenization, out of scope for the
-    word-level trainer).  Returns (w, freq)."""
-    # translate-empty check, not a regex: same [a-z]+ predicate with no
-    # per-token regex-engine cost on the corpus-sized stream
+    """Distinct-word frequency table for BPE training over the
+    byte-level pre-token universe — every pre-token participates
+    (punctuation and digit runs included; the byte-level symbol
+    representation means nothing is outside the vocabulary).
+    Returns (w, freq)."""
     return (
         corpus_word_stream(documents, text_col)
-        .filter(F.translate(F.col("w"), "abcdefghijklmnopqrstuvwxyz", "") == "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def word_syms(w: Column) -> Column:
+    """A word's base symbol array: uppercase hex pairs of its UTF-8
+    bytes (``'he,'`` -> ``['68','65','2C']``).  Matches the DuckDB
+    oracle's ``substr(hex(w), i*2-1, 2)`` split bit-for-bit (both
+    engines emit uppercase hex)."""
+    h = F.hex(F.encode(w, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / F.lit(2)).cast("int")),
+        lambda i: F.substring(h, (i * 2 - 1).cast("int"), 2),
     )
 
 
@@ -137,21 +195,17 @@ def train_bpe_merges(
     checkpoint_every: int = 4,
 ) -> DataFrame:
     """Run ``n_merges`` BPE rounds over a (word, freq) table; returns
-    the merges table (step, lhs, rhs, n) — ``n`` is the pair's
-    frequency-weighted count at selection time, tie-broken
-    deterministically by (n desc, lhs, rhs).  Stops early if the corpus
-    runs out of adjacent pairs.
+    the merges table (step, lhs, rhs, n) — lhs/rhs are hex byte-string
+    symbols, ``n`` is the pair's frequency-weighted count at selection
+    time, tie-broken deterministically by (n desc, lhs, rhs).  Stops
+    early if the corpus runs out of adjacent pairs.
 
     The returned DataFrame is built from the driver-side merge list
     (``n_merges`` rows, bounded by the argument)."""
     spark = words.sparkSession
-    w = F.col(word_col)
     state = words.select(
         F.col(freq_col).alias("freq"),
-        F.transform(
-            F.sequence(F.lit(1), F.length(w)),
-            lambda i: F.substring(w, i, 1),
-        ).alias("syms"),
+        word_syms(F.col(word_col)).alias("syms"),
     ).localCheckpoint()  # one corpus-pass materialization, reused 2N times
 
     # Size the loop's parallelism to the VOCAB, not the corpus: the
@@ -190,42 +244,12 @@ def train_bpe_merges(
     )
 
 
-def encode_with_merges(
-    words: DataFrame,
-    merges: list[tuple],
-    word_col: str = "w",
-    checkpoint_every: int = 2,
-    keep_syms: bool = False,
-) -> DataFrame:
-    """Apply an ORDERED merges list (the ``train_bpe_merges`` artifact,
-    collected — bounded by n_merges) to a word table: each word's
-    character sequence folds through the merges in training order, the
-    same leftmost non-overlapping rule as training.  Adds
-    ``n_subtokens`` (the word's encoded length) — join this against
-    the corpus word stream to tokenize at corpus scale while paying
-    the merge folds only once per DISTINCT word.
-
-    One projection per merge with a ``localCheckpoint`` plan barrier
-    every ``checkpoint_every`` merges: ``_apply_merge`` references its
-    input expression ~6 times, so chaining N folds into one collapsed
-    projection grows the expression tree 6^N-fold — 8 unbarriered
-    merges OOM'd the JVM at plan-build time (Catalyst's
-    CollapseProject inlines consecutive projections, so only a
-    materialization boundary actually bounds the nesting).
-
-    ``keep_syms=True`` additionally keeps the final symbol array as
-    ``syms`` (vocabulary-accounting consumers explode it)."""
-    w = F.col(word_col)
-    out = words.withColumn(
-        "__syms",
-        F.transform(
-            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
-        ),
-    )
+def _normalize_merges(merges: list[tuple]) -> list[tuple[str, str]]:
+    """Accept (step, lhs, rhs, n) rows or bare (lhs, rhs) pairs —
+    explicitly, so a 3-field tuple fails HERE with the shapes named
+    instead of as an opaque TypeError deep in the encoder."""
+    out: list[tuple[str, str]] = []
     for i, m in enumerate(merges):
-        # accept (step, lhs, rhs, n) rows or bare (lhs, rhs) pairs —
-        # explicitly, so a 3-field tuple fails HERE with the shapes
-        # named instead of as an opaque TypeError deep in the fold
         if len(m) >= 4:
             lhs, rhs = m[1], m[2]
         elif len(m) == 2:
@@ -240,9 +264,13 @@ def encode_with_merges(
                 f"merges[{i}]: lhs/rhs must be strings, got "
                 f"({type(lhs).__name__}, {type(rhs).__name__})"
             )
-        out = out.withColumn("__syms", _apply_merge(F.col("__syms"), lhs, rhs))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
-            out = out.localCheckpoint(eager=False)
+        out.append((lhs, rhs))
+    return out
+
+
+def _finish_encoded(
+    words: DataFrame, out: DataFrame, keep_syms: bool
+) -> DataFrame:
     out = out.withColumn("n_subtokens", F.size("__syms"))
     if keep_syms:
         if "syms" in words.columns:
@@ -252,3 +280,120 @@ def encode_with_merges(
             )
         return out.withColumnRenamed("__syms", "syms")
     return out.drop("__syms")
+
+
+def encode_with_merges(
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "w",
+    checkpoint_every: int = 2,
+    keep_syms: bool = False,
+) -> DataFrame:
+    """Apply an ORDERED merges list (the ``train_bpe_merges`` artifact,
+    collected — bounded by n_merges) to a word table: each word's
+    byte-symbol sequence folds through the merges in training order,
+    the same leftmost non-overlapping rule as training.  Adds
+    ``n_subtokens`` (the word's encoded length) — join this against
+    the corpus word stream to tokenize at corpus scale while paying
+    the merge folds only once per DISTINCT word.
+
+    This is the ZERO-PYTHON path, usable for small merge lists: one
+    projection per merge with a ``localCheckpoint`` plan barrier every
+    ``checkpoint_every`` merges (``_apply_merge`` references its input
+    expression ~6 times, so chaining N folds into one collapsed
+    projection grows the expression tree 6^N-fold — 8 unbarriered
+    merges OOM'd the JVM at plan-build time; Catalyst's
+    CollapseProject inlines consecutive projections, so only a
+    materialization boundary actually bounds the nesting).  For
+    production-sized vocabularies use :func:`encode_with_merge_ranks`.
+
+    ``keep_syms=True`` additionally keeps the final symbol array as
+    ``syms`` (vocabulary-accounting consumers explode it)."""
+    pairs = _normalize_merges(merges)
+    out = words.withColumn("__syms", word_syms(F.col(word_col)))
+    for i, (lhs, rhs) in enumerate(pairs):
+        out = out.withColumn("__syms", _apply_merge(F.col("__syms"), lhs, rhs))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(pairs):
+            out = out.localCheckpoint(eager=False)
+    return _finish_encoded(words, out, keep_syms)
+
+
+def encode_with_merge_ranks(
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "w",
+    keep_syms: bool = False,
+) -> DataFrame:
+    """The vocab-scale encoder: ONE Arrow-batched pandas-UDF pass over
+    the distinct-word table carrying the merge-rank dict as a Spark
+    broadcast.  Output contract is IDENTICAL to
+    :func:`encode_with_merges` (merges applied in training order, one
+    leftmost-non-overlapping pass each) — pinned by
+    ``tests/test_bpe.py``'s cross-encoder property law.
+
+    Algorithm (monotonic-rank loop): repeatedly find the
+    lowest-ranked pair currently adjacent in the word WITH rank >= the
+    last applied rank, and apply its single pass.  This is exactly the
+    sequential semantics: between the last applied rank and the chosen
+    one no present pair exists, and a merge pass over an absent pair
+    is a no-op — so skipping straight to the chosen rank replays the
+    sequential loop.  The plain min-rank loop (GPT-2's encoder) is NOT
+    used because two different merge paths can produce the same symbol
+    string, letting a later merge re-create an adjacency whose rank
+    already passed — the monotonic guard (plus per-pair rank LISTS for
+    re-learned pairs) keeps the pass order bit-equal to training.
+    Cost per word: O(len^2), independent of the merge count — a 32k
+    merge vocabulary is the same one flat pass as 8 merges.
+
+    Python is acceptable here because the input is the VOCAB, not the
+    corpus: the corpus-sized token stream never enters this function;
+    it pays only a broadcast/hash join against the encoded output.
+    """
+    from pyspark.sql import types as T
+
+    pairs = _normalize_merges(merges)
+    rank_lists: dict[tuple[str, str], list[int]] = {}
+    for k, p in enumerate(pairs):
+        rank_lists.setdefault(p, []).append(k)
+    bc = words.sparkSession.sparkContext.broadcast((pairs, rank_lists))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(col: pd.Series) -> pd.Series:
+        from bisect import bisect_left
+
+        bpairs, branks = bc.value
+
+        def one(w: str) -> list[str]:
+            h = w.encode("utf-8").hex().upper()
+            parts = [h[i : i + 2] for i in range(0, len(h), 2)]
+            last = 0
+            while len(parts) > 1:
+                best = None
+                for i in range(len(parts) - 1):
+                    rs = branks.get((parts[i], parts[i + 1]))
+                    if rs is None:
+                        continue
+                    j = bisect_left(rs, last)
+                    if j < len(rs) and (best is None or rs[j] < best):
+                        best = rs[j]
+                if best is None:
+                    break
+                left, right = bpairs[best]
+                merged = left + right
+                out: list[str] = []
+                i, n = 0, len(parts)
+                while i < n:
+                    if i + 1 < n and parts[i] == left and parts[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(parts[i])
+                        i += 1
+                parts = out
+                last = best + 1  # this merge's single pass is done
+            return parts
+
+        return col.map(one)
+
+    out = words.withColumn("__syms", _enc(F.col(word_col)))
+    return _finish_encoded(words, out, keep_syms)

@@ -1,5 +1,15 @@
-"""Battery extension, round 5: the tokenizer tier end to end, semantic
-dedup, and plan-level additions flagged by the round-4 review.
+"""Battery extension, round 5 (upgraded in round 6): the tokenizer
+tier end to end, semantic dedup, and plan-level additions flagged by
+the round-4 review.
+
+Round 6 (VERDICT r5 tasks 1-2): the whole BPE tier is now BYTE-LEVEL —
+GPT-2-style class-splitting pre-tokenization (letters/digits/punct
+runs, ``operators.bpe.PRE_TOKEN_RE``) with per-UTF-8-byte hex symbols,
+oracle-replayed through an escape-safe hex encoding; encoding runs
+through the vocab-scale merge-rank encoder (one Arrow pass over the
+distinct-word table, cost independent of merge count); and the
+``*_punct`` entries gate the tier over a deterministically punctuated
+corpus derivative (the driver testdata is pure ``[a-z ]``).
 
 * ``bpe_train_merges`` — the FULL BPE training loop (not just one
   candidate count): N rounds of pair-count -> argmax -> merge-apply
@@ -32,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators.bpe import PRE_TOKEN_RE
 from .queries import _t, query
 from .queries_scale import _cc_close_sql
 
@@ -42,19 +53,30 @@ from .queries_scale import _cc_close_sql
 _BPE_N_MERGES = 8
 
 
-def _bpe_rounds_ctes(n_merges: int) -> str:
-    """Unrolled non-recursive replay of the BPE training loop, through
-    CTEs ``m1..mN`` (per-round best pair) and ``s0..sN`` (per-round
-    word states; the word rides every state so encode-style consumers
-    can map word -> final symbol count).  Word state is the
-    parenthesis-wrapped symbol string
-    ``(h)(e)(l)(l)(o)``: adjacent-pair counting splits it back to a
-    symbol list, and applying merge (l, r) is one string
+def _bpe_rounds_ctes(n_merges: int, text_sql: str = "text") -> str:
+    """Unrolled non-recursive replay of the byte-level BPE training
+    loop, through CTEs ``m1..mN`` (per-round best pair) and
+    ``s0..sN`` (per-round word states; the word rides every state so
+    encode-style consumers can map word -> final symbol count).
+
+    Pre-tokenization is the shared class-splitting rule
+    (``operators.bpe.PRE_TOKEN_RE`` — letter / digit / punctuation
+    runs, identical in RE2 and Java regex).  Word state is the
+    parenthesis-wrapped HEX-SYMBOL string ``(68)(65)(6C)(6C)(6F)``
+    (per-UTF-8-byte, uppercase — DuckDB's ``hex()`` matches Spark's
+    bit-for-bit): adjacent-pair counting splits it back to a symbol
+    list, and applying merge (l, r) is one string
     ``replace('(l)(r)' -> '(lr)')`` — SQL replace scans left to right
     without overlap, which IS the BPE merge rule (the wrapping makes
-    occurrences share no characters, so "(a)(a)(a)" under merge (a,a)
-    correctly yields "(aa)(a)").  Symbols are [a-z]+ by construction
-    (``bpe_words`` filter), so '(' ')' '|' never collide."""
+    occurrences share no characters, so "(61)(61)(61)" under merge
+    (61,61) correctly yields "(6161)(61)").  Hex symbols are
+    ``[0-9A-F]+``, so the ``(`` ``)`` ``|`` delimiters can never
+    collide with symbol content — this is what lets the byte-level
+    trainer cover punctuation in the corpus itself.
+
+    ``text_sql`` is the corpus text expression (over ``documents``
+    columns) — the punctuated-derivative entries pass a transformed
+    expression here and the Spark side applies the same transform."""
     steps = []
     for k in range(1, n_merges + 1):
         steps.append(
@@ -82,37 +104,72 @@ def _bpe_rounds_ctes(n_merges: int) -> str:
       FROM s{k - 1} LEFT JOIN m{k} m ON TRUE),"""
         )
     return (
-        """
+        f"""
     WITH w0 AS MATERIALIZED (
       SELECT w, count(*) AS freq FROM (
-        SELECT unnest(list_filter(string_split(lower(text), ' '),
-                                  x -> x <> '')) AS w
+        SELECT unnest(regexp_extract_all(lower({text_sql}),
+                                         '{PRE_TOKEN_RE}')) AS w
         FROM documents)
-      WHERE regexp_full_match(w, '[a-z]+')
       GROUP BY w),
     s0 AS MATERIALIZED (
       SELECT w, freq,
-             '(' || array_to_string([w[i:i] FOR i IN range(1, len(w) + 1)],
-                                    ')(') || ')' AS st
+             '(' || array_to_string(
+                      [substr(hex(w), i*2-1, 2)
+                       FOR i IN range(1, len(hex(w))//2 + 1)],
+                      ')(') || ')' AS st
       FROM w0),"""
         + "".join(steps)[:-1]
+    )
+
+
+#: Deterministic punctuated-derivative corpus (VERDICT r5 task 1 "done"
+#: check: the byte-level trainer must be green over a slice containing
+#: punctuation and digits — the driver testdata is pure [a-z ], so the
+#: punct entries derive one, with the SAME transform on both sides):
+#: a '+-' punctuation run and a '19' digit run between every word pair
+#: plus a ' #<doc_id%97>!' suffix.  The inter-word runs are as frequent
+#: as the words themselves, so the ('2B','2D') and ('31','39') byte
+#: pairs WIN early merges — the trained table visibly contains
+#: punctuation and digit merges, not just letters (a transform whose
+#: punct stayed out of the top-8 would gate nothing).
+_PUNCT_TEXT_SQL = (
+    "replace(text, ' ', ' +-19 ') || ' #' || "
+    "CAST(doc_id % 97 AS VARCHAR) || '!'"
+)
+
+
+def _punct_documents(documents):
+    """The Spark twin of ``_PUNCT_TEXT_SQL``, applied to the documents
+    table's text column."""
+    return documents.withColumn(
+        "text",
+        F.concat(
+            F.expr("replace(text, ' ', ' +-19 ')"),
+            F.lit(" #"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("!"),
+        ),
     )
 
 
 _BPE_CACHE: dict = {}
 
 
-def _trained_merges(spark, sf_dir):
+def _trained_merges(spark, sf_dir, corpus: str = "plain"):
     """(checkpointed words DF, ordered merges list), cached per
-    (session, sf dir): every BPE entry shares ONE training run (same
-    pattern as the exact-pair reference cache in queries.py)."""
+    (session, sf dir, corpus tag): every BPE entry shares ONE training
+    run per corpus (same pattern as the exact-pair reference cache in
+    queries.py).  ``corpus='punct'`` trains over the deterministic
+    punctuated derivative (``_punct_documents``)."""
     from .operators.bpe import bpe_words, train_bpe_merges
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, corpus)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
         return hit
     (documents,) = _t(spark, sf_dir, "documents")
+    if corpus == "punct":
+        documents = _punct_documents(documents)
     words = bpe_words(documents).localCheckpoint(eager=False)
     merges = [
         (r["step"], r["lhs"], r["rhs"], r["n"])
@@ -127,32 +184,35 @@ def _trained_merges(spark, sf_dir):
 _BPE_ENC_CACHE: dict = {}
 
 
-def _encoded_words(spark, sf_dir):
+def _encoded_words(spark, sf_dir, corpus: str = "plain"):
     """Checkpointed (w, freq, syms, n_subtokens) table, built LAZILY on
     first use and shared by EVERY encode consumer (encode / pack /
-    vocab — projections are free off the checkpoint).  Kept out of
-    ``_trained_merges``: constructing the chained-fold encode plan
-    costs ~1-2s of driver-side expression building, which the train
-    entry (gate head) must not pay for a table it never reads."""
-    from .operators.bpe import encode_with_merges
+    vocab — projections are free off the checkpoint).  Round 6: runs
+    through the vocab-scale merge-rank encoder
+    (``operators/bpe.py::encode_with_merge_ranks`` — one Arrow pass
+    over the DISTINCT-word table, cost independent of merge count)
+    instead of the per-merge Catalyst fold chain; the fold path stays
+    available for zero-Python small-N use and the cross-encoder
+    equality law is pinned in tests/test_bpe.py."""
+    from .operators.bpe import encode_with_merge_ranks
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, corpus)
     enc = _BPE_ENC_CACHE.get(key)
     if enc is None:
-        words, merges = _trained_merges(spark, sf_dir)
-        enc = encode_with_merges(
+        words, merges = _trained_merges(spark, sf_dir, corpus)
+        enc = encode_with_merge_ranks(
             words, merges, keep_syms=True
         ).localCheckpoint(eager=False)
         _BPE_ENC_CACHE[key] = enc
     return enc
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
+def _bpe_train_oracle(n_merges: int, text_sql: str = "text") -> str:
     final = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, l AS lhs, r AS rhs, n FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return _bpe_rounds_ctes(n_merges) + "\n    " + final
+    return _bpe_rounds_ctes(n_merges, text_sql) + "\n    " + final
 
 
 @query(
@@ -255,29 +315,53 @@ def dedup_semantic_clusters(spark, sf_dir):
 
 @query("bpe_train_merges", _bpe_train_oracle(_BPE_N_MERGES))
 def bpe_train_merges(spark, sf_dir):
-    """Full BPE tokenizer training over the corpus word table
-    (``operators/bpe.py::train_bpe_merges``): 8 merge rounds, each one
-    narrow pair-count shuffle over DISTINCT words plus a driver argmax
-    of exactly one row, merge application as a JVM ``aggregate`` fold.
-    Output: the ordered merges table (step, lhs, rhs, n) — the actual
-    artifact a training pipeline consumes.  Shares one training run
-    with ``bpe_encode_corpus`` via ``_trained_merges``."""
+    """Full byte-level BPE tokenizer training over the corpus word
+    table (``operators/bpe.py::train_bpe_merges``): 8 merge rounds,
+    each one narrow pair-count shuffle over DISTINCT words plus a
+    driver argmax of exactly one row, merge application as a JVM
+    ``aggregate`` fold.  Symbols are per-UTF-8-byte hex strings
+    (uppercase), so the trainer covers any input byte and the oracle's
+    delimiter wrapping can never collide with symbol content.  Output:
+    the ordered merges table (step, lhs, rhs, n) — the actual artifact
+    a training pipeline consumes.  Shares one training run with
+    ``bpe_encode_corpus`` via ``_trained_merges``."""
     _, merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, n long"
     )
 
 
-@query(
-    "bpe_encode_corpus",
-    _bpe_rounds_ctes(_BPE_N_MERGES)
-    + f""",
+@query("bpe_train_punct", _bpe_train_oracle(_BPE_N_MERGES, _PUNCT_TEXT_SQL))
+def bpe_train_punct(spark, sf_dir):
+    """Byte-level BPE training over a corpus slice CONTAINING
+    punctuation and digits (the driver testdata is pure ``[a-z ]``, so
+    the entry derives one deterministically on both sides —
+    ``_PUNCT_TEXT_SQL`` / ``_punct_documents``).  Pre-tokenization
+    class-splits '+-19' into the punct run '+-' and digit run '19',
+    and '#42!' into [#, 42, !]; the hex-symbol representation gives
+    every punctuation byte a first-class vocabulary entry, and the
+    inter-word runs are frequent enough that punct/digit byte pairs
+    WIN early merges (the output table differs from the letters-only
+    corpus, so the gate actually differentiates).  This is the round-6
+    "done" gate for byte-level pre-tokenization: merges trained over
+    real punctuation/digit runs, hash-matched against the unrolled
+    DuckDB replay."""
+    _, merges = _trained_merges(spark, sf_dir, corpus="punct")
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, n long"
+    )
+
+
+def _bpe_encode_oracle(text_sql: str = "text") -> str:
+    return (
+        _bpe_rounds_ctes(_BPE_N_MERGES, text_sql)
+        + f""",
     enc AS MATERIALIZED (
       SELECT w, len(string_split(st[2:len(st)-1], ')(')) AS nsub
       FROM s{_BPE_N_MERGES}),
     tok AS (
-      SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
-                                      x -> x <> '')) AS w
+      SELECT lang, unnest(regexp_extract_all(lower({text_sql}),
+                                             '{PRE_TOKEN_RE}')) AS w
       FROM documents)
     SELECT lang, count(*) AS n_words,
            CAST(sum(nsub) AS BIGINT) AS n_subtokens,
@@ -285,22 +369,17 @@ def bpe_train_merges(spark, sf_dir):
              AS subtokens_per_word_ppm
     FROM tok JOIN enc USING (w)
     GROUP BY lang
-    """,
-)
-def bpe_encode_corpus(spark, sf_dir):
-    """The trained tokenizer APPLIED — the consumer side of
-    ``bpe_train_merges``: train the 8 merges, fold them through every
-    DISTINCT word once (``operators/bpe.py::encode_with_merges`` — the
-    merge folds never touch the corpus-sized token stream), then join
-    the encoded lengths back onto the corpus word stream for per-lang
-    token accounting (the number a training-data budget actually
-    needs).  Compression is reported as integer ppm so any engine
-    replays it exactly.  The inner join on the word table implicitly
-    keeps the same [a-z]+ universe the trainer saw."""
-    (documents,) = _t(spark, sf_dir, "documents")
+    """
+    )
+
+
+def _encode_corpus_accounting(spark, sf_dir, corpus: str):
     from .operators.bpe import corpus_word_stream
 
-    enc = _encoded_words(spark, sf_dir).select("w", "n_subtokens")
+    (documents,) = _t(spark, sf_dir, "documents")
+    if corpus == "punct":
+        documents = _punct_documents(documents)
+    enc = _encoded_words(spark, sf_dir, corpus).select("w", "n_subtokens")
     corpus_words = corpus_word_stream(documents, "text", "lang")
     return (
         corpus_words.join(enc, "w")
@@ -319,6 +398,33 @@ def bpe_encode_corpus(spark, sf_dir):
     )
 
 
+@query("bpe_encode_corpus", _bpe_encode_oracle())
+def bpe_encode_corpus(spark, sf_dir):
+    """The trained tokenizer APPLIED — the consumer side of
+    ``bpe_train_merges``: train the 8 merges, encode every DISTINCT
+    word once through the vocab-scale merge-rank encoder
+    (``operators/bpe.py::encode_with_merge_ranks`` — ONE Arrow pass
+    over the vocab, cost independent of merge count; the corpus-sized
+    token stream never sees the merges), then join the encoded lengths
+    back onto the corpus word stream for per-lang token accounting
+    (the number a training-data budget actually needs).  Compression
+    is reported as integer ppm so any engine replays it exactly.  The
+    byte-level pre-tokenizer means every token is in the trainer's
+    universe — the inner join drops nothing."""
+    return _encode_corpus_accounting(spark, sf_dir, "plain")
+
+
+@query("bpe_encode_punct", _bpe_encode_oracle(_PUNCT_TEXT_SQL))
+def bpe_encode_punct(spark, sf_dir):
+    """``bpe_encode_corpus`` over the punctuated-derivative corpus
+    (``bpe_train_punct``'s slice): proves the encode path — merge-rank
+    encoder plus corpus join — handles punctuation/digit pre-tokens
+    end to end under the oracle gate, not just in pytest.  Shares the
+    punct training run and encoded-word checkpoint via the session
+    caches."""
+    return _encode_corpus_accounting(spark, sf_dir, "punct")
+
+
 @query(
     "prep_pack_bpe_budget",
     _bpe_rounds_ctes(_BPE_N_MERGES)
@@ -328,8 +434,8 @@ def bpe_encode_corpus(spark, sf_dir):
       FROM s{_BPE_N_MERGES}),
     doc AS MATERIALIZED (
       SELECT doc_id, CAST(sum(nsub) AS BIGINT) AS tok FROM (
-        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                          x -> x <> '')) AS w
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                 '{PRE_TOKEN_RE}')) AS w
         FROM documents) JOIN enc USING (w)
       GROUP BY doc_id),
     c AS (
@@ -352,8 +458,9 @@ def prep_pack_bpe_budget(spark, sf_dir):
     window cumsum — no Python, no global sort).  This is
     ``prep_pack_contiguous`` with the whitespace token count replaced
     by the learned tokenizer's actual cost — the budget that matters
-    to a training run.  Documents with no [a-z]+ words have no
-    subtokens and drop out of the layout on both sides."""
+    to a training run.  Under the byte-level pre-tokenizer every
+    non-empty document has subtokens, so nothing drops out of the
+    layout."""
     from .operators.bpe import corpus_word_stream
     from .operators.prep import pack_sequences
 
@@ -380,7 +487,8 @@ def prep_pack_bpe_budget(spark, sf_dir):
     _bpe_rounds_ctes(_BPE_N_MERGES)
     + f""",
     base AS MATERIALIZED (
-      SELECT DISTINCT unnest([w[i:i] FOR i IN range(1, len(w) + 1)]) AS symbol
+      SELECT DISTINCT unnest([substr(hex(w), i*2-1, 2)
+                              FOR i IN range(1, len(hex(w))//2 + 1)]) AS symbol
       FROM w0),
     base_ids AS (
       SELECT symbol, 'base' AS kind,
@@ -412,11 +520,13 @@ def bpe_vocab_table(spark, sf_dir):
     (weighted by word frequency).  A merged symbol later consumed by a
     bigger merge keeps its id but shows the residual occurrence count
     — exactly what a tokenizer-coverage report needs.  All driver
-    materializations are bounded: <=26 base symbols, N merge rows —
-    so the whole vocab skeleton is built driver-side in ONE collect
-    (no global window, no second corpus-derived job) and only the
-    occurrence aggregation runs distributed, off the session's shared
-    encoded-word checkpoint."""
+    materializations are bounded: <=256 base byte symbols, N merge
+    rows — so the whole vocab skeleton is built driver-side in ONE
+    collect (no global window, no second corpus-derived job) and only
+    the occurrence aggregation runs distributed, off the session's
+    shared encoded-word checkpoint."""
+    from .operators.bpe import word_syms
+
     _, merges = _trained_merges(spark, sf_dir)
     enc = _encoded_words(spark, sf_dir)
     occ = (
@@ -426,16 +536,9 @@ def bpe_vocab_table(spark, sf_dir):
     )
     base_syms = sorted(
         r["symbol"]
-        for r in enc.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.substring("w", i, 1),
-                )
-            ).alias("symbol")
-        )
+        for r in enc.select(F.explode(word_syms(F.col("w"))).alias("symbol"))
         .distinct()
-        .collect()  # bounded: <= 26 alphabet characters
+        .collect()  # bounded: <= 256 byte values
     )
     vocab_rows = [(s, "base", i) for i, s in enumerate(base_syms)] + [
         (l + r, "merged", len(base_syms) + step - 1)
@@ -454,11 +557,11 @@ def bpe_vocab_table(spark, sf_dir):
 
 @query(
     "dedup_semantic_docs",
-    """
+    f"""
     WITH
     tok AS MATERIALIZED (
-      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                        x -> x <> '')) AS w
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                               '{PRE_TOKEN_RE}')) AS w
       FROM documents),
     hb AS (
       SELECT doc_id,

@@ -1,6 +1,9 @@
-"""BPE training-loop tests: the distributed trainer vs a sequential
-Python reference replay of the classic algorithm, plus the
-non-overlapping merge rule and determinism edge cases."""
+"""BPE training-loop tests: the distributed byte-level trainer vs a
+sequential Python reference replay of the classic algorithm, the
+non-overlapping merge rule, determinism edge cases, and the
+cross-encoder law (Catalyst fold chain == vocab-scale merge-rank
+encoder == sequential reference) including a 256-merge run the fold
+chain could never plan."""
 
 from __future__ import annotations
 
@@ -11,10 +14,18 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 
+def _hx(w: str) -> list[str]:
+    """A word's base symbols: uppercase hex pairs of its UTF-8 bytes —
+    the byte-level representation the trainer/encoder/oracle share."""
+    h = w.encode("utf-8").hex().upper()
+    return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+
 def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
     """Sequential textbook BPE on a word-frequency table: best pair by
-    (count desc, left, right), leftmost non-overlapping application."""
-    state = {w: [list(w), f] for w, f in word_freqs.items()}
+    (count desc, left, right), leftmost non-overlapping application,
+    over hex byte symbols."""
+    state = {w: [_hx(w), f] for w, f in word_freqs.items()}
     merges = []
     for step in range(1, n_merges + 1):
         counts: Counter = Counter()
@@ -43,8 +54,9 @@ def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
 
 def _reference_encode(word, merges):
     """Sequential leftmost-non-overlapping replay of an ordered merges
-    list over one word; returns the final symbol list."""
-    syms = list(word)
+    list over one word's hex byte symbols; returns the final symbol
+    list."""
+    syms = _hx(word)
     for m in merges:
         left, right = m[1], m[2]
         out, i = [], 0
@@ -79,6 +91,17 @@ def test_bpe_matches_reference_on_classic_corpus(spark):
     assert _train(spark, corpus, 6) == _reference_bpe(corpus, 6)
 
 
+def test_bpe_handles_punctuation_digits_and_utf8(spark):
+    """Byte-level means EVERY input has a symbol sequence: punctuation
+    runs, digit runs, and multi-byte UTF-8 (each byte a base symbol)
+    train exactly like letters."""
+    corpus = {"-1.0": 4, "#42!": 3, "naïve": 2, "::": 5}
+    got = _train(spark, corpus, 5)
+    assert got == _reference_bpe(corpus, 5)
+    # '::' is ('3A','3A') x5 — the strongest pair on this corpus
+    assert got[0][1:3] == ("3A", "3A")
+
+
 def test_bpe_nonoverlapping_merge_rule(spark):
     """'aaaa' under merge (a, a) must become [aa, aa] and 'aaa' must
     become [aa, a] — leftmost non-overlapping, never re-matching the
@@ -87,34 +110,43 @@ def test_bpe_nonoverlapping_merge_rule(spark):
     got = _train(spark, corpus, 2)
     ref = _reference_bpe(corpus, 2)
     assert got == ref
-    # step 1 pairs: (a,a) count 3*3 + 2*2 = 13
-    assert got[0] == (1, "a", "a", 13)
-    # after merge: aaaa->[aa,aa], aaa->[aa,a]; step 2 best is (aa,aa)=3
-    assert got[1] == (2, "aa", "aa", 3)
+    # step 1 pairs: (61,61) count 3*3 + 2*2 = 13
+    assert got[0] == (1, "61", "61", 13)
+    # after merge: aaaa->[6161,6161], aaa->[6161,61]; step 2 best is
+    # (6161,6161)=3
+    assert got[1] == (2, "6161", "6161", 3)
 
 
 def test_bpe_stops_when_pairs_exhausted(spark):
-    """Single-char vocab has no adjacent pairs: the loop stops early
+    """Single-byte vocab has no adjacent pairs: the loop stops early
     and returns an empty merges table with the right schema."""
     got = _train(spark, {"a": 5, "b": 3}, 4)
     assert got == []
 
 
 def test_bpe_tiebreak_is_lexicographic(spark):
-    """Equal counts break by (lhs, rhs) ascending, deterministically."""
+    """Equal counts break by (lhs, rhs) ascending, deterministically
+    — over hex symbols, so byte order."""
     corpus = {"zy": 2, "ab": 2}
     got = _train(spark, corpus, 1)
-    assert got == [(1, "a", "b", 2)]
+    assert got == [(1, "61", "62", 2)]
 
 
-def test_bpe_words_filters_non_alpha(spark):
+def test_pre_tokenize_class_splitting(spark):
+    """GPT-2-style pre-tokenization: letter runs, digit runs, and
+    punctuation runs are separate words; case folds; whitespace of any
+    kind separates.  Nothing is dropped — the byte-level universe has
+    no out-of-vocabulary input."""
     from spark_alchemy_spark.operators.bpe import bpe_words
 
     docs = spark.createDataFrame(
-        [Row(text="Hello world hello  WORLD 42 a-b (x)")]
+        [Row(text="Hello world hello  WORLD 42 a-b (x)\tnew\nline")]
     )
     got = {r["w"]: r["freq"] for r in bpe_words(docs).collect()}
-    assert got == {"hello": 2, "world": 2}
+    assert got == {
+        "hello": 2, "world": 2, "42": 1, "a": 1, "-": 1, "b": 1,
+        "(": 1, "x": 1, ")": 1, "new": 1, "line": 1,
+    }
 
 
 @pytest.mark.parametrize("checkpoint_every", [1, 2])
@@ -153,7 +185,60 @@ def test_encode_with_merges_matches_reference(spark):
         for r in encode_with_merges(df, merges).collect()
     }
     assert got == {w: len(_reference_encode(w, merges)) for w in corpus}
-    assert got["a"] == 1  # single-char word survives every fold
+    assert got["a"] == 1  # single-byte word survives every fold
+
+
+def test_encode_with_merge_ranks_matches_fold_encoder(spark):
+    """Cross-encoder law: the vocab-scale merge-rank encoder must
+    produce the SAME symbol arrays as the Catalyst fold chain and the
+    sequential reference — including punctuation/digit words."""
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merge_ranks,
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "-1.0": 4, "#42!": 3}
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    merges = [tuple(r) for r in train_bpe_merges(df, 6).orderBy("step").collect()]
+
+    fold = {
+        r["w"]: r["syms"]
+        for r in encode_with_merges(df, merges, keep_syms=True).collect()
+    }
+    rank = {
+        r["w"]: r["syms"]
+        for r in encode_with_merge_ranks(df, merges, keep_syms=True).collect()
+    }
+    ref = {w: _reference_encode(w, merges) for w in corpus}
+    assert rank == fold == ref
+
+
+def test_encode_with_merge_ranks_256_merges(spark):
+    """The vocab-scale contract: 256 trained merges — 16x past the
+    fold chain's documented ~8-merge plan ceiling — applied in ONE
+    Arrow pass, bit-equal to the sequential reference replay on every
+    word.  Merges are trained by the (fast) Python reference trainer;
+    the Spark side under test is the encoder."""
+    import random
+
+    from spark_alchemy_spark.operators.bpe import encode_with_merge_ranks
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijkl"
+    corpus = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12))): rng.randint(1, 50)
+        for _ in range(600)
+    }
+    merges = _reference_bpe(corpus, 256)
+    assert len(merges) >= 256  # the corpus actually admits 256 rounds
+
+    df = spark.createDataFrame([Row(w=w, freq=f) for w, f in corpus.items()])
+    got = {
+        r["w"]: r["syms"]
+        for r in encode_with_merge_ranks(df, merges, keep_syms=True).collect()
+    }
+    assert got == {w: _reference_encode(w, merges) for w in corpus}
 
 
 def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
@@ -168,7 +253,8 @@ def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
         _bpe_rounds_ctes,
     )
 
-    # 'ab' admits exactly ONE merge (a,b); rounds 2..8 find no pairs
+    # 'ab' admits exactly ONE merge (61,62); rounds 2..8 find no pairs
+    # ('x9' pre-tokenizes into the single-byte words 'x' and '9')
     docs = spark.createDataFrame(
         [(1, "en", "ab ab x9"), (2, "de", "ab b a")],
         "doc_id long, lang string, text string",
@@ -187,8 +273,8 @@ def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
     got = con.sql(oracle).fetchall()
-    # 'ab' -> [ab] (1), 'a' -> [a] (1), 'b' -> [b] (1); 'x9' filtered
-    assert got == [("a", 1), ("ab", 1), ("b", 1)]
+    # 'ab' -> [6162] (1); 'a','b','x','9' single-byte (1 each)
+    assert got == [("9", 1), ("a", 1), ("ab", 1), ("b", 1), ("x", 1)]
 
     from spark_alchemy_spark.operators.bpe import (
         bpe_words,
@@ -201,7 +287,7 @@ def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
         tuple(r)
         for r in train_bpe_merges(words, _BPE_N_MERGES).orderBy("step").collect()
     ]
-    assert len(merges) == 1  # early stop after the single merge
+    assert merges == [(1, "61", "62", 3)]  # early stop after one merge
     spark_side = {
         (r["w"], r["n_subtokens"])
         for r in encode_with_merges(words, merges).collect()
@@ -209,16 +295,20 @@ def test_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
     assert spark_side == set(got)
 
 
-def test_encode_with_merges_rejects_bad_shapes(spark):
+def test_encoders_reject_bad_merge_shapes(spark):
     from pyspark.sql import Row
 
-    from spark_alchemy_spark.operators.bpe import encode_with_merges
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merge_ranks,
+        encode_with_merges,
+    )
 
     df = spark.createDataFrame([Row(w="ab", freq=1)])
-    with pytest.raises(ValueError, match="expected"):
-        encode_with_merges(df, [(1, "a", "b")])  # 3-field tuple
-    with pytest.raises(ValueError, match="must be strings"):
-        encode_with_merges(df, [(1, 2)])
+    for enc in (encode_with_merges, encode_with_merge_ranks):
+        with pytest.raises(ValueError, match="expected"):
+            enc(df, [(1, "a", "b")])  # 3-field tuple
+        with pytest.raises(ValueError, match="must be strings"):
+            enc(df, [(1, 2)])
 
 
 from hypothesis import HealthCheck, given, settings
@@ -244,13 +334,15 @@ _hsettings = settings(
 def test_bpe_property_matches_reference(spark, corpus, n_merges):
     """Property law: on ANY word-frequency table the distributed
     trainer replays the sequential reference exactly — merges, counts,
-    tie-breaks, early stop — and the encoded lengths match the
-    reference replay.  A 3-letter alphabet with repeats forces heavy
-    pair ties and overlap (aaa/abab), the hard cases for the
-    leftmost-non-overlapping rule."""
+    tie-breaks, early stop — and BOTH encoders match the reference
+    replay.  A 3-letter alphabet with repeats forces heavy pair ties
+    and overlap (aaa/abab), the hard cases for the
+    leftmost-non-overlapping rule and for the rank encoder's
+    monotonic-rank equivalence to sequential order."""
     from pyspark.sql import Row
 
     from spark_alchemy_spark.operators.bpe import (
+        encode_with_merge_ranks,
         encode_with_merges,
         train_bpe_merges,
     )
@@ -262,15 +354,21 @@ def test_bpe_property_matches_reference(spark, corpus, n_merges):
     ref = _reference_bpe(corpus, n_merges)
     assert got == ref
 
-    enc = {
+    want = {w: len(_reference_encode(w, ref)) for w in corpus}
+    enc_fold = {
         r["w"]: r["n_subtokens"]
         for r in encode_with_merges(df, got).collect()
     }
-    assert enc == {w: len(_reference_encode(w, ref)) for w in corpus}
+    enc_rank = {
+        r["w"]: r["n_subtokens"]
+        for r in encode_with_merge_ranks(df, got).collect()
+    }
+    assert enc_fold == want
+    assert enc_rank == want
 
 
 def test_vocab_table_ids_and_occurrences(spark):
-    """Vocabulary artifact law: base symbols get alphabetical ids,
+    """Vocabulary artifact law: base symbols get byte-order ids,
     merged symbols continue in merge order, and occurrence counts are
     the frequency-weighted symbol counts of the fully encoded corpus."""
     from pyspark.sql import Row
@@ -305,9 +403,9 @@ def test_vocab_table_ids_and_occurrences(spark):
 
 def test_bpe_vocab_entry_id_convention(spark):
     """The vocab entry's id convention, pinned independently of the
-    oracle: base symbols get alphabetical ids 0..B-1, merged symbols
+    oracle: base symbols get byte-order ids 0..B-1, merged symbols
     continue B, B+1, ... in merge order, and every occurrence count is
-    non-negative with the top base symbols actually occurring."""
+    non-negative."""
     from spark_alchemy_spark.queries import QUERIES
     from spark_alchemy_spark.queries_r5 import _trained_merges
 
@@ -319,7 +417,7 @@ def test_bpe_vocab_entry_id_convention(spark):
     merged = sorted(
         (r["token_id"], r["symbol"]) for r in rows if r["kind"] == "merged"
     )
-    # base: contiguous ids from 0, symbols in alphabetical order
+    # base: contiguous ids from 0, symbols in byte order
     assert [i for i, _ in base] == list(range(len(base)))
     assert [sym for _, sym in base] == sorted(sym for _, sym in base)
     # merged: continue after base, in merge order, symbol = lhs+rhs

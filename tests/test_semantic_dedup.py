@@ -185,33 +185,67 @@ def test_probe_all_equals_kernel_property(spark, seed, n_vecs, dim, threshold, k
     assert delegated == bucketed
 
 
-def test_doc_hash_embeddings_match_python_replay(spark):
-    """The hashing-trick embedding must replay exactly in plain Python
-    (md5 bucket + ±1 sign per token, signed counts per bucket) — the
-    portability property the SQL oracle relies on."""
+def _ref_pretok(text: str) -> list[str]:
+    """Python replay of the shared pre-tokenization rule
+    (``operators.bpe.PRE_TOKEN_RE``): lowercase, then letter runs /
+    digit runs / other-non-space runs, splitting on ASCII whitespace
+    — category-based so it needs no regex engine at all."""
+    import unicodedata
+
+    def cls(ch):
+        if ch in " \t\n\x0b\f\r":
+            return None
+        cat = unicodedata.category(ch)
+        if cat.startswith("L"):
+            return "L"
+        if cat.startswith("N"):
+            return "N"
+        return "P"
+
+    out, cur, cur_cls = [], "", None
+    for ch in text.lower():
+        c = cls(ch)
+        if c != cur_cls or c is None:
+            if cur:
+                out.append(cur)
+            cur, cur_cls = ("", None) if c is None else (ch, c)
+        else:
+            cur += ch
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _ref_hash_embedding(text: str, dim: int) -> list[float]:
     import hashlib
 
+    vec = [0.0] * dim
+    for w in _ref_pretok(text):
+        h = hashlib.md5(w.encode()).hexdigest()
+        b = int(h[:4], 16) % dim
+        vec[b] += 1 if int(h[4], 16) % 2 == 0 else -1
+    return vec
+
+
+def test_doc_hash_embeddings_match_python_replay(spark):
+    """The hashing-trick embedding must replay exactly in plain Python
+    (shared pre-tokenization, md5 bucket + ±1 sign per token, signed
+    counts per bucket) — the portability property the SQL oracle
+    relies on.  'Hello, world!' now contributes ',' and '!' as
+    punctuation tokens (byte-level pre-tokenizer, round 6)."""
     from spark_alchemy_spark.operators.dedup import doc_hash_embeddings
 
     docs = spark.createDataFrame(
-        [(1, "Hello world hello"), (2, ""), (3, "a  b")],
+        [(1, "Hello, world! hello"), (2, ""), (3, "a  b-4")],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r["vec"] for r in doc_hash_embeddings(docs, dim=8).collect()}
 
-    def ref(text, dim=8):
-        vec = [0.0] * dim
-        for w in text.lower().split(" "):
-            if not w:
-                continue
-            h = hashlib.md5(w.encode()).hexdigest()
-            b = int(h[:4], 16) % dim
-            s = 1 if int(h[4], 16) % 2 == 0 else -1
-            vec[b] += s
-        return vec
-
-    assert got[1] == ref("Hello world hello")
-    assert got[3] == ref("a  b")
+    assert _ref_pretok("Hello, world! hello") == [
+        "hello", ",", "world", "!", "hello"
+    ]
+    assert got[1] == _ref_hash_embedding("Hello, world! hello", 8)
+    assert got[3] == _ref_hash_embedding("a  b-4", 8)
     assert 2 not in got  # zero-token doc has no embedding row
     assert all(len(v) == 8 for v in got.values())
 
@@ -241,18 +275,17 @@ def test_semantic_components_driver_guard_matches_distributed(spark):
 @_hsettings
 @given(
     texts=st.lists(
-        st.text(alphabet="ab c!X", min_size=0, max_size=20),
+        st.text(alphabet="ab c!X4.-", min_size=0, max_size=20),
         min_size=1,
         max_size=6,
     ),
     dim=st.sampled_from([4, 8]),
 )
 def test_doc_hash_embeddings_property(spark, texts, dim):
-    """Property law: for ANY text (mixed case, punctuation, repeated
-    spaces, empties) the hashing-trick embedding equals the Python
-    replay — the engine-portability contract the SQL oracle rests on."""
-    import hashlib
-
+    """Property law: for ANY text (mixed case, punctuation, digits,
+    repeated spaces, empties) the hashing-trick embedding equals the
+    Python replay of the shared pre-tokenization — the
+    engine-portability contract the SQL oracle rests on."""
     from spark_alchemy_spark.operators.dedup import doc_hash_embeddings
 
     docs = spark.createDataFrame(
@@ -264,15 +297,8 @@ def test_doc_hash_embeddings_property(spark, texts, dim):
     }
 
     for i, t in enumerate(texts):
-        vec = [0.0] * dim
-        any_tok = False
-        for w in t.lower().split(" "):
-            if not w:
-                continue
-            any_tok = True
-            h = hashlib.md5(w.encode()).hexdigest()
-            vec[int(h[:4], 16) % dim] += 1 if int(h[4], 16) % 2 == 0 else -1
-        if any_tok:
+        if _ref_pretok(t):
+            vec = _ref_hash_embedding(t, dim)
             assert got[i] == vec, (t, got[i], vec)
         else:
             assert i not in got
