@@ -84,10 +84,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the tokenizer tier's new flagship), graph_triangle_count ->
 #: dedup_semantic_clusters (graph stays covered by pagerank +
 #: dedup_cluster_components; semantic dedup is a new operator family).
+#: Round-6 rotation (VERDICT r5 task 7; swapped-out entries were
+#: driver-green in r5 and remain in the full sweep): the HLL family
+#: held SEVEN of 50 head slots — hll_row_merge_union ->
+#: dedup_semantic_docs (model-free semantic dedup now gated directly;
+#: row-merge stays covered by hll_sql_surface, which exercises the
+#: same fold) and hll_persist_roundtrip -> bpe_encode_corpus (the
+#: vocab-scale merge-rank encoder path; persist/re-read stays covered
+#: by source_jdbc_roundtrip's sketch store).
 _GATE_HEAD = [
-    "hll_init_agg_cardinality", "hll_merge_reaggregate", "hll_row_merge_union",
+    "hll_init_agg_cardinality", "hll_merge_reaggregate", "dedup_semantic_docs",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
-    "hll_sql_surface", "hll_persist_roundtrip", "theta_set_algebra_segments",
+    "hll_sql_surface", "bpe_encode_corpus", "theta_set_algebra_segments",
     "kll_quantiles_quantity", "cms_user_frequencies", "bitmap_exact_distinct_users",
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_region_revenue",
     "dedup_strip_shared_spans", "q18_large_volume_orders", "q21_waiting_suppliers",

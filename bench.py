@@ -85,6 +85,23 @@ def main():
             "noop"
         ).mode("overwrite").save()
 
+        # Session-shared reference caches (VERDICT r5 task 3b): the
+        # exact trigram-pair reference, the ANN exact top-10 + IVF
+        # centroid model, and the BPE training/encoding artifacts are
+        # shared across entries; building them lazily inside whichever
+        # entry ran FIRST made per-entry times depend on battery order
+        # (r5: ann_ivf_topk absorbed the centroid training).  Pre-build
+        # them here, untimed, so each timed entry measures its operator.
+        from spark_alchemy_spark import queries as Q
+        from spark_alchemy_spark import queries_r5 as QR5
+
+        Q._ngram_pairs_cached(spark, sf_dir).count()
+        Q._ivf_centroids_cached(spark, sf_dir).count()
+        Q._ann_exact_cached(spark, sf_dir).count()
+        for corpus in ("plain", "punct"):
+            QR5._trained_merges(spark, sf_dir, corpus)
+            QR5._encoded_words(spark, sf_dir, corpus).count()
+
         # Structured Streaming engine init (state-store provider, streaming
         # listener bus, memory-sink machinery) costs ~20-30s the FIRST time
         # a stateful stream starts in a session; warm it on a 64-row file

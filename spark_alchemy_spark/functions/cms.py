@@ -156,3 +156,67 @@ def sketch_guided_join(
     n_right = cms_total_count(skb)
     hinted = right.hint("broadcast" if n_right <= broadcast_rows else "merge")
     return left.join(hinted, on), est
+
+
+def cms_max_frequency(sketch_bytes: bytes) -> int:
+    """Upper-bound estimate of the HOTTEST key's frequency, from the
+    sketch alone — no key enumeration: for every hash row i,
+    ``max_j t[i][j] >= f(k)`` for every key k (k lands in one bucket
+    per row), so ``min_i max_j t[i][j] >= f_max``, and it exceeds
+    ``f_max`` by at most the usual eps*N collision mass.  This is the
+    skew-detection primitive: one KB-scale sketch of a join key
+    answers "does one key dominate this side" without a groupBy."""
+    _, _, _, _, table = decode_cms(bytes(sketch_bytes))
+    return min(max(row) for row in table)
+
+
+def sketch_planned_join(
+    left,
+    right,
+    on,
+    broadcast_rows: int = 10_000_000,
+    salt_above: int | None = None,
+    salt: int = 16,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+):
+    """:func:`sketch_guided_join` extended with the skew leg — the
+    full sketch -> plan -> mitigation loop: the two key sketches alone
+    choose among BROADCAST (right side fits every executor), SALTED
+    sort-merge (right is big AND the left side's hottest key
+    (:func:`cms_max_frequency`) exceeds ``salt_above`` — one reducer
+    would take the whole hot key), or plain sort-merge.  Broadcast
+    joins never need salting (no shuffle of the left side), so skew is
+    only consulted on the merge path; the salted leg delegates to
+    ``operators.skew.salted_join`` (semantics-preserving, right side
+    replicated ``salt`` ways, left never replicated).
+
+    Returns (joined, plan) where plan = {"strategy", "pair_estimate",
+    "n_right", "left_max_freq_est"} — everything the decision used,
+    for plan assertions and autotuning logs.  Planning cost is two
+    map-side-combinable sketch aggregates; neither input shuffles
+    before the choice."""
+    from ..operators.skew import salted_join
+
+    ska = left.agg(
+        count_min_sketch_agg(on, eps, confidence, seed).alias("s")
+    ).collect()[0]["s"]
+    skb = right.agg(
+        count_min_sketch_agg(on, eps, confidence, seed).alias("s")
+    ).collect()[0]["s"]
+    plan = {
+        "pair_estimate": cms_inner_product(ska, skb),
+        "n_right": cms_total_count(skb),
+        "left_max_freq_est": cms_max_frequency(ska),
+    }
+    if plan["n_right"] <= broadcast_rows:
+        plan["strategy"] = "broadcast"
+        joined = left.join(right.hint("broadcast"), on)
+    elif salt_above is not None and plan["left_max_freq_est"] > salt_above:
+        plan["strategy"] = "salted"
+        joined = salted_join(left, right.hint("merge"), on, salt=salt)
+    else:
+        plan["strategy"] = "merge"
+        joined = left.join(right.hint("merge"), on)
+    return joined, plan

@@ -584,6 +584,73 @@ def simhash_pairs(
     )
 
 
+def bitstring_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs among BITSTRING fingerprints ('0'/'1' character
+    strings — e.g. the image aHash of ``multimodal.ahash_bits``) with
+    Hamming distance <= ``max_hamming``.
+
+    Banded like :func:`simhash_pairs` (``n_bands`` equal substring
+    chunks; pigeonhole: any pair within Hamming ``n_bands - 1`` shares
+    a chunk, so the default 4x16 bands are COMPLETE for the default
+    radius 3), candidates verified with an exact character-diff count.
+    The caller should pass DISTINCT fingerprints with a representative
+    id (dedup machinery rides the fingerprint universe, which is
+    bounded by distinct imagery, not the corpus).  Returns (id_a,
+    id_b, hamming)."""
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is only complete for max_hamming <= {n_bands - 1} "
+            f"(got {max_hamming}); raise n_bands"
+        )
+    blen = n_bits // n_bands
+    fp = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    bands = F.array(
+        *[F.substring("__h", i * blen + 1, blen) for i in range(n_bands)]
+    )
+    banded = fp.select(
+        "__id", "__h", F.posexplode(bands).alias("__band", "__bkey")
+    ).repartition("__band", "__bkey")  # one reused exchange for the self-join
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bkey") == F.col("b.__bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_bits)),
+                lambda i: F.substring("__ha", i, 1) != F.substring("__hb", i, 1),
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
@@ -1087,34 +1154,26 @@ def semantic_dup_pairs(
     )
 
 
-def semantic_dedup_components(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    threshold: float,
-    driver_pair_limit: int = 50_000,
-    **pair_kwargs,
+def pairs_to_comp_map(
+    pairs: DataFrame, driver_pair_limit: int = 50_000
 ) -> DataFrame:
-    """Cluster-then-prune semantic dedup, collapsed transitively: the
-    ``semantic_dup_pairs`` graph closed into connected components,
-    keeping each component's minimum id as the canonical survivor.
-    Returns one row per duplicate component: (comp, n_members, min_id,
-    max_id, n_dropped) — singletons (vectors in no pair) are
-    implicitly kept and not reported.
+    """Close a duplicate-pair graph (id_a, id_b) into its connected
+    components; returns the (node, comp) label map, ``comp`` = the
+    component's minimum node id (the canonical survivor).  Only nodes
+    appearing in at least one pair are labeled.
 
-    Component closure follows the counted-guard discipline of
+    Follows the counted-guard discipline of
     ``curate.apply_near_dedup``: the pair list is COUNTED first, and
     only a measured-small list (<= ``driver_pair_limit``) is collapsed
     by driver union–find (a dup pair list is pair-bounded, typically
     thousands of edges even on a huge corpus); above the limit the
     distributed min-label propagation
     (``graph.connected_components``) runs instead — nothing unbounded
-    ever reaches the driver."""
+    ever reaches the driver.  Shared by the semantic, text, and image
+    (aHash) dedup families — ONE component machine across modalities."""
     from .graph import connected_components
 
-    pairs = semantic_dup_pairs(
-        df, id_col, vec_col, threshold, **pair_kwargs
-    ).localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False)
     n_pairs = pairs.count()
     if 0 < n_pairs <= driver_pair_limit:
         parent: dict = {}
@@ -1130,17 +1189,40 @@ def semantic_dedup_components(
             if ra != rb:  # min root wins
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        comps = df.sparkSession.createDataFrame(
+        return pairs.sparkSession.createDataFrame(
             [(x, find(x)) for x in parent], "node long, comp long"
         )
-    else:
-        comps = connected_components(pairs, "id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b")
+
+
+def component_report(comps: DataFrame) -> DataFrame:
+    """(node, comp) label map -> one row per duplicate component:
+    (comp, n_members, min_id, max_id, n_dropped)."""
     return comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_id"),
         F.max("node").alias("max_id"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+def semantic_dedup_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    driver_pair_limit: int = 50_000,
+    **pair_kwargs,
+) -> DataFrame:
+    """Cluster-then-prune semantic dedup, collapsed transitively: the
+    ``semantic_dup_pairs`` graph closed into connected components
+    (:func:`pairs_to_comp_map` — counted driver guard with distributed
+    fallback), keeping each component's minimum id as the canonical
+    survivor.  Returns one row per duplicate component: (comp,
+    n_members, min_id, max_id, n_dropped) — singletons (vectors in no
+    pair) are implicitly kept and not reported."""
+    pairs = semantic_dup_pairs(df, id_col, vec_col, threshold, **pair_kwargs)
+    return component_report(pairs_to_comp_map(pairs, driver_pair_limit))
 
 
 def doc_hash_embeddings(

@@ -614,3 +614,8 @@ def dedup_semantic_docs(spark, sf_dir):
         embeds, "doc_id", "vec", threshold=0.95,
         n_centroids=16, nprobe=16, seed=42,
     )
+
+
+# Round-6 extension (selective semantic dedup, streaming ingest dedup,
+# multimodal components, CMS skew planner) registers on import.
+from . import queries_r6  # noqa: E402,F401  (registration side effect)

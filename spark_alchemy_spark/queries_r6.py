@@ -1,0 +1,382 @@
+"""Battery extension, round 6: the VERDICT-r5 task list — selective
+semantic dedup under a planted-recall gate, semantic dedup AT INGEST
+(streaming), the unified multimodal component collapse, and the CMS
+sketch -> plan -> skew-mitigation loop.
+
+* ``dedup_semantic_selective`` — the production SELECTIVE-nprobe path
+  of ``semantic_dup_pairs`` gated by planted duplicates whose recall
+  the oracle knows exactly: identical-vector plants (same centroid
+  scores bit-for-bit => same clusters => recall structurally 100%) and
+  scale-invariant 1.001x plants (cosine-identical direction), with the
+  no-cartesian plan asserted inside the entry.
+* ``stream_semantic_dedup`` — hashing-trick embedding + centroid
+  assignment + within-cluster cosine against a STATIC standing index
+  inside ``foreachBatch`` (stateless: zero state-store rows), held to
+  an exact relational oracle at probe-all.
+* ``media_dedup_components`` — image aHash near-dup pairs (banded
+  Hamming over DISTINCT fingerprints) routed through the SAME guarded
+  component collapse as the text/semantic families
+  (``dedup.pairs_to_comp_map``): one canonical-survivor report across
+  modalities.
+* ``plan_cms_skew_salting`` — ``sketch_planned_join``: the left key
+  sketch's max-frequency estimate (no groupBy, no key enumeration)
+  flips the physical plan to the salted join when one key dominates,
+  closing the sketch -> plan -> skew loop; both the decision and the
+  salted shuffle key are plan-asserted.
+
+Same determinism conventions as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.bpe import PRE_TOKEN_RE
+from .queries import _t, query
+from .queries_scale import _cc_close_sql
+
+# ---------------------------------------------------------------------------
+# Selective-nprobe semantic dedup under a planted-recall oracle
+# ---------------------------------------------------------------------------
+
+_PLANT_A = 10_000_000  # identical-vector plants: base_id + _PLANT_A
+_PLANT_B = 20_000_000  # 1.001x-scaled plants:    base_id + _PLANT_B
+
+
+@query(
+    "dedup_semantic_selective",
+    """
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_planted,
+           CAST(1000000 AS BIGINT) AS exact_recall_ppm,
+           TRUE AS scaled_recall_ok,
+           TRUE AS plan_ok
+    FROM embeddings
+    WHERE vec_id % 20 = 0
+      AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0)) > 0
+    """,
+)
+def dedup_semantic_selective(spark, sf_dir):
+    """The SELECTIVE cluster-pruned semantic-dedup path (nprobe <
+    n_centroids — the configuration a 100 TB corpus actually runs),
+    gated by planted duplicates whose recall the oracle knows exactly
+    (VERDICT r5 task 4; the probe-all battery entries provably reduce
+    to the exact kernel, so they never exercise this path).
+
+    Every 20th vector is planted twice: an IDENTICAL copy (centroid
+    scores equal bit-for-bit => same top-1 cluster => the candidate
+    pair is generated at ANY nprobe => recall is structurally 100%,
+    robust to testdata regeneration) and a 1.001x-SCALED copy
+    (cosine-identical direction; float ranking slack absorbed by
+    nprobe=2 and the >=99% threshold).  Found pairs are restricted to
+    the planted (base, base+offset) ids, so natural duplicates —
+    real but not oracle-replayable at selective nprobe — never enter
+    the comparison.  ``plan_ok`` asserts the scale contract on the
+    EXECUTED plan: no cartesian product, and the only nested-loop
+    joins are the two centroid-broadcast scoring stages."""
+    from .operators.dedup import _as_double, semantic_dup_pairs
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    )
+    base = vecs.filter(
+        (F.col("vec_id") % 20 == 0) & F.exists("embedding", lambda x: x != 0)
+    ).localCheckpoint(eager=False)  # reused: two plants + the count
+    plant_a = base.select(
+        (F.col("vec_id") + F.lit(_PLANT_A)).alias("vec_id"), "embedding"
+    )
+    plant_b = base.select(
+        (F.col("vec_id") + F.lit(_PLANT_B)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = vecs.unionByName(plant_a).unionByName(plant_b)
+    pairs = semantic_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95,
+        n_centroids=16, nprobe=2, seed=42,
+    ).localCheckpoint(eager=False)
+    pairs.count()  # materialize so the audited plan is the executed one
+    plan = (
+        pairs._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    plan_ok = (
+        "CartesianProduct" not in plan
+        and plan.count("BroadcastNestedLoopJoin") <= 2
+    )
+    planted = pairs.filter(
+        (F.col("id_a") < _PLANT_A)
+        & (F.col("id_a") % 20 == 0)
+        & (F.col("id_b") - F.col("id_a")).isin(_PLANT_A, _PLANT_B)
+    )
+    n_base = base.count()
+    n_a = planted.filter(F.col("id_b") - F.col("id_a") == _PLANT_A).count()
+    n_b = planted.filter(F.col("id_b") - F.col("id_a") == _PLANT_B).count()
+    return spark.createDataFrame(
+        [
+            (
+                2 * n_base,
+                n_a * 1_000_000 // n_base if n_base else 0,
+                (n_b * 1_000_000 // n_base if n_base else 0) >= 990_000,
+                plan_ok,
+            )
+        ],
+        "n_planted long, exact_recall_ppm long, "
+        "scaled_recall_ok boolean, plan_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic dedup at ingest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_semantic_dedup",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                               '{PRE_TOKEN_RE}')) AS w
+      FROM documents),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 32 AS b,
+             CASE WHEN CAST(('0x' || substr(md5(w), 5, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok),
+    agg AS MATERIALIZED (
+      SELECT doc_id, b, CAST(sum(s) AS DOUBLE) AS v
+      FROM hb GROUP BY doc_id, b),
+    nrm AS MATERIALIZED (
+      SELECT doc_id, sqrt(sum(v*v)) AS n FROM agg GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS ia, s.doc_id AS ist, sum(a.v * s.v) AS dot
+      FROM agg a JOIN agg s ON a.b = s.b
+      WHERE a.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+      GROUP BY 1, 2),
+    dup AS MATERIALIZED (
+      SELECT DISTINCT ia
+      FROM dots JOIN nrm x ON x.doc_id = ia JOIN nrm y ON y.doc_id = ist
+      WHERE x.n > 0 AND y.n > 0 AND round(dot / (x.n * y.n), 4) >= 0.95),
+    arr AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
+    SELECT lang, count(*) AS n_arrived,
+           CAST(sum(CASE WHEN dup.ia IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*)
+                - sum(CASE WHEN dup.ia IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_survived
+    FROM arr LEFT JOIN dup ON dup.ia = arr.doc_id
+    GROUP BY lang
+    """,
+)
+def stream_semantic_dedup(spark, sf_dir):
+    """Semantic dedup AT INGEST (VERDICT r5 task 5): odd-id documents
+    stand in for today's crawl and arrive as a file stream; each
+    micro-batch is embedded (hashing-trick, the model-free tier),
+    centroid-assigned, candidate-joined against the STATIC even-id
+    standing index on the cluster id, and verified by exact cosine —
+    all inside ``foreachBatch``
+    (``streaming.semantic_dedup_at_ingest``), so the query is
+    STATELESS: zero state-store rows regardless of stream length
+    (asserted in tests/test_streaming_multimodal.py).  Per-language
+    arrival/drop totals are replay-order free.  Runs at probe-all so
+    the oracle can replay the cosine RELATIONALLY (bucket equi-join
+    dot product); the selective-nprobe production path is gated by
+    ``dedup_semantic_selective``."""
+    from .streaming import read_table_stream, semantic_dedup_at_ingest
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    standing = documents.filter(F.col("doc_id") % 2 == 0)
+    arrivals = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return semantic_dedup_at_ingest(
+        arrivals, standing, dim=32, threshold=0.95, n_centroids=8, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unified multimodal dedup: aHash pairs through the component collapse
+# ---------------------------------------------------------------------------
+
+_MOTIF_MOD = 200
+
+
+def _media_bits_sql() -> str:
+    """DuckDB replay of the synth image's aHash bits per distinct
+    motif (the closed form of ``multimodal.synth_image_udf`` at 8x8,
+    offset = (doc_id % {mod}) * 17 — same construction as the
+    ``media_phash_near_dup`` oracle)."""
+    return f"""
+    docm AS MATERIALIZED (
+      SELECT doc_id, doc_id % {_MOTIF_MOD} AS m FROM documents),
+    px AS (
+      SELECT m, [ ((m * 17 + 3 * j + 0) % 256)
+                + ((m * 17 + 3 * j + 1) % 256)
+                + ((m * 17 + 3 * j + 2) % 256) FOR j IN range(0, 64) ] AS s3
+      FROM (SELECT DISTINCT m FROM docm)),
+    h AS MATERIALIZED (
+      SELECT m, array_to_string(
+               [CASE WHEN 64 * s3[j + 1] > list_aggregate(s3, 'sum')
+                     THEN '1' ELSE '0' END FOR j IN range(0, 64)], '') AS hs
+      FROM px)"""
+
+
+@query(
+    "media_dedup_components",
+    f"""
+    WITH
+    {_media_bits_sql()},
+    dochash AS MATERIALIZED (
+      SELECT d.doc_id, h.hs FROM docm d JOIN h USING (m)),
+    hrep AS MATERIALIZED (
+      SELECT hs, min(doc_id) AS rep FROM dochash GROUP BY hs),
+    pairs AS MATERIALIZED (
+      SELECT a.rep AS id_a, b.rep AS id_b
+      FROM hrep a JOIN hrep b ON a.rep < b.rep
+      WHERE len(list_filter([a.hs[j:j] <> b.hs[j:j] FOR j IN range(1, 65)],
+                            x -> x)) <= 3),"""
+    + _cc_close_sql()
+    + """,
+    repcomp AS (
+      SELECT r.rep, coalesce(c.comp, r.rep) AS comp
+      FROM hrep r LEFT JOIN comp c ON c.node = r.rep)
+    SELECT comp, count(*) AS n_members, min(doc_id) AS min_id,
+           max(doc_id) AS max_id, count(*) - 1 AS n_dropped
+    FROM dochash JOIN hrep USING (hs) JOIN repcomp USING (rep)
+    GROUP BY comp HAVING count(*) > 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM bad WHERE n > 0
+    """,
+)
+def media_dedup_components(spark, sf_dir):
+    """Multimodal dedup unified with the text/semantic machinery
+    (VERDICT r5 task 6): deterministic SYNTH images (one per document,
+    ``doc_id % 200`` motifs at stride 17 — the mod-256 pixel wrap
+    collapses the 200 motifs onto ~74 distinct fingerprints whose
+    Hamming-3 graph closes into a handful of multi-motif components,
+    so components genuinely span id classes) are aHash-fingerprinted,
+    near-dup pairs found by banded
+    Hamming <= 3 (``dedup.bitstring_hamming_pairs`` — pigeonhole-
+    complete at 4x16 bands) over the DISTINCT fingerprints (bounded by
+    distinct imagery, never corpus-sized — the corpus only pays the
+    fingerprint groupBy and the final expansion join), and the pair
+    graph collapsed through the SAME guarded component machine as
+    semantic/text dedup (``dedup.pairs_to_comp_map``), yielding one
+    canonical-survivor report: (comp, n_members, min_id, max_id,
+    n_dropped) per duplicate-image group."""
+    from .multimodal import ahash_bits, synth_image_udf
+    from .operators.dedup import bitstring_hamming_pairs, pairs_to_comp_map
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    imgs = documents.select(
+        "doc_id",
+        synth_image_udf()(
+            (F.col("doc_id") % _MOTIF_MOD) * 17, F.lit(8), F.lit(8)
+        ).alias("data"),
+    )
+    hashes = ahash_bits(imgs, "data", "doc_id")
+    reps = (
+        hashes.groupBy("ahash")
+        .agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint(eager=False)  # distinct imagery: motif-bounded
+    )
+    hp = bitstring_hamming_pairs(reps, "rep", "ahash", max_hamming=3)
+    comp_map = pairs_to_comp_map(hp.select("id_a", "id_b")).withColumnRenamed(
+        "node", "rep"
+    )
+    doc_comp = (
+        hashes.join(reps, "ahash")
+        .join(comp_map, "rep", "left")
+        .select("doc_id", F.coalesce("comp", F.col("rep")).alias("comp"))
+    )
+    return (
+        doc_comp.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS sketch -> plan -> skew mitigation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "plan_cms_skew_salting",
+    """
+    WITH s AS (SELECT s_suppkey AS k FROM supplier)
+    SELECT 'skewed_salted' AS join_case,
+           (SELECT count(*) FROM (
+              SELECT CASE WHEN l_suppkey % 3 = 0 THEN 1
+                          ELSE l_suppkey END AS k
+              FROM lineitem) l JOIN s USING (k)) AS n_rows,
+           'salted' AS strategy, TRUE AS plan_ok
+    UNION ALL
+    SELECT 'uniform_merge',
+           (SELECT count(*) FROM lineitem JOIN s ON l_suppkey = k),
+           'merge', TRUE
+    """,
+)
+def plan_cms_skew_salting(spark, sf_dir):
+    """The sketch -> plan -> skew-mitigation loop closed (VERDICT r5
+    task 8): ``functions/cms.py::sketch_planned_join`` reads the LEFT
+    key sketch's max-frequency estimate (``cms_max_frequency`` — an
+    upper bound from the sketch table alone, no groupBy, no key
+    enumeration) and, when one key holds more than a fifth of the
+    table, flips the merge join to the salted join the skew tier
+    already implements (``operators/skew.py``).  Planted hot key:
+    every ``l_suppkey % 3 = 0`` row remapped to supplier 1 (~a third
+    of lineitem on one key — one reducer's worth of garbage without
+    salting).  ``plan_ok`` asserts BOTH the decision and the physical
+    evidence: the skewed case must sort-merge on a ``__salt``-extended
+    key, the uniform control must sort-merge WITHOUT salt; join row
+    counts prove the salted join is semantics-preserving."""
+    from .functions.cms import sketch_planned_join
+
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    n_left = lineitem.count()
+    right = supplier.select(F.col("s_suppkey").alias("k"))
+    skewed = lineitem.select(
+        F.when(F.col("l_suppkey") % 3 == 0, 1)
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        "l_orderkey",  # salt hashes row content: must vary within a key
+        "l_linenumber",
+    )
+    j1, p1 = sketch_planned_join(
+        skewed, right, "k", broadcast_rows=1, salt_above=n_left // 5
+    )
+    n1 = j1.count()
+    plan1 = j1._jdf.queryExecution().executedPlan().toString()
+    ok1 = (
+        p1["strategy"] == "salted"
+        and "__salt" in plan1
+        and "SortMergeJoin" in plan1
+    )
+    uniform = lineitem.select(
+        F.col("l_suppkey").alias("k"), "l_orderkey", "l_linenumber"
+    )
+    j2, p2 = sketch_planned_join(
+        uniform, right, "k", broadcast_rows=1, salt_above=n_left // 5
+    )
+    n2 = j2.count()
+    plan2 = j2._jdf.queryExecution().executedPlan().toString()
+    ok2 = (
+        p2["strategy"] == "merge"
+        and "__salt" not in plan2
+        and "SortMergeJoin" in plan2
+    )
+    return spark.createDataFrame(
+        [
+            ("skewed_salted", n1, p1["strategy"], ok1),
+            ("uniform_merge", n2, p2["strategy"], ok2),
+        ],
+        "join_case string, n_rows long, strategy string, plan_ok boolean",
+    )

@@ -30,27 +30,41 @@ from .queries_ext import _sink_name
 def _cc_close_sql(k_rounds=12):
     """Non-recursive connected-components closure: given an
     already-defined CTE ``pairs(id_a, id_b)``, emit the CTEs that close
-    it into components by ``k_rounds`` unrolled min-label propagation
-    steps, plus ONE extra canary round.  Recursive CTEs are banned from
-    oracles (driver-box DuckDB recursion semantics drifted across
-    versions, round-3 red); a fixed unroll uses only joins + GROUP BY.
-    ``bad`` counts labels still moving after round ``k_rounds`` — the
-    caller appends a poison row when ``n > 0`` so an under-unrolled
-    oracle flips the gate loudly instead of silently mislabeling
-    (near-dup components are tiny; eccentricity beyond 12 would take a
-    13-hop duplicate chain).  MATERIALIZED is load-bearing: each round
-    references the previous twice, and inlining would double the plan
-    per round (2^13 leaf scans blew the driver-box fd limit)."""
+    it into components by ``k_rounds`` unrolled rounds of min-label
+    propagation WITH pointer jumping, plus ONE extra canary round.
+    Recursive CTEs are banned from oracles (driver-box DuckDB recursion
+    semantics drifted across versions, round-3 red); a fixed unroll
+    uses only joins + GROUP BY.
+
+    Each round relaxes over edges (1-hop label spread) AND inherits the
+    label of the current label-node (pointer jump — labels are node
+    ids, so ``l(v) := min(l(v), l(l(v)))``).  Hook+jump halves label
+    distances per round, so 12 rounds close components of diameter in
+    the thousands — this matters for chain-shaped near-dup graphs
+    (e.g. ``media_dedup_components``: sequentially-offset motifs form
+    long Hamming chains), where pure 1-hop propagation would need a
+    round per hop.  The fixpoint (every node labeled with its
+    component's min id) is identical to plain propagation, so adding
+    the jump changed no converged oracle's output.  ``bad`` counts
+    labels still moving after round ``k_rounds`` — the caller appends
+    a poison row when ``n > 0`` so an under-unrolled oracle flips the
+    gate loudly instead of silently mislabeling.  MATERIALIZED is
+    load-bearing: each round references the previous several times,
+    and inlining would grow the plan exponentially (2^13 leaf scans
+    blew the driver-box fd limit)."""
     rounds = []
     prev = "l0"
     for i in range(1, k_rounds + 2):
         rounds.append(
             f"""
     l{i} AS MATERIALIZED (
-      SELECT e.a AS node, min(least(la.lbl, lb.lbl)) AS lbl
-      FROM edges e JOIN {prev} la ON la.node = e.a
-                   JOIN {prev} lb ON lb.node = e.b
-      GROUP BY e.a),"""
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT e.a AS node, least(la.lbl, lb.lbl) AS lbl
+        FROM edges e JOIN {prev} la ON la.node = e.a
+                     JOIN {prev} lb ON lb.node = e.b
+        UNION ALL
+        SELECT x.node, y.lbl FROM {prev} x JOIN {prev} y ON y.node = x.lbl
+      ) relax GROUP BY node),"""
         )
         prev = f"l{i}"
     return (

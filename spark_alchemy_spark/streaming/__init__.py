@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import hll
 
@@ -311,3 +312,136 @@ def incremental_sketch_store(
         q.awaitTermination()
     finally:
         spark.conf.set(conf_key, old)
+
+
+def semantic_dedup_at_ingest(
+    arrivals: DataFrame,
+    standing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    dim: int = 32,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    nprobe: int | None = None,
+    seed: int = 42,
+    state_partitions: int = 8,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Semantic dedup AT INGEST: newly-landing documents (a stream)
+    are checked against a STATIC standing index by hashing-trick
+    embedding + centroid assignment + within-cluster exact cosine —
+    the shape a 100 TB ingest pipeline runs (VERDICT r5 task 5),
+    composed from the batch tier's own pieces
+    (``dedup.doc_hash_embeddings``, ``similarity.train_ivf_centroids``).
+
+    Mechanics: the standing index is built ONCE batch-side — embed,
+    assign each vector its top-1 cluster, checkpoint the skinny
+    (cluster, id, vec) table.  Each micro-batch then runs inside
+    ``foreachBatch`` (STATELESS — no state store, state rows are zero
+    by construction; the test suite asserts it): embed the batch,
+    assign each arrival its ``nprobe`` nearest clusters against the
+    broadcast centroids, candidate-join the standing index on the
+    cluster id, verify by exact cosine ``>= threshold``, and count
+    arrivals/drops per language.  Per-batch driver collection is
+    bounded by the LANGUAGE cardinality (a handful of rows), never by
+    batch size.
+
+    ``nprobe`` defaults to ``n_centroids`` (probe-all): the candidate
+    set provably covers every (arrival, standing) pair, which is what
+    lets the battery entry hold this stream to an exact relational
+    oracle — same contract as ``semantic_dup_pairs``.  Production runs
+    selective ``nprobe``; that path's recall is gated by the planted
+    ``dedup_semantic_selective`` entry and the pytest recall law.
+
+    Returns the per-language totals (lang, n_arrived, n_dropped,
+    n_survived) aggregated across batches — replay-order free."""
+    from ..operators.dedup import cosine_similarity, doc_hash_embeddings
+    from ..operators.similarity import train_ivf_centroids
+
+    spark = standing_docs.sparkSession
+    nprobe = n_centroids if nprobe is None else nprobe
+
+    emb = doc_hash_embeddings(standing_docs, id_col, text_col, dim=dim)
+    cents = train_ivf_centroids(
+        emb, "vec", n_centroids=n_centroids, seed=seed
+    ).localCheckpoint(eager=False)
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), "__list")
+    index = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "__list",
+            F.col(id_col).alias("__sid"),
+            F.col("vec").alias("__svec"),
+        )
+        .localCheckpoint(eager=False)  # skinny (cluster, id, vec), reused per batch
+    )
+
+    results: list[tuple] = []  # bounded: n_langs rows per micro-batch
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select(id_col, lang_col, text_col).localCheckpoint(
+            eager=False
+        )
+        bemb = doc_hash_embeddings(batch_df, id_col, text_col, dim=dim)
+        bsc = bemb.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
+        )
+        bassign = (
+            bsc.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= nprobe)
+            .select(F.col(id_col), "vec", "__list")
+        )
+        dup_ids = (
+            bassign.join(index, "__list")
+            .filter(F.col(id_col) != F.col("__sid"))
+            .withColumn(
+                "__cos",
+                F.round(cosine_similarity(F.col("vec"), F.col("__svec")), 4),
+            )
+            .filter(F.col("__cos") >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        flagged = batch_df.join(
+            dup_ids.withColumn("__dup", F.lit(1)), id_col, "left"
+        )
+        for r in (
+            flagged.groupBy(lang_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_arrived"),
+                F.count("__dup").alias("n_dropped"),
+            )
+            .collect()  # bounded: language cardinality
+        ):
+            results.append((r[lang_col], r["n_arrived"], r["n_dropped"]))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            arrivals.writeStream.foreachBatch(dedup_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        spark.conf.set(conf_key, old)
+
+    out = spark.createDataFrame(
+        results, f"{lang_col} string, n_arrived long, n_dropped long"
+    )
+    return out.groupBy(lang_col).agg(
+        F.sum("n_arrived").alias("n_arrived"),
+        F.sum("n_dropped").alias("n_dropped"),
+        (F.sum("n_arrived") - F.sum("n_dropped")).alias("n_survived"),
+    )
