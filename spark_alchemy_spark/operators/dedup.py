@@ -755,6 +755,80 @@ def _all_pairs_cosine_blocked(
     )
 
 
+def _cross_pairs_cosine_blocked(
+    a: DataFrame, b: DataFrame, threshold: float, blocks: int = 4
+) -> DataFrame:
+    """Exact CROSS-SET cosine >= threshold between two vector sets
+    (columns ``__id``, ``__v`` on both sides) — the two-input twin of
+    :func:`_all_pairs_cosine_blocked`, built for the streaming ingest
+    verify where every micro-batch scores against a standing index.
+    Each side is hashed into ``blocks`` blocks; an A-row replicates to
+    the ``blocks`` groups of its row (factor blocks), a B-row to the
+    ``blocks`` groups of its column, and each of the blocks² groups
+    computes its |A_i| x |B_j| similarities as ONE BLAS matmul in an
+    Arrow-batched applyInPandas — no row-at-a-time pair join exists in
+    the plan.  Shuffled volume is (|A| + |B|) * blocks compact vector
+    rows; at 100 TB the standing side is the big one, so ``blocks``
+    bounds its replication factor while every group stays matmul-sized.
+    Returns (id_a, id_b, cos) with the same JVM-side HALF_UP round /
+    threshold contract (and the same half-rounding-step pre-filter
+    slack) as the all-pairs kernel."""
+    import numpy as np
+    import pandas as pd
+
+    def tag(df: DataFrame, side: int) -> DataFrame:
+        blk = F.pmod(F.xxhash64("__id"), F.lit(blocks)).cast("int")
+        grp_ids = (
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda k: blk * blocks + k,
+            )
+            if side == 0
+            else F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda k: k * blocks + blk,
+            )
+        )
+        return df.select(
+            "__id", "__v", F.lit(side).alias("__side"),
+            F.explode(grp_ids).alias("__grp"),
+        )
+
+    tagged = tag(a, 0).unionByName(tag(b, 1))
+
+    def cross_sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["__side"].to_numpy()
+        ia, ib = np.where(sides == 0)[0], np.where(sides == 1)[0]
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0  # zero-norm: no defined cosine (expression
+        norms[~nz] = 1.0      # path yields NULL -> threshold-filtered)
+        m = m / norms
+        sims = m[ia][nz[ia]] @ m[ib][nz[ib]].T
+        a_ids = np.repeat(ids[ia][nz[ia]], sims.shape[1])
+        b_ids = np.tile(ids[ib][nz[ib]], sims.shape[0])
+        cos = sims.ravel()
+        # pre-filter slack > half the 4dp rounding step (see the
+        # all-pairs kernel note: a raw cos of threshold - 5e-5 still
+        # rounds UP into the kept set)
+        keep = cos >= threshold - 5.1e-5
+        return pd.DataFrame(
+            {"id_a": a_ids[keep], "id_b": b_ids[keep], "__cos": cos[keep]}
+        )
+
+    out = tagged.groupBy("__grp").applyInPandas(
+        cross_sim, "id_a long, id_b long, __cos double"
+    )
+    return (
+        out.withColumn("cos", F.round("__cos", 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

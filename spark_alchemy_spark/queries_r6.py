@@ -24,6 +24,19 @@ sketch -> plan -> skew-mitigation loop.
   closing the sketch -> plan -> skew loop; both the decision and the
   salted shuffle key are plan-asserted.
 
+Plus the distributed model-fitting tier (``operators/probe.py`` — the
+quality-classifier loop of a curation pipeline, fit/evaluate/gate):
+
+* ``quality_linear_probe`` — OLS via exact-integer normal equations in
+  ONE aggregate pass, Cramer-solved on the driver, ppm-pinned.
+* ``quality_probe_auc`` — tie-exact Mann-Whitney AUC of the probe's
+  score, per-distinct-score histogram (no per-pair work).
+* ``quality_probe_calibration`` — per-feature-band mean label vs mean
+  prediction, integer ppm.
+* ``prep_probe_gated_sample`` — deterministic md5-uniform sampling
+  whose keep-rate is gated by the probe's score band (the
+  quality-weighted downsampling shape of FineWeb/DCLM-style curation).
+
 Same determinism conventions as queries.py.
 """
 
@@ -379,4 +392,271 @@ def plan_cms_skew_salting(spark, sf_dir):
             ("uniform_merge", n2, p2["strategy"], ok2),
         ],
         "join_case string, n_rows long, strategy string, plan_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed model fitting: linear probe -> AUC -> calibration -> gate
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTEs: integer features over documents, one-pass moment
+#: sums (HUGEINT — determinant products reach ~1e31), Cramer's rule
+#: with the sign factored out BEFORE the division so truncation
+#: toward zero matches Spark's exact-int driver solve bit-for-bit.
+#: (sign via (a<0)<>(b<0), never a*b — the product would overflow.)
+_PROBE_COEF_SQL = """
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS x1,
+             len(list_filter(string_split(text, ' '),
+                             w -> len(w) >= 5)) AS x2
+      FROM documents WHERE text IS NOT NULL),
+    sums AS MATERIALIZED (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(n_chars) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
+      FROM feats),
+    dets AS MATERIALIZED (
+      SELECT
+        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+          + s2*(s1*s12 - s11*s2) AS d,
+        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+          + s2*(s1y*s12 - s11*s2y) AS d0,
+        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+          + s2*(s1*s2y - s1y*s2) AS d1,
+        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+          + sy*(s1*s12 - s11*s2) AS d2
+      FROM sums),
+    coef AS MATERIALIZED (
+      SELECT
+        CAST((SELECT n FROM sums) AS BIGINT) AS n_rows,
+        CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
+        CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
+        CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+      FROM dets)
+"""
+
+_PROBE_CACHE: dict = {}
+
+
+def _probe_feats(documents):
+    words = F.split(F.col("text"), " ")
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).alias("x1"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 5)).alias("x2"),
+    )
+
+
+def _probe_coeffs(spark, sf_dir):
+    """Session-shared fit (one aggregate pass + exact driver Cramer):
+    the probe's three ppm coefficients, reused by the AUC /
+    calibration / gated-sample consumers exactly like the BPE and
+    IVF-centroid caches."""
+    from .operators.probe import fit_linear_probe_ppm
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    (documents,) = _t(spark, sf_dir, "documents")
+    res = fit_linear_probe_ppm(
+        _probe_feats(documents), ["x1", "x2"], "n_chars"
+    )
+    _PROBE_CACHE[key] = (res["n"], res["coeffs_ppm"])
+    return _PROBE_CACHE[key]
+
+
+@query(
+    "quality_linear_probe",
+    f"""
+    WITH {_PROBE_COEF_SQL}
+    SELECT n_rows, b0_ppm, b1_ppm, b2_ppm FROM coef
+    """,
+)
+def quality_linear_probe(spark, sf_dir):
+    """Distributed closed-form model fitting: y = n_chars regressed on
+    (word count, long-word count) via the normal equations — the
+    sufficient statistics are SIX moment sums computed in ONE
+    map-side-combinable aggregate over the corpus (the only
+    distributed work; at 100 TB it shuffles d^2 longs per partition
+    and nothing else), then Cramer's rule in EXACT Python integer
+    arithmetic on the driver, coefficients pinned to integer ppm with
+    the sign factored out of the truncating division so DuckDB's
+    HUGEINT replay is bit-for-bit identical.  The label here is a
+    deterministic derivative so the oracle can replay it; a real
+    quality probe plugs annotation labels into the same machinery
+    (``operators/probe.py::fit_linear_probe_ppm``)."""
+    n, (b0, b1, b2) = _probe_coeffs(spark, sf_dir)
+    return spark.createDataFrame(
+        [(n, b0, b1, b2)],
+        "n_rows long, b0_ppm long, b1_ppm long, b2_ppm long",
+    )
+
+
+@query(
+    "quality_probe_auc",
+    f"""
+    WITH {_PROBE_COEF_SQL},
+    scored AS (
+      SELECT b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2 AS s,
+             CASE WHEN f.n_chars >= 250 THEN 1 ELSE 0 END AS pos
+      FROM feats f CROSS JOIN coef),
+    g AS MATERIALIZED (
+      SELECT s, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS np
+      FROM scored GROUP BY s),
+    c AS (
+      SELECT cnt, np,
+             coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(cnt) - sum(np) AS BIGINT) AS n_neg,
+           CAST((sum(np * (2 * cum + cnt + 1)) - sum(np) * (sum(np) + 1))
+                * 1000000
+                // (2 * sum(np) * (sum(cnt) - sum(np))) AS BIGINT) AS auc_ppm
+    FROM c
+    """,
+)
+def quality_probe_auc(spark, sf_dir):
+    """The probe EVALUATED: tie-exact Mann-Whitney AUC of the fitted
+    score against the binary label "long document" (n_chars >= 250).
+    The scoring pass is pure codegen (three broadcast literals); the
+    AUC is computed over the per-DISTINCT-SCORE histogram — one
+    groupBy, one cumulative window over distinct scores, one final
+    aggregate; NEVER a per-pair join (the naive formulation is
+    O(n_pos * n_neg) — corpus-squared at scale).  Average-rank tie
+    handling doubled into integer space keeps every intermediate
+    exact (``operators/probe.py::rank_auc_ppm``)."""
+    from .operators.probe import probe_score_ppm, rank_auc_ppm
+
+    _, coeffs = _probe_coeffs(spark, sf_dir)
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = _probe_feats(documents).select(
+        probe_score_ppm(coeffs, ["x1", "x2"]).alias("s"),
+        (F.col("n_chars") >= 250).cast("int").alias("pos"),
+    )
+    return rank_auc_ppm(scored, "s", "pos")
+
+
+@query(
+    "quality_probe_calibration",
+    f"""
+    WITH {_PROBE_COEF_SQL}
+    SELECT CAST(f.x1 // 16 AS BIGINT) AS band,
+           count(*) AS n_docs,
+           CAST(sum(f.n_chars) * 1000000 // count(*) AS BIGINT)
+             AS mean_chars_ppm,
+           CAST(sum(b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2) // count(*)
+                AS BIGINT) AS mean_pred_ppm
+    FROM feats f CROSS JOIN coef
+    GROUP BY 1
+    """,
+)
+def quality_probe_calibration(spark, sf_dir):
+    """Calibration of the fitted probe: per word-count band (x1 DIV
+    16), the mean observed label vs the mean prediction, both in
+    integer ppm — the reliability-diagram aggregate a quality gate is
+    monitored with.  One groupBy over the scored corpus; predictions
+    stay in exact ppm integers end to end, so a drifting fit shows up
+    as an exact, engine-replayable per-band gap."""
+    _, coeffs = _probe_coeffs(spark, sf_dir)
+    from .operators.probe import probe_score_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    f = _probe_feats(documents).select(
+        "x1", "n_chars", probe_score_ppm(coeffs, ["x1", "x2"]).alias("s")
+    )
+    return (
+        f.groupBy(F.expr("x1 DIV 16").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(sum(n_chars) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("mean_chars_ppm"),
+            F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias(
+                "mean_pred_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "prep_probe_gated_sample",
+    f"""
+    WITH {_PROBE_COEF_SQL},
+    gated AS (
+      SELECT f.doc_id, f.n_chars,
+             CASE WHEN b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2
+                       < 200 * 1000000 THEN 'short'
+                  WHEN b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2
+                       < 350 * 1000000 THEN 'mid'
+                  ELSE 'long' END AS band,
+             CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS u
+      FROM feats f CROSS JOIN coef)
+    SELECT band, count(*) AS n_docs,
+           CAST(sum(CASE WHEN u < CASE band WHEN 'short' THEN 250000
+                                            WHEN 'mid' THEN 500000
+                                            ELSE 1000000 END
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN u < CASE band WHEN 'short' THEN 250000
+                                            WHEN 'mid' THEN 500000
+                                            ELSE 1000000 END
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM gated GROUP BY band
+    """,
+)
+def prep_probe_gated_sample(spark, sf_dir):
+    """The probe GATING the corpus — quality-weighted downsampling
+    (the FineWeb/DCLM curation shape): the fitted score bands each
+    document (predicted-short docs keep 25%, mid 50%, long 100%), and
+    the keep decision is a DETERMINISTIC md5-uniform draw per doc_id
+    (replayable in any engine via the hex-prefix trick), so the
+    sampled corpus is reproducible across runs, engines, and
+    re-partitioning — no RNG state, no seed plumbing.  Map-only over
+    the corpus (three broadcast literals + one hash per row), one
+    groupBy for the report."""
+    _, coeffs = _probe_coeffs(spark, sf_dir)
+    from .operators.probe import probe_score_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    s = probe_score_ppm(coeffs, ["x1", "x2"])
+    band = (
+        F.when(s < 200 * 1_000_000, "short")
+        .when(s < 350 * 1_000_000, "mid")
+        .otherwise("long")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    keep_ppm = (
+        F.when(F.col("band") == "short", 250_000)
+        .when(F.col("band") == "mid", 500_000)
+        .otherwise(1_000_000)
+    )
+    g = _probe_feats(documents).select(
+        "doc_id", "n_chars", band.alias("band"), u.alias("u")
+    )
+    kept = F.col("u") < keep_ppm
+    return g.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
     )

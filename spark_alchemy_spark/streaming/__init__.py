@@ -327,6 +327,7 @@ def semantic_dedup_at_ingest(
     seed: int = 42,
     state_partitions: int = 8,
     progress_out: list | None = None,
+    _force_join_verify: bool = False,
 ) -> DataFrame:
     """Semantic dedup AT INGEST: newly-landing documents (a stream)
     are checked against a STATIC standing index by hashing-trick
@@ -390,25 +391,48 @@ def semantic_dedup_at_ingest(
             eager=False
         )
         bemb = doc_hash_embeddings(batch_df, id_col, text_col, dim=dim)
-        bsc = bemb.crossJoin(F.broadcast(cents)).withColumn(
-            "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
-        )
-        bassign = (
-            bsc.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= nprobe)
-            .select(F.col(id_col), "vec", "__list")
-        )
-        dup_ids = (
-            bassign.join(index, "__list")
-            .filter(F.col(id_col) != F.col("__sid"))
-            .withColumn(
-                "__cos",
-                F.round(cosine_similarity(F.col("vec"), F.col("__svec")), 4),
+        if nprobe >= n_centroids and not _force_join_verify:
+            # probe-all: the candidate set is provably every (arrival,
+            # standing) pair, so delegate the verify to the blocked
+            # cross-set BLAS kernel — same delegation rule as
+            # semantic_dup_pairs; the per-pair HOF fold is quadratic
+            # row-at-a-time work the kernel does as blocks² matmuls
+            from ..operators.dedup import _cross_pairs_cosine_blocked
+
+            pairs = _cross_pairs_cosine_blocked(
+                bemb.select(F.col(id_col).alias("__id"), F.col("vec").alias("__v")),
+                index.select(
+                    F.col("__sid").alias("__id"), F.col("__svec").alias("__v")
+                ),
+                threshold,
             )
-            .filter(F.col("__cos") >= threshold)
-            .select(id_col)
-            .distinct()
-        )
+            dup_ids = (
+                pairs.filter(F.col("id_a") != F.col("id_b"))
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+        else:
+            bsc = bemb.crossJoin(F.broadcast(cents)).withColumn(
+                "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
+            )
+            bassign = (
+                bsc.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= nprobe)
+                .select(F.col(id_col), "vec", "__list")
+            )
+            dup_ids = (
+                bassign.join(index, "__list")
+                .filter(F.col(id_col) != F.col("__sid"))
+                .withColumn(
+                    "__cos",
+                    F.round(
+                        cosine_similarity(F.col("vec"), F.col("__svec")), 4
+                    ),
+                )
+                .filter(F.col("__cos") >= threshold)
+                .select(id_col)
+                .distinct()
+            )
         flagged = batch_df.join(
             dup_ids.withColumn("__dup", F.lit(1)), id_col, "left"
         )

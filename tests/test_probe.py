@@ -1,0 +1,181 @@
+"""Distributed model-fitting tier (operators/probe.py): exact-integer
+OLS recovery, determinant correctness, tie-exact rank AUC vs a
+brute-force pair count, and the codegen contract of the scoring pass."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+
+def _perm_det(m):
+    """Leibniz-formula determinant (independent reference)."""
+    n = len(m)
+    total = 0
+    for perm in itertools.permutations(range(n)):
+        sign = 1
+        seen = list(perm)
+        # parity via inversion count
+        inv = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if seen[i] > seen[j]
+        )
+        sign = -1 if inv % 2 else 1
+        prod = 1
+        for i in range(n):
+            prod *= m[i][perm[i]]
+        total += sign * prod
+    return total
+
+
+def test_exact_int_det_matches_leibniz():
+    from spark_alchemy_spark.operators.probe import exact_int_det
+
+    rng = random.Random(11)
+    for n in (1, 2, 3, 4):
+        for _ in range(5):
+            m = [
+                [rng.randint(-9, 9) for _ in range(n)] for _ in range(n)
+            ]
+            assert exact_int_det(m) == _perm_det(m)
+
+
+def test_fit_recovers_planted_integer_relation(spark):
+    """y = 7 + 3*x1 + 2*x2 over a nondegenerate integer grid: the
+    exact-integer Cramer solve must return the coefficients EXACTLY
+    (ppm-pinned integers, zero residual system)."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 + 2 * x2)
+        for x1 in range(0, 20)
+        for x2 in range(0, 7)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    assert res["n"] == len(rows)
+    assert res["coeffs_ppm"] == [7_000_000, 3_000_000, 2_000_000]
+
+
+def test_fit_truncates_toward_zero_like_the_oracle(spark):
+    """A system whose solution is NOT an exact ppm multiple: the pin
+    must truncate toward zero, matching the CASE-sign HUGEINT form
+    (checked against Fraction arithmetic)."""
+    from spark_alchemy_spark.operators.probe import (
+        exact_int_det,
+        fit_linear_probe_ppm,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (
+            x1 := rng.randint(0, 50),
+            x2 := rng.randint(0, 30),
+            rng.randint(0, 400) + 2 * x1 - 3 * x2,
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    # reference: exact rational solve + trunc-toward-zero ppm
+    n = len(rows)
+    s1 = sum(r[0] for r in rows)
+    s2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows)
+    s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows)
+    s2y = sum(r[1] * r[2] for r in rows)
+    a = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    d = exact_int_det(a)
+    for k in range(3):
+        mk = [
+            [b[r] if c == k else a[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+        frac = Fraction(exact_int_det(mk), d) * 1_000_000
+        want = int(frac)  # int() on Fraction truncates toward zero
+        assert res["coeffs_ppm"][k] == want
+
+
+def _brute_auc_ppm(scores, labels):
+    """O(n^2) pair-count AUC with half-credit ties, exact rational,
+    ppm-truncated — the definitional reference."""
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    num = 0
+    for p in pos:
+        for q in neg:
+            num += 2 if p > q else (1 if p == q else 0)
+    return int(Fraction(num, 2 * len(pos) * len(neg)) * 1_000_000)
+
+
+def test_rank_auc_matches_brute_force_with_ties(spark):
+    from spark_alchemy_spark.operators.probe import rank_auc_ppm
+
+    rng = random.Random(5)
+    scores = [rng.randint(0, 8) for _ in range(120)]  # heavy ties
+    labels = [1 if rng.random() < (s + 1) / 10 else 0 for s in scores]
+    if sum(labels) in (0, len(labels)):  # degenerate guard
+        labels[0] = 1 - labels[0]
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "s int, pos int"
+    )
+    got = rank_auc_ppm(df, "s", "pos").collect()[0]
+    assert got["n_pos"] == sum(labels)
+    assert got["n_neg"] == len(labels) - sum(labels)
+    assert got["auc_ppm"] == _brute_auc_ppm(scores, labels)
+
+
+def test_rank_auc_perfect_and_random_extremes(spark):
+    from spark_alchemy_spark.operators.probe import rank_auc_ppm
+
+    # perfect separation -> exactly 1.0
+    df = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], "s int, pos int"
+    )
+    assert rank_auc_ppm(df, "s", "pos").collect()[0]["auc_ppm"] == 1_000_000
+    # constant score -> all ties -> exactly 0.5
+    df2 = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "s int, pos int"
+    )
+    assert rank_auc_ppm(df2, "s", "pos").collect()[0]["auc_ppm"] == 500_000
+
+
+def test_probe_score_is_codegen_only(spark):
+    """Scoring is the hot path over the full corpus: the plan must
+    contain no Python evaluation (broadcast-literal arithmetic only)."""
+    from spark_alchemy_spark.operators.probe import probe_score_ppm
+
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "x1 int, x2 int"
+    )
+    scored = df.select(
+        probe_score_ppm([1_000_000, 2_000_000, 3_000_000], ["x1", "x2"])
+        .alias("s")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["s"] for r in scored.collect()}
+    assert 1_000_000 + 2_000_000 * 3 + 3_000_000 * 6 in got
+
+
+def test_probe_sums_single_aggregate(spark):
+    """The fit's distributed work is ONE aggregate: the sums plan has
+    exactly one shuffle (partial + final HashAggregate)."""
+    from spark_alchemy_spark.operators.probe import linear_probe_sums
+
+    df = spark.createDataFrame(
+        [(i % 13, i % 7, i % 29) for i in range(500)],
+        "x1 int, x2 int, y int",
+    )
+    sums = linear_probe_sums(df, ["x1", "x2"], "y")
+    plan = sums._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1

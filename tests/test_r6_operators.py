@@ -193,3 +193,80 @@ def test_selective_recall_entry_laws(spark):
     assert r["exact_recall_ppm"] == 1_000_000
     assert r["scaled_recall_ok"] and r["plan_ok"]
     assert r["n_planted"] > 0 and r["n_planted"] % 2 == 0
+
+
+def test_cross_pairs_kernel_matches_hof_pairs(spark):
+    """The cross-set blocked BLAS kernel (streaming verify's probe-all
+    delegate) must emit EXACTLY the pairs the row-at-a-time HOF cosine
+    path emits — same rounding contract, same zero-norm handling."""
+    import random
+
+    from spark_alchemy_spark.operators.dedup import (
+        _cross_pairs_cosine_blocked,
+        cosine_similarity,
+    )
+
+    rng = random.Random(13)
+    mk = lambda n, off: [
+        (off + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)
+    ]
+    a_rows = mk(40, 0) + [(90, [0.0] * 8)]  # zero-norm row: must drop
+    b_rows = mk(35, 1000) + [(1090, [0.0] * 8)]
+    # plant exact duplicates across the sets so matches exist at 0.95
+    for k in range(5):
+        b_rows[k] = (1000 + k, list(a_rows[k][1]))
+    a = spark.createDataFrame(a_rows, "__id long, __v array<double>")
+    b = spark.createDataFrame(b_rows, "__id long, __v array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in _cross_pairs_cosine_blocked(a, b, 0.9).collect()
+    }
+    # zero-norm rows have no defined cosine: the kernel must drop them
+    assert not any(90 in p[:2] or 1090 in p[:2] for p in got)
+    nz = F.exists("__v", lambda x: x != 0)  # ANSI: reference path must
+    want = {                                # not divide by zero norms
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in (
+            a.filter(nz).alias("x")
+            .crossJoin(b.filter(nz).alias("y"))
+            .select(
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                F.round(
+                    cosine_similarity(F.col("x.__v"), F.col("y.__v")), 4
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.9)
+            .collect()
+        )
+    }
+    assert got == want and len(want) >= 5
+
+
+def test_stream_semantic_dedup_kernel_equals_join_path(spark, tmp_path):
+    """At probe-all the streaming verify delegates to the cross-set
+    kernel; forcing the candidate-join path must give the identical
+    per-language report (the delegation is a pure execution-strategy
+    swap, never a semantics change)."""
+    from spark_alchemy_spark.streaming import semantic_dedup_at_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    d = tmp_path / "arr"
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d))
+
+    def run(force):
+        arrivals = spark.readStream.schema(docs.schema).parquet(str(d))
+        return {
+            tuple(r)
+            for r in semantic_dedup_at_ingest(
+                arrivals, standing, dim=32, threshold=0.95,
+                n_centroids=8, seed=42, _force_join_verify=force,
+            ).collect()
+        }
+
+    kernel, join = run(False), run(True)
+    assert kernel == join and kernel
