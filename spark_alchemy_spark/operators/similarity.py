@@ -664,6 +664,172 @@ def append_ivf_index(
     }
 
 
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    split_ratio: float = 2.0,
+    sub_iters: int = 4,
+    seed: int = 42,
+) -> dict:
+    """REBALANCE a persisted IVF index: split every list that has
+    grown past ``split_ratio`` x the mean list size into two sublists
+    — the third leg of the index lifecycle (build once →
+    :func:`append_ivf_index` per batch → rebalance when appends skew).
+    A hot list hurts twice at scale: every probe that touches it scans
+    its whole partition, and drift-driven appends concentrate there —
+    splitting restores the ~n/n_centroids scan bound without the full
+    rebuild a retrain implies.
+
+    Mechanics, sized so the standing COLD lists are never touched:
+
+    * list sizes come from one partition-pruned count (bounded collect:
+      one row per list);
+    * each hot list trains TWO sub-centroids on its own vectors
+      (:func:`train_ivf_centroids` — parameter-bounded sample, seeded
+      per list) and reassigns ONLY its own rows;
+    * child A keeps the PARENT's list id, child B takes a fresh id —
+      so the dynamic-partition-overwrite write replaces exactly the
+      parent partition and creates the new one, leaving no stale rows
+      and no deleted-dir bookkeeping (a split whose Lloyd run
+      degenerates to one nonempty child is SKIPPED — overwriting the
+      parent partition with zero rows would strand the old files);
+    * the ``/centroids`` sidecar swaps the parent centroid for the two
+      children (collected first — it is n_centroids rows — because
+      lazily re-writing a parquet path from its own scan reads
+      post-truncation garbage);
+    * the ``/stats`` drift baseline is updated INCREMENTALLY: the
+      split rows' old assigned-cosine sum is re-derivable against the
+      saved parent centroid, so mean' = (sum + Σnew - Σold)/n without
+      rescanning the cold lists.
+
+    Returns {n_lists_before, n_split, skipped_degenerate, rows_moved,
+    max_share_before_ppm, max_share_after_ppm, new_list_ids}."""
+    lists = spark.read.parquet(path + "/lists")
+    sizes = {
+        int(r["list_id"]): int(r["n"])
+        for r in lists.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per list
+    }
+    total = sum(sizes.values())
+    mean = total / max(len(sizes), 1)
+    hot = sorted(
+        lid for lid, n in sizes.items() if n > split_ratio * mean and n >= 2
+    )
+    max_before = max(sizes.values()) if sizes else 0
+    report = {
+        "n_lists_before": len(sizes),
+        "n_split": 0,
+        "skipped_degenerate": 0,
+        "rows_moved": 0,
+        "max_share_before_ppm": max_before * 1_000_000 // total if total else 0,
+        "max_share_after_ppm": max_before * 1_000_000 // total if total else 0,
+        "new_list_ids": [],
+    }
+    if not hot:
+        return report
+
+    cent_rows = {
+        int(r["__list"]): list(r["__cent"])
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }  # bounded: n_centroids rows; collected BEFORE the sidecar rewrite
+    next_id = max(cent_rows) + 1
+    reassigned_parts = []
+    new_sizes = dict(sizes)
+    for lid in hot:
+        hot_rows = lists.filter(F.col("list_id") == lid).select(
+            id_col, "__v"
+        )
+        sub = train_ivf_centroids(
+            hot_rows, "__v", n_centroids=2, iters=sub_iters, seed=seed + lid
+        )
+        child_b = next_id
+        subs = {  # 2 rows, already driver-local inside the trainer
+            (lid if int(r["__list"]) == 0 else child_b): list(r["__cent"])
+            for r in sub.collect()
+        }
+        sub_ids = spark.createDataFrame(
+            sorted(subs.items()), "__list long, __cent array<double>"
+        )
+        assigned = _assign_to_lists(
+            hot_rows, id_col, "__v", sub_ids
+        ).localCheckpoint(eager=False)
+        # ONE bounded job per hot list: child sizes + the incremental
+        # /stats sums (new assigned cosine, and the split rows' OLD
+        # cosine re-derived against the saved parent centroid)
+        parent = cent_rows[lid]
+        stats_rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__best_cos").alias("new_s"),
+                F.sum(
+                    cosine_similarity(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in parent]),
+                    )
+                ).alias("old_s"),
+            )
+            .collect()  # bounded: 2 rows
+        )
+        counts = {int(r["list_id"]): int(r["n"]) for r in stats_rows}
+        if len(counts) < 2 or min(counts.values()) == 0:
+            report["skipped_degenerate"] += 1
+            continue
+        report.setdefault("_cos_delta", 0.0)
+        report["_cos_delta"] += sum(
+            float(r["new_s"]) - float(r["old_s"]) for r in stats_rows
+        )
+        cent_rows[lid] = subs[lid]
+        cent_rows[child_b] = subs[child_b]
+        reassigned_parts.append(assigned.drop("__best_cos"))
+        new_sizes[lid] = counts[lid]
+        new_sizes[child_b] = counts[child_b]
+        report["n_split"] += 1
+        report["rows_moved"] += counts[child_b]
+        report["new_list_ids"].append(child_b)
+        next_id += 1
+
+    if not reassigned_parts:
+        report.pop("_cos_delta", None)
+        return report
+
+    moved = reassigned_parts[0]
+    for p in reassigned_parts[1:]:
+        moved = moved.unionByName(p)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        moved.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(path + "/lists")
+    finally:
+        spark.conf.set(conf_key, old_mode)
+
+    spark.createDataFrame(
+        [(lid, vec) for lid, vec in sorted(cent_rows.items())],
+        "__list long, __cent array<double>",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+    try:
+        base = spark.read.parquet(path + "/stats").collect()[0]
+        n, m = int(base["n"]), float(base["mean_assigned_cos"])
+        spark.createDataFrame(
+            [(n, (m * n + report["_cos_delta"]) / n)],
+            "n long, mean_assigned_cos double",
+        ).write.mode("overwrite").parquet(path + "/stats")
+    except AnalysisException:
+        pass  # pre-sidecar index: baseline stays lazily re-derivable
+
+    report.pop("_cos_delta", None)
+    report["max_share_after_ppm"] = (
+        max(new_sizes.values()) * 1_000_000 // total if total else 0
+    )
+    return report
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -660,3 +660,222 @@ def prep_probe_gated_sample(spark, sf_dir):
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([t[j] || '|' || t[j + 1] FOR j IN range(1, len(t))]) AS pr
+      FROM tok),
+    dbk AS MATERIALIZED (
+      SELECT doc_id, pr, count(*) AS k FROM bg GROUP BY doc_id, pr),
+    bc AS MATERIALIZED (
+      SELECT pr, CAST(sum(k) AS BIGINT) AS c12 FROM dbk GROUP BY pr),
+    c1t AS MATERIALIZED (
+      SELECT string_split(pr, '|')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+      FROM bc GROUP BY 1),
+    c2t AS MATERIALIZED (
+      SELECT string_split(pr, '|')[2] AS w2, CAST(sum(c12) AS BIGINT) AS c2
+      FROM bc GROUP BY 1),
+    t2 AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bc)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(-sum(k * ln((7 * c12 * nn + 3 * c1 * c2)
+                             / (10.0 * c1 * nn))) / sum(k), 4) AS nll
+    FROM dbk JOIN bc USING (pr)
+    JOIN c1t ON w1 = string_split(pr, '|')[1]
+    JOIN c2t ON w2 = string_split(pr, '|')[2]
+    CROSS JOIN t2
+    GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark, sf_dir):
+    """Corpus-trained INTERPOLATED BIGRAM LM quality score — the next
+    rung above ``quality_unigram_logprob`` on the CCNet-style quality
+    ladder: per-document average negative log-likelihood under
+    p(w2|w1) = 0.7 * C(w1 w2)/C(w1 ·) + 0.3 * C(· w2)/N, i.e. bigram
+    MLE backed off to the unigram marginal so unseen contexts never
+    zero out.  The probability is assembled as ONE exact-integer
+    rational — (7*C12*N + 3*C1*C2) / (10*C1*N), every product within
+    int64 by construction — so both engines feed bit-identical doubles
+    into the single ln(); nll rounds at 4dp (the proven unigram
+    contract).
+
+    Scale shape: per-token rows exist only in the one (doc_id, bigram)
+    count shuffle; the bigram vocabulary and its two marginals are
+    re-aggregations of that much smaller table; the corpus total joins
+    back as a 1-row broadcast.  No corpus re-scan, no driver scalars."""
+    from .functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", tokens("text").alias("t"))
+    prs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") > 1,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], '|', t[i]))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).alias("pr"),
+    )
+    # (doc, bigram) counts feed FOUR consumers (bc, both marginals via
+    # bc, the final join) — materialize once so the corpus explode runs
+    # once, not per consumer; bc likewise feeds three aggregations
+    dbk = (
+        prs.groupBy("doc_id", "pr")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    bc = (
+        dbk.groupBy("pr")
+        .agg(F.sum("k").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1t = bc.groupBy(
+        F.substring_index("pr", "|", 1).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    c2t = bc.groupBy(
+        F.substring_index("pr", "|", -1).alias("w2")
+    ).agg(F.sum("c12").alias("c2"))
+    tot = bc.agg(F.sum("c12").alias("nn"))
+    j = (
+        dbk.join(bc, "pr")
+        .withColumn("w1", F.substring_index("pr", "|", 1))
+        .withColumn("w2", F.substring_index("pr", "|", -1))
+        .join(c1t, "w1")
+        .join(c2t, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.expr("(7 * c12 * nn + 3 * c1 * c2) / (10 * c1 * nn)")
+    return j.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(-F.sum(F.col("k") * F.log(p)) / F.sum("k"), 4).alias("nll"),
+    )
+
+
+@query(
+    "ann_ivf_rebalance",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 2000)
+                + (SELECT count(*) FROM embeddings
+                   WHERE vec_id < 2000 AND vec_id % 4 = 0)
+                AS BIGINT) AS n_rows,
+           TRUE AS rows_conserved,
+           TRUE AS split_happened,
+           TRUE AS max_share_reduced,
+           TRUE AS plant_refound
+    """,
+)
+def ann_ivf_rebalance(spark, sf_dir):
+    """The THIRD leg of the IVF index lifecycle (build →
+    ``ann_ivf_index_append`` → REBALANCE): a hot list — here planted by
+    scaled copies of one base vector, every ``vec_id % 4 == 0`` row
+    contributing one plant with identical direction, so they all land
+    in the base's list bit-for-bit — is split into two sublists by
+    ``operators/similarity.py::rebalance_ivf_index``, which trains two
+    sub-centroids on the hot list's OWN rows, keeps the parent's
+    partition id for child A (dynamic partition overwrite then
+    replaces exactly the parent partition — no stale rows, no cold-
+    list rewrites), and updates the centroid + drift sidecars
+    incrementally.
+
+    The output row asserts the operator's contract as engine-checkable
+    invariants (same style as ``dedup_semantic_selective``):
+    ``rows_conserved`` — every indexed row survives the rewrite
+    exactly once (count and distinct-id count both match);
+    ``split_happened`` — the planted skew really tripped the 2x-mean
+    threshold; ``max_share_reduced`` — the hottest list's corpus share
+    strictly fell; ``plant_refound`` — a post-rebalance INDEXED query
+    for the base vector at selective nprobe still returns a planted
+    duplicate at cosine 1.0 (the split children are first-class
+    probe targets)."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        rebalance_ivf_index,
+    )
+
+    from .queries import _ivf_centroids_cached
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    # parameter-bounded standing corpus (same convention as
+    # ann_ivf_index_append's vec_id < 250 slice): the entry gates the
+    # REBALANCE MECHANICS — split decision, partition-exact rewrite,
+    # sidecar updates — not scan throughput, which build/append/query
+    # entries already cover at full corpus size
+    emb = emb.filter(F.col("vec_id") < 2000)
+    base = emb.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    plants = (
+        emb.filter(F.col("vec_id") % 4 == 0)
+        .select((F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(base.select(F.col("embedding").alias("__b")))
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "__b", lambda x: x * (1.0 + F.col("vec_id") % 97 / 100000.0)
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(plants)
+    n_corpus = corpus.count()
+    path = os.path.join(tempfile.gettempdir(), f"ivf_rebal_{os.getpid()}")
+    # index built with the session's standard trained model (the
+    # shared-reference pattern every IVF entry uses): the plants all
+    # share one direction, so they land in ONE list bit-for-bit and
+    # skew it past the 2x-mean threshold regardless of the model
+    build_ivf_index(
+        corpus, "vec_id", "embedding", path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
+    conserve = (
+        spark.read.parquet(path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+        )
+        .collect()[0]
+    )
+    n_after, n_ids = int(conserve["n"]), int(conserve["nid"])
+    probe = ivf_topk_indexed(
+        spark,
+        path,
+        base.select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=2,
+        nprobe=2,
+    )
+    top = (
+        probe.filter(F.col("neighbor_id") >= 30_000_000)
+        .orderBy(F.desc("cos"))
+        .limit(1)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                n_after == n_corpus and n_ids == n_corpus,
+                rep["n_split"] >= 1,
+                rep["max_share_after_ppm"] < rep["max_share_before_ppm"],
+                bool(top) and float(top[0]["cos"]) >= 1.0,
+            )
+        ],
+        "n_rows long, rows_conserved boolean, split_happened boolean, "
+        "max_share_reduced boolean, plant_refound boolean",
+    )

@@ -270,3 +270,171 @@ def test_stream_semantic_dedup_kernel_equals_join_path(spark, tmp_path):
 
     kernel, join = run(False), run(True)
     assert kernel == join and kernel
+
+
+def _mk_clustered(spark, tmp_path, n_plants=60, dim=8):
+    """4 well-separated axis clusters (25 vectors each) + ``n_plants``
+    same-direction plants on cluster 0's axis: a guaranteed hot list."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(25):
+            v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+            v[c] = 1.0 + rng.uniform(0, 0.1)
+            rows.append((vid, v))
+            vid += 1
+    for i in range(n_plants):
+        v = [0.0] * dim
+        v[0] = 1.0 + i / 1000.0  # scaled copies: identical direction
+        rows.append((10_000 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_rebalance_splits_hot_list_exactly(spark, tmp_path):
+    """The hot list splits; rows are conserved EXACTLY (same id set,
+    partitioned layout still queryable at probe-all = brute force);
+    cold lists keep their exact row sets; the stats sidecar's
+    incremental mean equals a from-scratch recompute."""
+    import pytest as pt
+
+    from spark_alchemy_spark.operators.dedup import cosine_similarity
+    from spark_alchemy_spark.operators.similarity import (
+        build_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    df = _mk_clustered(spark, tmp_path)
+    path = str(tmp_path / "idx")
+    build_ivf_index(df, "vec_id", "embedding", path, n_centroids=4)
+    before = {
+        (int(r["vec_id"]), int(r["list_id"]))
+        for r in spark.read.parquet(path + "/lists")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    hot_before = max(
+        len([1 for _, lid in before if lid == k]) for k in range(4)
+    )
+    rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
+    assert rep["n_split"] >= 1 and rep["new_list_ids"]
+    assert rep["max_share_after_ppm"] < rep["max_share_before_ppm"]
+
+    after_rows = spark.read.parquet(path + "/lists").collect()
+    after = {(int(r["vec_id"]), int(r["list_id"])) for r in after_rows}
+    assert {v for v, _ in after} == {v for v, _ in before}  # ids conserved
+    assert len(after) == len(before)  # exactly once each
+    # cold lists untouched row-for-row
+    split_ids = {int(l) for l in rep["new_list_ids"]}
+    hot_parents = {
+        lid
+        for _, lid in before
+        if (lid not in {l for _, l in after})
+        or any(v for v, l in after if l in split_ids)
+    }
+    for lid in {l for _, l in before}:
+        if lid in split_ids:
+            continue
+        b = {v for v, l in before if l == lid}
+        a = {v for v, l in after if l == lid}
+        if b != a:  # only the split parents may change
+            assert a < b and rep["n_split"] >= 1
+    # hottest list shrank in absolute terms too
+    sizes_after: dict = {}
+    for _, lid in after:
+        sizes_after[lid] = sizes_after.get(lid, 0) + 1
+    assert max(sizes_after.values()) < hot_before
+
+    # stats sidecar: incremental update == full recompute
+    cents = spark.read.parquet(path + "/centroids")
+    lists = spark.read.parquet(path + "/lists")
+    recomputed = (
+        lists.join(
+            cents.withColumnRenamed("__list", "list_id"), "list_id"
+        )
+        .select(cosine_similarity(F.col("__v"), F.col("__cent")).alias("c"))
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    stored = spark.read.parquet(path + "/stats").collect()[0][
+        "mean_assigned_cos"
+    ]
+    assert stored == pt.approx(recomputed, rel=1e-9)
+
+
+def test_rebalance_noop_when_balanced(spark, tmp_path):
+    from spark_alchemy_spark.operators.similarity import (
+        build_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    df = _mk_clustered(spark, tmp_path, n_plants=0)
+    path = str(tmp_path / "idx2")
+    build_ivf_index(df, "vec_id", "embedding", path, n_centroids=4)
+    before = sorted(
+        (int(r["vec_id"]), int(r["list_id"]))
+        for r in spark.read.parquet(path + "/lists")
+        .select("vec_id", "list_id")
+        .collect()
+    )
+    rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
+    assert rep["n_split"] == 0 and rep["rows_moved"] == 0
+    assert rep["max_share_after_ppm"] == rep["max_share_before_ppm"]
+    after = sorted(
+        (int(r["vec_id"]), int(r["list_id"]))
+        for r in spark.read.parquet(path + "/lists")
+        .select("vec_id", "list_id")
+        .collect()
+    )
+    assert after == before
+
+
+def test_rebalance_skips_degenerate_identical_list(spark, tmp_path):
+    """A hot list whose vectors all share ONE direction cannot split
+    (Lloyd degenerates to one nonempty child): it must be SKIPPED —
+    overwriting the parent partition with zero rows would strand the
+    old files — and reported as such."""
+    from spark_alchemy_spark.operators.similarity import rebalance_ivf_index
+
+    dim = 8
+    rows = []
+    for c in range(2):  # cold lists 1 and 2: 10 distinct vectors each
+        for i in range(10):
+            v = [0.0] * dim
+            v[c + 1] = 1.0 + i / 100.0
+            rows.append((c * 100 + i, v, c + 1))
+    for i in range(80):  # hot list 0: ALL the same direction
+        v = [0.0] * dim
+        v[0] = 1.0
+        rows.append((10_000 + i, v, 0))
+    # hand-built index layout (global k-means would merge/relabel these
+    # clusters unpredictably; the degenerate-skip contract is about the
+    # REBALANCE step, so pin its input exactly)
+    df = spark.createDataFrame(
+        rows, "vec_id long, __v array<double>, list_id long"
+    )
+    path = str(tmp_path / "idx3")
+    df.repartition("list_id").write.partitionBy("list_id").parquet(
+        path + "/lists"
+    )
+    cents = []
+    for c in range(3):
+        v = [0.0] * dim
+        v[0 if c == 0 else c] = 1.0
+        cents.append((c, v))
+    spark.createDataFrame(
+        cents, "__list long, __cent array<double>"
+    ).write.parquet(path + "/centroids")
+    before = sorted(
+        int(r["vec_id"])
+        for r in spark.read.parquet(path + "/lists").select("vec_id").collect()
+    )
+    rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
+    assert rep["skipped_degenerate"] >= 1 and rep["n_split"] == 0
+    after = sorted(
+        int(r["vec_id"])
+        for r in spark.read.parquet(path + "/lists").select("vec_id").collect()
+    )
+    assert after == before
