@@ -75,10 +75,14 @@ __all__ = [
 ]
 
 #: GPT-2-style pre-tokenization classes: letter runs, digit runs, and
-#: runs of any other non-space characters.  Identical semantics in
-#: Java regex (Spark) and RE2 (DuckDB oracle replay) — both support
-#: the Unicode classes and both scope ``\s`` to ASCII whitespace.
-PRE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+#: runs of any other non-whitespace characters.  Whitespace is an
+#: EXPLICIT ASCII class rather than ``\s`` because Java's ``\s``
+#: includes vertical tab (\x0B) while RE2's does not — the one byte
+#: where the engines' shorthands disagree; the explicit class keeps
+#: Spark, the DuckDB oracles, and the Python replay (tests'
+#: ``_ref_pretok``) bit-identical.  Both engines support the Unicode
+#: ``\p{L}``/``\p{N}`` classes and ``\x0B``.
+PRE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\r\f\x0B]+"
 
 
 def pre_tokenize(text: Column) -> Column:
@@ -121,10 +125,16 @@ def word_syms(w: Column) -> Column:
     oracle's ``substr(hex(w), i*2-1, 2)`` split bit-for-bit (both
     engines emit uppercase hex)."""
     h = F.hex(F.encode(w, "UTF-8"))
-    return F.transform(
-        F.sequence(F.lit(1), (F.length(h) / F.lit(2)).cast("int")),
-        lambda i: F.substring(h, (i * 2 - 1).cast("int"), 2),
-    )
+    # empty-word guard: sequence(1, 0) DESCENDS (same trap as
+    # _adjacent_pairs), which would hand '' two empty symbols and break
+    # the cross-encoder identity (merge-rank encoder returns [])
+    return F.when(
+        F.length(h) > 0,
+        F.transform(
+            F.sequence(F.lit(1), (F.length(h) / F.lit(2)).cast("int")),
+            lambda i: F.substring(h, (i * 2 - 1).cast("int"), 2),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def _adjacent_pairs(syms: Column) -> Column:

@@ -819,8 +819,12 @@ def _cross_pairs_cosine_blocked(
             {"id_a": a_ids[keep], "id_b": b_ids[keep], "__cos": cos[keep]}
         )
 
+    # id columns inherit the CALLER's id type (string urls, longs, ...)
+    # — a hardcoded 'long' here would break the Arrow conversion for
+    # any non-integer id (round-6 review finding)
+    id_t = a.schema["__id"].dataType.simpleString()
     out = tagged.groupBy("__grp").applyInPandas(
-        cross_sim, "id_a long, id_b long, __cos double"
+        cross_sim, f"id_a {id_t}, id_b {id_t}, __cos double"
     )
     return (
         out.withColumn("cos", F.round("__cos", 4))

@@ -181,9 +181,15 @@ def rank_auc_ppm(
         .select(
             F.col("n_pos").cast("long").alias("n_pos"),
             F.col("n_neg").cast("long").alias("n_neg"),
+            # assert_true: a single-class label makes AUC undefined —
+            # fail LOUDLY (like the fit's singular-system guard), not
+            # with a silent NULL that downstream consumers propagate
             F.expr(
+                "CASE WHEN assert_true(n_pos > 0 AND n_neg > 0, "
+                "'rank_auc_ppm: single-class label — AUC undefined') "
+                "IS NULL THEN "
                 "CAST((s2pos - n_pos * (n_pos + 1)) * 1000000 "
-                "DIV (2 * n_pos * n_neg) AS BIGINT)"
+                "DIV (2 * n_pos * n_neg) AS BIGINT) END"
             ).alias("auc_ppm"),
         )
     )

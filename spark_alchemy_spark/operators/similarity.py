@@ -531,9 +531,10 @@ def build_ivf_index(
         "overwrite"
     ).partitionBy("list_id").parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    # build-time assignment quality sidecar: the drift baseline for
-    # incremental appends (append_ivf_index compares each batch's mean
-    # assigned-centroid cosine against this)
+    # assignment-quality sidecar: the exact running (n, mean assigned
+    # cosine) over every indexed row — the drift baseline for
+    # incremental appends (each batch compares against it, then folds
+    # itself in) and the base of rebalance's incremental update
     assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__best_cos").alias("mean_assigned_cos"),
@@ -592,10 +593,12 @@ def append_ivf_index(
     mode adds files only to the partitions the batch touches.
 
     Drift detection: as the distribution of appended vectors drifts
-    away from the build-time corpus, recall of the appended vectors vs
+    away from the indexed corpus, recall of the appended vectors vs
     brute force degrades (the centroids no longer tile the data).  The
-    batch's mean assigned-centroid cosine divided by the build-time
-    mean (``/stats`` sidecar) is the drift ratio; below
+    batch's mean assigned-centroid cosine divided by the standing
+    index's running mean (``/stats`` sidecar — exact (n, mean) over
+    every indexed row, maintained by build, append, and rebalance) is
+    the drift ratio; below
     ``drift_ratio_threshold`` (default 0.8 — appended vectors sit >20%
     further from every centroid than the corpus did) the report flags
     ``retrain_recommended`` and the operator owner should schedule a
@@ -632,7 +635,7 @@ def append_ivf_index(
     # baseline, biasing drift_ratio toward 1.0.
     try:
         base = spark.read.parquet(path + "/stats").collect()[0]
-        build_mean = float(base["mean_assigned_cos"])
+        base_n, build_mean = int(base["n"]), float(base["mean_assigned_cos"])
     except AnalysisException as e:
         # Pre-sidecar index: ONLY a missing /stats path may fall back
         # to the standing-list rescan.  Any other analysis failure (a
@@ -646,13 +649,27 @@ def append_ivf_index(
             raise
         lists = spark.read.parquet(path + "/lists")
         rescored = _assign_to_lists(lists, id_col, "__v", cents)
-        build_mean = float(
-            rescored.agg(F.avg("__best_cos").alias("m")).collect()[0]["m"]
-        )
+        b = rescored.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
+        ).collect()[0]
+        base_n, build_mean = int(b["n"]), float(b["m"])
 
     assigned.drop("__best_cos").repartition("list_id").write.mode(
         "append"
     ).partitionBy("list_id").parquet(path + "/lists")
+
+    # Fold the batch into /stats AFTER the drift comparison: the
+    # sidecar is the exact running (n, mean assigned cosine) over
+    # EVERY row in the index, which is what lets rebalance_ivf_index
+    # update it incrementally when it re-scores split rows — an
+    # append-blind baseline would make that delta math wrong the
+    # moment a split list contains appended rows.  The drift ratio
+    # above still compares the batch against the PRE-append baseline.
+    new_n = base_n + int(batch["n"])
+    spark.createDataFrame(
+        [(new_n, (build_mean * base_n + float(batch["m"]) * int(batch["n"])) / new_n)],
+        "n long, mean_assigned_cos double",
+    ).write.mode("overwrite").parquet(path + "/stats")
 
     ratio = (float(batch["m"]) / build_mean) if build_mean else 1.0
     return {
@@ -820,8 +837,16 @@ def rebalance_ivf_index(
             [(n, (m * n + report["_cos_delta"]) / n)],
             "n long, mean_assigned_cos double",
         ).write.mode("overwrite").parquet(path + "/stats")
-    except AnalysisException:
-        pass  # pre-sidecar index: baseline stays lazily re-derivable
+    except AnalysisException as e:
+        # pre-sidecar index: ONLY a missing /stats may skip the
+        # baseline update (same rule as append_ivf_index — swallowing
+        # a corrupt sidecar here would silently freeze a stale drift
+        # baseline)
+        err_class = (
+            e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        )
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+            raise
 
     report.pop("_cos_delta", None)
     report["max_share_after_ppm"] = (

@@ -558,8 +558,11 @@ def quality_probe_auc(spark, sf_dir):
            count(*) AS n_docs,
            CAST(sum(f.n_chars) * 1000000 // count(*) AS BIGINT)
              AS mean_chars_ppm,
-           CAST(sum(b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2) // count(*)
-                AS BIGINT) AS mean_pred_ppm
+           CAST(CASE WHEN sum(b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2) < 0
+                     THEN -((-sum(b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2))
+                            // count(*))
+                     ELSE sum(b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2)
+                          // count(*) END AS BIGINT) AS mean_pred_ppm
     FROM feats f CROSS JOIN coef
     GROUP BY 1
     """,
@@ -585,9 +588,13 @@ def quality_probe_calibration(spark, sf_dir):
             F.expr(
                 "CAST(sum(n_chars) * 1000000 DIV count(*) AS BIGINT)"
             ).alias("mean_chars_ppm"),
-            F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias(
-                "mean_pred_ppm"
-            ),
+            # sign factored out of the division (same rule as the
+            # coefficient pin): Spark DIV truncates toward zero, the
+            # oracle's // floors — identical only on non-negatives
+            F.expr(
+                "CAST(CASE WHEN sum(s) < 0 THEN -((-sum(s)) DIV count(*))"
+                " ELSE sum(s) DIV count(*) END AS BIGINT)"
+            ).alias("mean_pred_ppm"),
         )
     )
 
@@ -669,26 +676,22 @@ def prep_probe_gated_sample(spark, sf_dir):
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents),
     bg AS (
-      SELECT doc_id,
-             unnest([t[j] || '|' || t[j + 1] FOR j IN range(1, len(t))]) AS pr
+      SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
       FROM tok),
     dbk AS MATERIALIZED (
-      SELECT doc_id, pr, count(*) AS k FROM bg GROUP BY doc_id, pr),
+      SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2),
     bc AS MATERIALIZED (
-      SELECT pr, CAST(sum(k) AS BIGINT) AS c12 FROM dbk GROUP BY pr),
+      SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbk GROUP BY w1, w2),
     c1t AS MATERIALIZED (
-      SELECT string_split(pr, '|')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
-      FROM bc GROUP BY 1),
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
     c2t AS MATERIALIZED (
-      SELECT string_split(pr, '|')[2] AS w2, CAST(sum(c12) AS BIGINT) AS c2
-      FROM bc GROUP BY 1),
+      SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY w2),
     t2 AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bc)
     SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
            round(-sum(k * ln((7 * c12 * nn + 3 * c1 * c2)
                              / (10.0 * c1 * nn))) / sum(k), 4) AS nll
-    FROM dbk JOIN bc USING (pr)
-    JOIN c1t ON w1 = string_split(pr, '|')[1]
-    JOIN c2t ON w2 = string_split(pr, '|')[2]
+    FROM dbk JOIN bc USING (w1, w2)
+    JOIN c1t USING (w1) JOIN c2t USING (w2)
     CROSS JOIN t2
     GROUP BY doc_id
     """,
@@ -713,6 +716,9 @@ def quality_bigram_logprob(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     toks = documents.select("doc_id", tokens("text").alias("t"))
+    # adjacent pairs as (w1, w2) COLUMNS — never a joined string, so a
+    # token containing any would-be separator byte cannot corrupt the
+    # marginals (round-6 review finding)
     prs = toks.select(
         "doc_id",
         F.explode(
@@ -720,35 +726,31 @@ def quality_bigram_logprob(spark, sf_dir):
                 F.size("t") > 1,
                 F.expr(
                     "transform(sequence(1, size(t) - 1),"
-                    " i -> concat(t[i - 1], '|', t[i]))"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
                 ),
-            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+            ).otherwise(
+                F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)")
+            )
         ).alias("pr"),
-    )
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     # (doc, bigram) counts feed FOUR consumers (bc, both marginals via
     # bc, the final join) — materialize once so the corpus explode runs
     # once, not per consumer; bc likewise feeds three aggregations
     dbk = (
-        prs.groupBy("doc_id", "pr")
+        prs.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint(eager=False)
     )
     bc = (
-        dbk.groupBy("pr")
+        dbk.groupBy("w1", "w2")
         .agg(F.sum("k").alias("c12"))
         .localCheckpoint(eager=False)
     )
-    c1t = bc.groupBy(
-        F.substring_index("pr", "|", 1).alias("w1")
-    ).agg(F.sum("c12").alias("c1"))
-    c2t = bc.groupBy(
-        F.substring_index("pr", "|", -1).alias("w2")
-    ).agg(F.sum("c12").alias("c2"))
+    c1t = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2t = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = bc.agg(F.sum("c12").alias("nn"))
     j = (
-        dbk.join(bc, "pr")
-        .withColumn("w1", F.substring_index("pr", "|", 1))
-        .withColumn("w2", F.substring_index("pr", "|", -1))
+        dbk.join(bc, ["w1", "w2"])
         .join(c1t, "w1")
         .join(c2t, "w2")
         .crossJoin(F.broadcast(tot))

@@ -358,7 +358,7 @@ def semantic_dedup_at_ingest(
     Returns the per-language totals (lang, n_arrived, n_dropped,
     n_survived) aggregated across batches — replay-order free."""
     from ..operators.dedup import cosine_similarity, doc_hash_embeddings
-    from ..operators.similarity import train_ivf_centroids
+    from ..operators.similarity import _assign_to_lists, train_ivf_centroids
 
     spark = standing_docs.sparkSession
     nprobe = n_centroids if nprobe is None else nprobe
@@ -367,20 +367,19 @@ def semantic_dedup_at_ingest(
     cents = train_ivf_centroids(
         emb, "vec", n_centroids=n_centroids, seed=seed
     ).localCheckpoint(eager=False)
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), "__list")
+    # top-1 assignment via the SHARED helper (same argmax + lowest-id
+    # tie-break as the batch index build/append — one definition, so a
+    # tie-break or zero-norm fix there reaches the stream too)
     index = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        _assign_to_lists(emb, id_col, "vec", cents)
         .select(
-            "__list",
+            F.col("list_id").alias("__list"),
             F.col(id_col).alias("__sid"),
-            F.col("vec").alias("__svec"),
+            F.col("__v").alias("__svec"),
         )
         .localCheckpoint(eager=False)  # skinny (cluster, id, vec), reused per batch
     )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), "__list")
 
     results: list[tuple] = []  # bounded: n_langs rows per micro-batch
 

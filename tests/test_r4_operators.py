@@ -4,6 +4,8 @@ weighted-median scale path."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -221,7 +223,13 @@ def test_ivf_append_drift_detection(spark, tmp_path):
         spark.createDataFrame(bad_rows), "vec_id", "embedding", path
     )
     assert rep2["drift_ratio"] < 0.8 and rep2["retrain_recommended"]
-    assert rep2["build_mean_cos"] == rep["build_mean_cos"]
+    # /stats is a RUNNING (n, mean) since round 6 (each append folds
+    # itself in after its own drift comparison, which is what keeps
+    # rebalance's incremental update exact): the second append's
+    # baseline is the first append's baseline with the good batch
+    # folded in — nothing else
+    want = (rep["build_mean_cos"] * 240 + rep["batch_mean_cos"] * 40) / 280
+    assert rep2["build_mean_cos"] == pytest.approx(want, rel=1e-12)
 
 
 def test_weighted_median_sketch_entry_agrees_with_exact_entry(spark):

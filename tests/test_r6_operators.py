@@ -438,3 +438,91 @@ def test_rebalance_skips_degenerate_identical_list(spark, tmp_path):
         for r in spark.read.parquet(path + "/lists").select("vec_id").collect()
     )
     assert after == before
+
+
+def test_rebalance_stats_correct_after_appends(spark, tmp_path):
+    """Round-6 review finding: the incremental /stats math must stay
+    exact when the split list contains APPENDED rows — i.e. /stats is
+    the running (n, mean) over every indexed row (append folds itself
+    in after its drift comparison), not a build-time-only snapshot."""
+    from spark_alchemy_spark.operators.dedup import cosine_similarity
+    from spark_alchemy_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    df = _mk_clustered(spark, tmp_path, n_plants=0)
+    path = str(tmp_path / "idx4")
+    build_ivf_index(df, "vec_id", "embedding", path, n_centroids=4)
+    # append a hot batch: 60 same-direction plants (cluster 0's axis)
+    plants = spark.createDataFrame(
+        [
+            (20_000 + i, [1.0 + i / 1000.0] + [0.0] * 7)
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    append_ivf_index(plants, "vec_id", "embedding", path)
+    stats1 = spark.read.parquet(path + "/stats").collect()[0]
+    assert int(stats1["n"]) == 160  # append folded itself in
+    rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
+    assert rep["n_split"] >= 1
+    stored = spark.read.parquet(path + "/stats").collect()[0]
+    assert int(stored["n"]) == 160
+    cents = spark.read.parquet(path + "/centroids")
+    recomputed = (
+        spark.read.parquet(path + "/lists")
+        .join(cents.withColumnRenamed("__list", "list_id"), "list_id")
+        .select(cosine_similarity(F.col("__v"), F.col("__cent")).alias("c"))
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    assert float(stored["mean_assigned_cos"]) == pytest.approx(
+        recomputed, rel=1e-9
+    )
+    assert float(stored["mean_assigned_cos"]) <= 1.0 + 1e-9  # a real mean
+
+
+def test_rank_auc_single_class_fails_loudly(spark):
+    """A single-class label must raise (AUC undefined), never return a
+    silent NULL."""
+    from spark_alchemy_spark.operators.probe import rank_auc_ppm
+
+    df = spark.createDataFrame([(i, 1) for i in range(10)], "s int, pos int")
+    with pytest.raises(Exception, match="single-class"):
+        rank_auc_ppm(df, "s", "pos").collect()
+
+
+def test_cross_pairs_kernel_string_ids(spark):
+    """The kernel's output schema follows the caller's id type — string
+    ids (urls) must work on the DEFAULT probe-all streaming path."""
+    from spark_alchemy_spark.operators.dedup import _cross_pairs_cosine_blocked
+
+    a = spark.createDataFrame(
+        [("u/a", [1.0, 0.0]), ("u/b", [0.0, 1.0])],
+        "__id string, __v array<double>",
+    )
+    b = spark.createDataFrame(
+        [("s/x", [1.0, 0.0]), ("s/y", [0.7, 0.7])],
+        "__id string, __v array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in _cross_pairs_cosine_blocked(a, b, 0.9).collect()
+    }
+    assert got == {("u/a", "s/x", 1.0)}
+
+
+def test_word_syms_empty_word_is_empty(spark):
+    """sequence(1,0) DESCENDS: '' must produce [] (cross-encoder
+    identity), not two empty symbols."""
+    from spark_alchemy_spark.operators.bpe import word_syms
+
+    df = spark.createDataFrame([("",), ("ab",)], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select("w", word_syms(F.col("w")).alias("s")).collect()
+    }
+    assert got[""] == []
+    assert got["ab"] == ["61", "62"]
