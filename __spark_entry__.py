@@ -91,7 +91,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: row-merge stays covered by hll_sql_surface, which exercises the
 #: same fold) and hll_persist_roundtrip -> bpe_encode_corpus (the
 #: vocab-scale merge-rank encoder path; persist/re-read stays covered
-#: by source_jdbc_roundtrip's sketch store).
+#: by source_jdbc_roundtrip's sketch store).  Session-2 addendum (same
+#: policy): dedup_simhash -> quality_linear_probe (the dedup family
+#: held EIGHT head slots; simhash stays in the full sweep and its
+#: banded-Hamming machinery is also exercised by media_dedup_* — the
+#: new distributed model-fitting tier gets gated directly instead).
 _GATE_HEAD = [
     "hll_init_agg_cardinality", "hll_merge_reaggregate", "dedup_semantic_docs",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
@@ -103,7 +107,7 @@ _GATE_HEAD = [
     "asof_last_click_before_error", "range_join_close_events",
     "skew_salted_join_priority_revenue", "bucketed_colocated_join",
     "stream_dedup_at_ingest", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_incremental_batch", "dedup_cluster_components",
+    "quality_linear_probe", "dedup_incremental_batch", "dedup_cluster_components",
     "cms_join_size_estimate", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "curate_corpus_report", "prep_decontaminate", "prep_pack_greedy",
     "prep_contamination_containment", "text_quality", "bpe_train_merges",

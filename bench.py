@@ -101,6 +101,9 @@ def main():
         for corpus in ("plain", "punct"):
             QR5._trained_merges(spark, sf_dir, corpus)
             QR5._encoded_words(spark, sf_dir, corpus).count()
+        from spark_alchemy_spark import queries_r6 as QR6
+
+        QR6._probe_coeffs(spark, sf_dir)  # round-6 model-fitting tier
 
         # Structured Streaming engine init (state-store provider, streaming
         # listener bus, memory-sink machinery) costs ~20-30s the FIRST time

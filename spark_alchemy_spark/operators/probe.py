@@ -139,6 +139,74 @@ def fit_linear_probe_ppm(
     return {"n": n, "coeffs_ppm": coeffs}
 
 
+def fit_grouped_probes_ppm(
+    df: DataFrame, group_cols: list[str], x_cols: list[str], y_col: str
+) -> list[dict]:
+    """Per-GROUP linear probes in the SAME one-pass shape: one
+    groupBy aggregate computes every group's moment sums (map-side
+    combinable, shuffle = n_groups × d² longs), then each tiny system
+    is Cramer-solved exactly on the driver.  This is how a curation
+    pipeline fits per-language / per-source quality models without
+    per-group passes — the collect is bounded by GROUP cardinality,
+    never rows.  Groups whose normal-equation system is singular
+    (constant features, n <= d) are returned with ``coeffs_ppm=None``
+    rather than dropped, so the caller sees them."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    d = len(x_cols)
+    for i, xi in enumerate(x_cols):
+        aggs.append(F.sum(F.col(xi).cast("long")).alias(f"s{i}"))
+    aggs.append(F.sum(F.col(y_col).cast("long")).alias("sy"))
+    for i, xi in enumerate(x_cols):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(
+                    F.col(xi).cast("long") * F.col(x_cols[j]).cast("long")
+                ).alias(f"s{i}{j}")
+            )
+        aggs.append(
+            F.sum(F.col(xi).cast("long") * F.col(y_col).cast("long")).alias(
+                f"s{i}y"
+            )
+        )
+    out = []
+    for row in df.groupBy(*group_cols).agg(*aggs).collect():
+        r = row.asDict()
+        n = int(r["n"])
+        s = [[0] * (d + 1) for _ in range(d + 1)]
+        b = [0] * (d + 1)
+        s[0][0] = n
+        b[0] = int(r["sy"])
+        for i in range(d):
+            s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
+            b[i + 1] = int(r[f"s{i}y"])
+            for j in range(i, d):
+                s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
+        det = exact_int_det(s)
+        if det == 0:
+            coeffs = None
+        else:
+            coeffs = [
+                _trunc_div_ppm(
+                    exact_int_det(
+                        [
+                            [b[p] if c == k else s[p][c] for c in range(d + 1)]
+                            for p in range(d + 1)
+                        ]
+                    ),
+                    det,
+                )
+                for k in range(d + 1)
+            ]
+        out.append(
+            {
+                "group": tuple(r[g] for g in group_cols),
+                "n": n,
+                "coeffs_ppm": coeffs,
+            }
+        )
+    return out
+
+
 def probe_score_ppm(coeffs_ppm: list[int], x_cols: list[str]) -> Column:
     """The fitted probe as a codegen integer Column (ppm scale):
     b0_ppm + b1_ppm*x1 + ... — scoring is map-only, broadcastable as

@@ -1414,7 +1414,12 @@ def ann_ivf_index_append(spark, sf_dir):
     new_batch = embeddings.filter(F.col("vec_id") >= 250)
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     path = os.path.join(tempfile.gettempdir(), f"ivf_append_{os.getpid()}")
-    build_ivf_index(standing, "vec_id", "embedding", path, n_centroids=16)
+    from .queries import _ivf_centroids_cached
+
+    build_ivf_index(
+        standing, "vec_id", "embedding", path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
     append_ivf_index(new_batch, "vec_id", "embedding", path)
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16

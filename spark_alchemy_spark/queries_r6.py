@@ -881,3 +881,178 @@ def ann_ivf_rebalance(spark, sf_dir):
         "n_rows long, rows_conserved boolean, split_happened boolean, "
         "max_share_reduced boolean, plant_refound boolean",
     )
+
+
+#: Grouped variant of the probe oracle: one grouped moment-sum
+#: aggregate, Cramer per group, singular groups (d = 0) excluded on
+#: BOTH sides.
+_PROBE_GROUPED_SQL = """
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS x1,
+             len(list_filter(string_split(text, ' '),
+                             w -> len(w) >= 5)) AS x2
+      FROM documents WHERE text IS NOT NULL),
+    sums AS MATERIALIZED (
+      SELECT lang,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(n_chars) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
+      FROM feats GROUP BY lang),
+    dets AS MATERIALIZED (
+      SELECT lang, n,
+        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+          + s2*(s1*s12 - s11*s2) AS d,
+        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+          + s2*(s1y*s12 - s11*s2y) AS d0,
+        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+          + s2*(s1*s2y - s1y*s2) AS d1,
+        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+          + sy*(s1*s12 - s11*s2) AS d2
+      FROM sums)
+"""
+
+
+@query(
+    "quality_probe_by_lang",
+    f"""
+    WITH {_PROBE_GROUPED_SQL}
+    SELECT lang, CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
+                * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
+           CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
+                * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
+           CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
+                * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+    FROM dets WHERE d <> 0
+    """,
+)
+def quality_probe_by_lang(spark, sf_dir):
+    """PER-GROUP model fitting in the same one-pass shape as the
+    global probe: ONE groupBy aggregate computes every language's
+    moment sums (map-side combinable; shuffle = n_langs x d^2 longs),
+    then each tiny system is Cramer-solved in exact integers on the
+    driver — how a curation pipeline fits per-language/per-source
+    quality models without per-group corpus passes.  The driver
+    collect is bounded by GROUP cardinality; singular groups are
+    excluded identically on both sides
+    (``operators/probe.py::fit_grouped_probes_ppm``)."""
+    from .operators.probe import fit_grouped_probes_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    fits = fit_grouped_probes_ppm(
+        _probe_feats(documents), ["lang"], ["x1", "x2"], "n_chars"
+    )
+    rows = [
+        (g["group"][0], g["n"], *g["coeffs_ppm"])
+        for g in fits
+        if g["coeffs_ppm"] is not None
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_rows long, b0_ppm long, b1_ppm long, b2_ppm long",
+    )
+
+
+@query(
+    "stream_probe_quality_gate",
+    f"""
+    WITH
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS x1,
+             len(list_filter(string_split(text, ' '),
+                             w -> len(w) >= 5)) AS x2
+      FROM documents WHERE text IS NOT NULL),
+    ef AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 2 = 0),
+    sums AS MATERIALIZED (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(n_chars) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
+      FROM ef),
+    dets AS MATERIALIZED (
+      SELECT
+        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+          + s2*(s1*s12 - s11*s2) AS d,
+        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+          + s2*(s1y*s12 - s11*s2y) AS d0,
+        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+          + s2*(s1*s2y - s1y*s2) AS d1,
+        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+          + sy*(s1*s12 - s11*s2) AS d2
+      FROM sums),
+    coef AS MATERIALIZED (
+      SELECT
+        CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
+        CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
+        CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
+             * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+      FROM dets)
+    SELECT lang,
+           CASE WHEN b0_ppm + b1_ppm * x1 + b2_ppm * x2 >= 250 * 1000000
+                THEN 'keep' ELSE 'drop' END AS decision,
+           count(*) AS n
+    FROM feats CROSS JOIN coef
+    WHERE doc_id % 2 = 1
+    GROUP BY 1, 2
+    """,
+)
+def stream_probe_quality_gate(spark, sf_dir):
+    """Model-scored quality gating AT INGEST: the probe is fitted on
+    the STANDING corpus (even doc_ids — one aggregate pass + driver
+    Cramer, exactly ``quality_linear_probe``'s machinery), its three
+    ppm coefficients ship into the stream as broadcast literals, and
+    every arriving document (odd doc_ids replayed as a file stream)
+    is scored and gated map-side — the model-driven twin of
+    ``stream_quality_at_ingest``'s heuristic gate.  The stream stays
+    STATELESS except the final per-(lang, decision) count (complete
+    mode); scoring adds zero state and zero Python.  A real pipeline
+    swaps the label: same sums, same gate."""
+    from .operators.probe import fit_linear_probe_ppm, probe_score_ppm
+    from .streaming import read_table_stream, run_to_memory
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    standing = _probe_feats(documents.filter(F.col("doc_id") % 2 == 0))
+    res = fit_linear_probe_ppm(standing, ["x1", "x2"], "n_chars")
+    coeffs = res["coeffs_ppm"]
+
+    stream = read_table_stream(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 1) & F.col("text").isNotNull()
+    )
+    words = F.split(F.col("text"), " ")
+    feats = stream.select(
+        "lang",
+        F.size(words).alias("x1"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 5)).alias("x2"),
+    )
+    gated = feats.select(
+        "lang",
+        F.when(
+            probe_score_ppm(coeffs, ["x1", "x2"]) >= 250 * 1_000_000, "keep"
+        )
+        .otherwise("drop")
+        .alias("decision"),
+    )
+    rollup = gated.groupBy("lang", "decision").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return run_to_memory(
+        rollup,
+        f"probe_gate_{abs(hash(sf_dir)) % 10_000_000}",
+        output_mode="complete",
+        state_partitions=8,
+    )

@@ -720,3 +720,96 @@ def test_ks_statistic_matches_reference(spark, a_vals, b_vals):
         for x in sorted(set(a_vals) | set(b_vals))
     )
     assert (r["n_a"], r["n_b"], r["ks_ppm"]) == (na, nb, expected)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 model-fitting laws (operators/probe.py)
+# ---------------------------------------------------------------------------
+
+
+@_settings
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_auc_is_a_rank_statistic(spark, data):
+    """AUC must be invariant under any strictly increasing score
+    transform (it is a rank statistic), and complementary under score
+    negation (trunc-to-ppm may split the odd ppm between the two)."""
+    from spark_alchemy_spark.operators.probe import rank_auc_ppm
+
+    labels = [y for _, y in data]
+    if len(set(labels)) < 2:
+        labels[0] = 1 - labels[0]  # AUC needs both classes
+    rows = [(s, y) for (s, _), y in zip(data, labels)]
+    df = spark.createDataFrame(rows, "s long, pos int")
+    base = rank_auc_ppm(df, "s", "pos").collect()[0]["auc_ppm"]
+
+    mono = spark.createDataFrame(
+        [(3 * s + 11, y) for s, y in rows], "s long, pos int"
+    )
+    assert rank_auc_ppm(mono, "s", "pos").collect()[0]["auc_ppm"] == base
+
+    neg = spark.createDataFrame([(-s, y) for s, y in rows], "s long, pos int")
+    flipped = rank_auc_ppm(neg, "s", "pos").collect()[0]["auc_ppm"]
+    assert abs(base + flipped - 1_000_000) <= 1
+
+
+@_settings
+@given(
+    b0=st.integers(min_value=-20, max_value=20),
+    b1=st.integers(min_value=-9, max_value=9),
+    b2=st.integers(min_value=-9, max_value=9),
+)
+def test_ols_recovers_any_planted_integer_relation(spark, b0, b1, b2):
+    """For a zero-residual integer system on a nondegenerate grid the
+    exact-integer Cramer fit returns the planted coefficients EXACTLY
+    (ppm integers) — for any signs and magnitudes."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [
+        (x1, x2, b0 + b1 * x1 + b2 * x2)
+        for x1 in range(6)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    assert res["coeffs_ppm"] == [
+        b0 * 1_000_000,
+        b1 * 1_000_000,
+        b2 * 1_000_000,
+    ]
+
+
+def test_grouped_fit_matches_global_fit_per_group(spark):
+    """fit_grouped_probes_ppm on group g == fit_linear_probe_ppm on
+    g's rows alone — the grouped aggregate is a pure fan-out."""
+    import random
+
+    from spark_alchemy_spark.operators.probe import (
+        fit_grouped_probes_ppm,
+        fit_linear_probe_ppm,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (g, rng.randint(0, 30), rng.randint(0, 20), rng.randint(0, 500))
+        for g in ("a", "b", "c")
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 int, x2 int, y int")
+    grouped = {
+        r["group"][0]: (r["n"], r["coeffs_ppm"])
+        for r in fit_grouped_probes_ppm(df, ["g"], ["x1", "x2"], "y")
+    }
+    for g in ("a", "b", "c"):
+        solo = fit_linear_probe_ppm(
+            df.filter(F.col("g") == g), ["x1", "x2"], "y"
+        )
+        assert grouped[g] == (solo["n"], solo["coeffs_ppm"])
