@@ -755,6 +755,88 @@ def _all_pairs_cosine_blocked(
     )
 
 
+def _cross_block_tag(df: DataFrame, side: int, blocks: int) -> DataFrame:
+    """Replicate one side of a cross-set kernel to its block-pair
+    groups: an A-row (side 0) goes to the ``blocks`` groups of its
+    row, a B-row (side 1) to the ``blocks`` groups of its column."""
+    blk = F.pmod(F.xxhash64("__id"), F.lit(blocks)).cast("int")
+    grp_ids = (
+        F.transform(
+            F.sequence(F.lit(0), F.lit(blocks - 1)),
+            lambda k: blk * blocks + k,
+        )
+        if side == 0
+        else F.transform(
+            F.sequence(F.lit(0), F.lit(blocks - 1)),
+            lambda k: k * blocks + blk,
+        )
+    )
+    return df.select(
+        "__id", "__v", F.lit(side).alias("__side"),
+        F.explode(grp_ids).alias("__grp"),
+    )
+
+
+def _cross_hard_negative_candidates_blocked(
+    a: DataFrame, b: DataFrame, neg_max: float, blocks: int = 4
+) -> DataFrame:
+    """Candidate rows for the per-A-row HARDEST-NEGATIVE argmax
+    (highest cosine at ``round(cos,4) <= neg_max``), blocked like the
+    pair kernels: each blocks² group computes its |A_i| x |B_j| sims
+    as one BLAS matmul and emits, per A-row, only the B-rows that are
+    eligible within rounding slack (raw <= neg_max + 5.1e-5) AND
+    within 2.1e-4 of the group-local eligible maximum.  Superset
+    proof: the global winner's raw cosine is >= its own group's
+    eligible raw max - 1.01e-4 (two half-rounding steps: the winner's
+    ROUNDED value is the global max, and the group max's rounded value
+    cannot exceed it), so the 2.1e-4 slack always retains it — the
+    caller applies the exact JVM round/filter/argmax to the tiny
+    candidate set.  Emitted volume is ~|A| x blocks² x (ties), never
+    |A| x |B|."""
+    import numpy as np
+    import pandas as pd
+
+    tagged = _cross_block_tag(a, 0, blocks).unionByName(
+        _cross_block_tag(b, 1, blocks)
+    )
+
+    def cand(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["__side"].to_numpy()
+        ia, ib = np.where(sides == 0)[0], np.where(sides == 1)[0]
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0
+        norms[~nz] = 1.0
+        m = m / norms
+        A, B = m[ia][nz[ia]], m[ib][nz[ib]]
+        a_ids, b_ids = ids[ia][nz[ia]], ids[ib][nz[ib]]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        sims = A @ B.T
+        elig = sims <= neg_max + 5.1e-5
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(A)):
+            row = sims[i]
+            e = elig[i]
+            if not e.any():
+                continue
+            local_max = row[e].max()
+            keep = e & (row >= local_max - 2.1e-4)
+            for j in np.where(keep)[0]:
+                out_a.append(a_ids[i])
+                out_b.append(b_ids[j])
+                out_c.append(row[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "__cos": out_c})
+
+    id_t = a.schema["__id"].dataType.simpleString()
+    return tagged.groupBy("__grp").applyInPandas(
+        cand, f"id_a {id_t}, id_b {id_t}, __cos double"
+    )
+
+
 def _cross_pairs_cosine_blocked(
     a: DataFrame, b: DataFrame, threshold: float, blocks: int = 4
 ) -> DataFrame:
@@ -776,25 +858,9 @@ def _cross_pairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
-    def tag(df: DataFrame, side: int) -> DataFrame:
-        blk = F.pmod(F.xxhash64("__id"), F.lit(blocks)).cast("int")
-        grp_ids = (
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda k: blk * blocks + k,
-            )
-            if side == 0
-            else F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda k: k * blocks + blk,
-            )
-        )
-        return df.select(
-            "__id", "__v", F.lit(side).alias("__side"),
-            F.explode(grp_ids).alias("__grp"),
-        )
-
-    tagged = tag(a, 0).unionByName(tag(b, 1))
+    tagged = _cross_block_tag(a, 0, blocks).unionByName(
+        _cross_block_tag(b, 1, blocks)
+    )
 
     def cross_sim(pdf: pd.DataFrame) -> pd.DataFrame:
         sides = pdf["__side"].to_numpy()

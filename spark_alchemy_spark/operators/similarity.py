@@ -681,6 +681,97 @@ def append_ivf_index(
     }
 
 
+def mine_contrastive_triplets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pos_threshold: float = 0.95,
+    neg_max: float = 0.5,
+) -> DataFrame:
+    """Mine (anchor, positive, hard negative) triplets for contrastive
+    embedding training — the training-pair factory of a retrieval /
+    embedding-model data pipeline.
+
+    * ANCHORS are the rows with at least one near-duplicate: positive
+      pairs come from the exact blocked BLAS kernel at
+      ``cos >= pos_threshold`` (``_all_pairs_cosine_blocked`` — no
+      row-at-a-time pair join); each anchor keeps its BEST positive
+      (max cos, ties to the lowest id).
+    * HARD NEGATIVES are, per anchor, the highest-cosine row at
+      ``round(cos,4) <= neg_max`` — close enough to be informative,
+      far enough to be a true negative.  The anchor set is
+      duplicate-bounded (tiny next to the corpus), so the negative
+      scan is ONE broadcast-anchors pass over the corpus with a
+      per-anchor top-1 window — at 100 TB swap the scan for an ANN
+      top-k probe (``ivf_topk_indexed``) + the same <= neg_max filter;
+      the selection rule is unchanged.
+
+    Zero-norm vectors are excluded on both sides of every cosine (no
+    defined similarity).  Returns (anchor_id, positive_id,
+    negative_id, pos_cos, neg_cos); anchors with no candidate at
+    <= neg_max are dropped (inner join) — both deterministic, so any
+    SQL engine replays the exact triplet set."""
+    v = (
+        df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .filter(F.exists("__v", lambda x: x != 0))
+        .localCheckpoint(eager=False)  # reused: kernel + negative scan
+    )
+    from .dedup import _all_pairs_cosine_blocked
+
+    pairs = _all_pairs_cosine_blocked(v, pos_threshold)
+    both = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "cos",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("positive_id"),
+            "cos",
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), "positive_id"
+    )
+    best_pos = (
+        both.withColumn("__r", F.row_number().over(wpos))
+        .filter(F.col("__r") == 1)
+        .select("anchor_id", "positive_id", F.col("cos").alias("pos_cos"))
+        .localCheckpoint(eager=False)  # anchors: dup-bounded, reused twice
+    )
+    from .dedup import _cross_hard_negative_candidates_blocked
+
+    avecs = best_pos.select("anchor_id").join(
+        v.select(F.col("__id").alias("anchor_id"), F.col("__v").alias("__av")),
+        "anchor_id",
+    )
+    # argmax candidates via the blocked kernel (BLAS matmuls +
+    # rounding-slack retention proof — see the kernel docstring);
+    # per-pair HOF cosine here was |anchors| x |corpus| row-at-a-time
+    # work (47s warm at sf0.1 vs ~3s kernel-side)
+    negcand = _cross_hard_negative_candidates_blocked(
+        avecs.select(F.col("anchor_id").alias("__id"), F.col("__av").alias("__v")),
+        v,
+        neg_max,
+    )
+    wneg = Window.partitionBy("id_a").orderBy(F.col("__c").desc(), "id_b")
+    best_neg = (
+        negcand.filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("__c", F.round("__cos", 4))
+        .filter(F.col("__c") <= neg_max)  # exact JVM round/filter
+        .withColumn("__r", F.row_number().over(wneg))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("negative_id"),
+            F.col("__c").alias("neg_cos"),
+        )
+    )
+    return best_pos.join(best_neg, "anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "pos_cos", "neg_cos"
+    )
+
+
 def rebalance_ivf_index(
     spark,
     path: str,

@@ -1070,3 +1070,86 @@ def stream_probe_quality_gate(spark, sf_dir):
         output_mode="complete",
         state_partitions=8,
     )
+
+
+@query(
+    "prep_contrastive_triplets",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                               '{PRE_TOKEN_RE}')) AS w
+      FROM documents),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 32 AS b,
+             CASE WHEN CAST(('0x' || substr(md5(w), 5, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok),
+    agg AS MATERIALIZED (
+      SELECT doc_id, b, CAST(sum(s) AS DOUBLE) AS v
+      FROM hb GROUP BY doc_id, b),
+    nrm AS MATERIALIZED (
+      SELECT doc_id, sqrt(sum(v*v)) AS n FROM agg GROUP BY doc_id),
+    nz AS MATERIALIZED (SELECT doc_id, n FROM nrm WHERE n > 0),
+    dots AS MATERIALIZED (
+      SELECT a.doc_id AS ia, s.doc_id AS ib, sum(a.v * s.v) AS dot
+      FROM agg a JOIN agg s ON a.b = s.b AND a.doc_id < s.doc_id
+      GROUP BY 1, 2),
+    cosv AS MATERIALIZED (
+      SELECT ia, ib, round(dot / (x.n * y.n), 4) AS c
+      FROM dots JOIN nz x ON x.doc_id = ia JOIN nz y ON y.doc_id = ib),
+    pos AS (
+      SELECT ia AS anchor_id, ib AS positive_id, c FROM cosv WHERE c >= 0.95
+      UNION ALL
+      SELECT ib, ia, c FROM cosv WHERE c >= 0.95),
+    bestpos AS MATERIALIZED (
+      SELECT anchor_id, positive_id, c AS pos_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY c DESC, positive_id) AS r
+        FROM pos) WHERE r = 1),
+    gcos AS MATERIALIZED (
+      -- pairs sharing NO hash bucket have dot exactly 0: synthesize
+      -- them (LEFT JOIN + coalesce) so the negative argmax sees the
+      -- same candidate grid the dense-vector scan sees
+      SELECT bp.anchor_id, d.doc_id AS nid,
+             round(coalesce(t.dot, 0) / (x.n * d.n), 4) AS c
+      FROM bestpos bp
+      JOIN nz x ON x.doc_id = bp.anchor_id
+      CROSS JOIN nz d
+      LEFT JOIN dots t ON t.ia = least(bp.anchor_id, d.doc_id)
+                      AND t.ib = greatest(bp.anchor_id, d.doc_id)
+      WHERE d.doc_id <> bp.anchor_id),
+    bestneg AS (
+      SELECT anchor_id, nid AS negative_id, c AS neg_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY c DESC, nid) AS r
+        FROM gcos WHERE c <= 0.5) WHERE r = 1)
+    SELECT anchor_id, positive_id, negative_id, pos_cos, neg_cos
+    FROM bestpos JOIN bestneg USING (anchor_id)
+    """,
+)
+def prep_contrastive_triplets(spark, sf_dir):
+    """Contrastive-training triplet mining — the training-pair factory
+    of an embedding-model data pipeline: every document with a near
+    duplicate becomes an ANCHOR, keeps its best POSITIVE (exact
+    blocked-kernel pairs at cos >= 0.95, ties to lowest id), and is
+    paired with its HARDEST NEGATIVE (highest cosine at
+    round(cos,4) <= 0.5 — informative but truly negative), all over
+    the model-free hashing-trick embeddings so the full triplet set
+    replays relationally in any SQL engine
+    (``operators/similarity.py::mine_contrastive_triplets``).
+
+    Scale shape: positives ride the blocked BLAS kernel (probe-all =
+    the oracle configuration; production swaps the selective
+    ``semantic_dup_pairs`` path); the anchor set is DUPLICATE-bounded,
+    so negatives cost one broadcast-anchors corpus pass (at 100 TB: an
+    ANN top-k probe + the same <= neg_max filter, selection rule
+    unchanged)."""
+    from .operators.dedup import doc_hash_embeddings
+    from .operators.similarity import mine_contrastive_triplets
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    emb = doc_hash_embeddings(documents, "doc_id", "text", dim=32)
+    return mine_contrastive_triplets(
+        emb, "doc_id", "vec", pos_threshold=0.95, neg_max=0.5
+    )

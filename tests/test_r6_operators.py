@@ -526,3 +526,61 @@ def test_word_syms_empty_word_is_empty(spark):
     }
     assert got[""] == []
     assert got["ab"] == ["61", "62"]
+
+
+def test_contrastive_triplets_match_brute_force(spark):
+    """The mined triplet set must equal an exact Python replay:
+    best positive = max cosine >= 0.95 (ties to lowest id), hardest
+    negative = max ROUNDED cosine <= 0.5 (ties to lowest id) — the
+    kernel's slack-retention argument is what makes the blocked path
+    exact, so verify it end to end on data with planted duplicates,
+    near-boundary negatives, and a zero-norm row."""
+    import math
+    import random
+
+    from spark_alchemy_spark.operators.similarity import (
+        mine_contrastive_triplets,
+    )
+
+    rng = random.Random(21)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    for k in range(6):  # planted duplicate groups -> anchors exist
+        rows[30 + k] = (30 + k, [x * 1.001 for x in rows[k][1]])
+    rows.append((99, [0.0] * 8))  # zero-norm: excluded everywhere
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got = {
+        tuple(r)
+        for r in mine_contrastive_triplets(
+            df, "vec_id", "vec", pos_threshold=0.95, neg_max=0.5
+        ).collect()
+    }
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return d / (nu * nv) if nu and nv else None
+
+    vecs = {i: v for i, v in rows if any(x != 0 for x in v)}
+
+    def r4(x):  # HALF_UP like Spark/DuckDB round(x, 4)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                                rounding=ROUND_HALF_UP))
+
+    want = set()
+    for a in vecs:
+        cands = [
+            (r4(cos(vecs[a], vecs[b])), b) for b in vecs if b != a
+        ]
+        pos = [(c, b) for c, b in cands if c >= 0.95]
+        neg = [(c, b) for c, b in cands if c <= 0.5]
+        if not pos or not neg:
+            continue
+        pc, pb = max(pos, key=lambda t: (t[0], -t[1]))
+        nc, nb = max(neg, key=lambda t: (t[0], -t[1]))
+        want.add((a, pb, nb, pc, nc))
+    assert got == want and len(want) >= 12
