@@ -1064,9 +1064,11 @@ def stream_probe_quality_gate(spark, sf_dir):
     rollup = gated.groupBy("lang", "decision").agg(
         F.count(F.lit(1)).alias("n")
     )
+    from .queries_ext import _sink_name
+
     return run_to_memory(
         rollup,
-        f"probe_gate_{abs(hash(sf_dir)) % 10_000_000}",
+        _sink_name("probe_gate"),
         output_mode="complete",
         state_partitions=8,
     )
