@@ -1155,3 +1155,53 @@ def prep_contrastive_triplets(spark, sf_dir):
     return mine_contrastive_triplets(
         emb, "doc_id", "vec", pos_threshold=0.95, neg_max=0.5
     )
+
+
+@query(
+    "quality_probe_residuals",
+    f"""
+    WITH {_PROBE_COEF_SQL},
+    scored AS (
+      SELECT f.doc_id, f.lang, f.n_chars,
+             b0_ppm + b1_ppm * f.x1 + b2_ppm * f.x2 AS pred_ppm
+      FROM feats f CROSS JOIN coef),
+    res AS (
+      SELECT doc_id, lang, n_chars, pred_ppm,
+             n_chars * 1000000 - pred_ppm AS residual_ppm
+      FROM scored)
+    SELECT doc_id, lang, n_chars, pred_ppm, residual_ppm FROM (
+      SELECT *, row_number() OVER (ORDER BY abs(residual_ppm) DESC,
+                                   doc_id) AS r
+      FROM res) WHERE r <= 20
+    """,
+)
+def quality_probe_residuals(spark, sf_dir):
+    """Residual analysis of the fitted probe — the curation use of a
+    cheap model beyond gating: the documents whose OBSERVED label most
+    disagrees with the prediction are the anomalies worth auditing
+    (formatting damage, mislabels, boilerplate the features do not
+    see).  Residuals stay in exact integer ppm (observed*1e6 - pinned
+    prediction), so the top-20 disagreement list — |residual| desc,
+    doc_id tie-break — is bit-replayable in any engine.  Scoring is
+    the map-only codegen pass; the top-k is one window."""
+    _, coeffs = _probe_coeffs(spark, sf_dir)
+    from .operators.probe import probe_score_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    res = _probe_feats(documents).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        probe_score_ppm(coeffs, ["x1", "x2"]).alias("pred_ppm"),
+    ).withColumn(
+        "residual_ppm",
+        F.col("n_chars") * F.lit(1_000_000).cast("long") - F.col("pred_ppm"),
+    )
+    # orderBy+limit, NOT a global window: Catalyst plans this as
+    # TakeOrderedAndProject (per-partition partial top-k + one k-merge)
+    # — a global row_number window would single-partition the sort
+    return (
+        res.orderBy(F.abs("residual_ppm").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "n_chars", "pred_ppm", "residual_ppm")
+    )

@@ -813,3 +813,57 @@ def test_grouped_fit_matches_global_fit_per_group(spark):
             df.filter(F.col("g") == g), ["x1", "x2"], "y"
         )
         assert grouped[g] == (solo["n"], solo["coeffs_ppm"])
+
+
+@_settings
+@given(
+    na=st.integers(min_value=0, max_value=25),
+    nb=st.integers(min_value=0, max_value=25),
+    dim=st.integers(min_value=2, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_cross_kernel_equals_hof_reference(spark, na, nb, dim, seed):
+    """The cross-set blocked kernel must equal the expression-path
+    reference for ANY set sizes (including empty and singleton sides),
+    dimensions, and data — it backs the streaming ingest verify and
+    the triplet miner, so the law is load-bearing."""
+    import random
+
+    from spark_alchemy_spark.operators.dedup import (
+        _cross_pairs_cosine_blocked,
+        cosine_similarity,
+    )
+
+    rng = random.Random(seed)
+    mk = lambda n, off: [
+        (off + i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n)
+    ]
+    a_rows, b_rows = mk(na, 0), mk(nb, 1000)
+    # plant cross duplicates so matches exist when both sides do
+    for k in range(min(na, nb, 3)):
+        b_rows[k] = (1000 + k, list(a_rows[k][1]))
+    schema = "__id long, __v array<double>"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in _cross_pairs_cosine_blocked(a, b, 0.8).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in (
+            a.alias("x")
+            .crossJoin(b.alias("y"))
+            .select(
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                F.round(
+                    cosine_similarity(F.col("x.__v"), F.col("y.__v")), 4
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.8)
+            .collect()
+        )
+    }
+    assert got == want
