@@ -745,8 +745,12 @@ def _all_pairs_cosine_blocked(
             }
         )
 
+    # id columns inherit the caller's id type (same rule as the
+    # cross-set kernels — round-6 second-review finding: the triplet
+    # miner's positive leg crashes on string ids with a hardcoded long)
+    id_t = v.schema["__id"].dataType.simpleString()
     out = tagged.groupBy("__grp").applyInPandas(
-        cross_sim, "id_a long, id_b long, __cos double"
+        cross_sim, f"id_a {id_t}, id_b {id_t}, __cos double"
     )
     return (
         out.withColumn("cos", F.round("__cos", 4))
@@ -783,16 +787,23 @@ def _cross_hard_negative_candidates_blocked(
     """Candidate rows for the per-A-row HARDEST-NEGATIVE argmax
     (highest cosine at ``round(cos,4) <= neg_max``), blocked like the
     pair kernels: each blocks² group computes its |A_i| x |B_j| sims
-    as one BLAS matmul and emits, per A-row, only the B-rows that are
-    eligible within rounding slack (raw <= neg_max + 5.1e-5) AND
-    within 2.1e-4 of the group-local eligible maximum.  Superset
-    proof: the global winner's raw cosine is >= its own group's
-    eligible raw max - 1.01e-4 (two half-rounding steps: the winner's
-    ROUNDED value is the global max, and the group max's rounded value
-    cannot exceed it), so the 2.1e-4 slack always retains it — the
-    caller applies the exact JVM round/filter/argmax to the tiny
-    candidate set.  Emitted volume is ~|A| x blocks² x (ties), never
-    |A| x |B|."""
+    as one BLAS matmul and emits, per A-row, a provable superset of
+    the global rounded-argmax winner; the caller applies the exact JVM
+    round/filter/argmax to the tiny candidate set.
+
+    Retention proof (rows partitioned by raw cosine against the pass
+    boundary ``neg_max + 5e-5``, above which HALF_UP rounds past
+    ``neg_max``): DEFINITE passers (raw < boundary - 1e-9 — the 1e-9
+    margin dwarfs the double/decimal conversion gap) anchor the
+    group-local max; every definite passer whose ROUNDED value equals
+    the group's best is within 1.01e-4 of that max (two half-rounding
+    steps), so the 2.1e-4 window retains it.  UNCERTAIN rows (raw
+    within [boundary - 1e-9, boundary + 1e-6]) are kept
+    unconditionally — the sliver where numpy cannot decide the JVM
+    round — and crucially NEVER anchor the max: a row that rounds
+    ABOVE neg_max sitting in the window would otherwise evict the true
+    winner (round-6 second-review finding).  Emitted volume is
+    ~|A| x blocks² x (ties), never |A| x |B|."""
     import numpy as np
     import pandas as pd
 
@@ -816,15 +827,18 @@ def _cross_hard_negative_candidates_blocked(
         if len(A) == 0 or len(B) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
         sims = A @ B.T
-        elig = sims <= neg_max + 5.1e-5
+        boundary = neg_max + 5e-5  # HALF_UP pass boundary at 4dp
+        definite = sims < boundary - 1e-9
+        uncertain = (sims >= boundary - 1e-9) & (sims <= boundary + 1e-6)
         out_a, out_b, out_c = [], [], []
         for i in range(len(A)):
             row = sims[i]
-            e = elig[i]
-            if not e.any():
-                continue
-            local_max = row[e].max()
-            keep = e & (row >= local_max - 2.1e-4)
+            d_i, u_i = definite[i], uncertain[i]
+            keep = u_i.copy()
+            if d_i.any():
+                # max over DEFINITE passers only: an uncertain row that
+                # rounds above neg_max must never evict the true winner
+                keep |= d_i & (row >= row[d_i].max() - 2.1e-4)
             for j in np.where(keep)[0]:
                 out_a.append(a_ids[i])
                 out_b.append(b_ids[j])

@@ -80,13 +80,25 @@ def _trunc_div_ppm(num: int, den: int) -> int:
 
 
 def linear_probe_sums(
-    df: DataFrame, x_cols: list[str], y_col: str
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The sufficient statistics of the OLS fit as ONE aggregate row:
     n, sum(x_i), sum(y), sum(x_i*x_j) for i<=j, sum(x_i*y).  All
     inputs must be integer-valued columns (the exactness contract);
     the aggregate is map-side combinable — this is the only
-    distributed work in the fit."""
+    distributed work in the fit.  With ``group_cols`` the same sums
+    come back per group (one grouped aggregate, shuffle = n_groups x
+    d^2 longs) — the single definition both fit paths share."""
+    aggs = _moment_aggs(x_cols, y_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _moment_aggs(x_cols: list[str], y_col: str) -> list[Column]:
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, xi in enumerate(x_cols):
         aggs.append(F.sum(F.col(xi).cast("long")).alias(f"s{i}"))
@@ -104,7 +116,40 @@ def linear_probe_sums(
                 f"s{i}y"
             )
         )
-    return df.agg(*aggs)
+    return aggs
+
+
+def _solve_ppm(r: dict, d: int) -> tuple[int, list[int] | None]:
+    """Assemble the augmented normal-equation system from a moment-sum
+    row dict and Cramer-solve it in exact integers; returns (n,
+    coeffs_ppm) with ``None`` coefficients for a singular system.  The
+    single solver both fit paths share."""
+    n = int(r["n"])
+    s = [[0] * (d + 1) for _ in range(d + 1)]
+    b = [0] * (d + 1)
+    s[0][0] = n
+    b[0] = int(r["sy"])
+    for i in range(d):
+        s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
+        b[i + 1] = int(r[f"s{i}y"])
+        for j in range(i, d):
+            s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
+    det = exact_int_det(s)
+    if det == 0:
+        return n, None
+    coeffs = [
+        _trunc_div_ppm(
+            exact_int_det(
+                [
+                    [b[p] if c == k else s[p][c] for c in range(d + 1)]
+                    for p in range(d + 1)
+                ]
+            ),
+            det,
+        )
+        for k in range(d + 1)
+    ]
+    return n, coeffs
 
 
 def fit_linear_probe_ppm(
@@ -114,28 +159,12 @@ def fit_linear_probe_ppm(
     the one-pass moment sums.  Returns ``{"n": rows, "coeffs_ppm":
     [b0_ppm, b1_ppm, ...]}`` with coefficients truncated toward zero
     at ppm — the exact numbers a DuckDB replay of the same sums
-    produces."""
+    produces.  Raises on a singular system (the fit-path contract;
+    the grouped path surfaces singular groups instead)."""
     row = linear_probe_sums(df, x_cols, y_col).collect()[0].asDict()
-    d = len(x_cols)
-    n = int(row["n"])
-    # augmented design: column 0 is the intercept
-    s = [[0] * (d + 1) for _ in range(d + 1)]
-    b = [0] * (d + 1)
-    s[0][0] = n
-    b[0] = int(row["sy"])
-    for i in range(d):
-        s[0][i + 1] = s[i + 1][0] = int(row[f"s{i}"])
-        b[i + 1] = int(row[f"s{i}y"])
-        for j in range(i, d):
-            s[i + 1][j + 1] = s[j + 1][i + 1] = int(row[f"s{i}{j}"])
-    det = exact_int_det(s)
-    coeffs = []
-    for k in range(d + 1):
-        mk = [
-            [b[r] if c == k else s[r][c] for c in range(d + 1)]
-            for r in range(d + 1)
-        ]
-        coeffs.append(_trunc_div_ppm(exact_int_det(mk), det))
+    n, coeffs = _solve_ppm(row, len(x_cols))
+    if coeffs is None:
+        raise ZeroDivisionError("singular normal-equation system")
     return {"n": n, "coeffs_ppm": coeffs}
 
 
@@ -151,52 +180,10 @@ def fit_grouped_probes_ppm(
     never rows.  Groups whose normal-equation system is singular
     (constant features, n <= d) are returned with ``coeffs_ppm=None``
     rather than dropped, so the caller sees them."""
-    aggs = [F.count(F.lit(1)).alias("n")]
-    d = len(x_cols)
-    for i, xi in enumerate(x_cols):
-        aggs.append(F.sum(F.col(xi).cast("long")).alias(f"s{i}"))
-    aggs.append(F.sum(F.col(y_col).cast("long")).alias("sy"))
-    for i, xi in enumerate(x_cols):
-        for j in range(i, d):
-            aggs.append(
-                F.sum(
-                    F.col(xi).cast("long") * F.col(x_cols[j]).cast("long")
-                ).alias(f"s{i}{j}")
-            )
-        aggs.append(
-            F.sum(F.col(xi).cast("long") * F.col(y_col).cast("long")).alias(
-                f"s{i}y"
-            )
-        )
     out = []
-    for row in df.groupBy(*group_cols).agg(*aggs).collect():
+    for row in linear_probe_sums(df, x_cols, y_col, group_cols).collect():
         r = row.asDict()
-        n = int(r["n"])
-        s = [[0] * (d + 1) for _ in range(d + 1)]
-        b = [0] * (d + 1)
-        s[0][0] = n
-        b[0] = int(r["sy"])
-        for i in range(d):
-            s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
-            b[i + 1] = int(r[f"s{i}y"])
-            for j in range(i, d):
-                s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
-        det = exact_int_det(s)
-        if det == 0:
-            coeffs = None
-        else:
-            coeffs = [
-                _trunc_div_ppm(
-                    exact_int_det(
-                        [
-                            [b[p] if c == k else s[p][c] for c in range(d + 1)]
-                            for p in range(d + 1)
-                        ]
-                    ),
-                    det,
-                )
-                for k in range(d + 1)
-            ]
+        n, coeffs = _solve_ppm(r, len(x_cols))
         out.append(
             {
                 "group": tuple(r[g] for g in group_cols),

@@ -413,20 +413,30 @@ def plan_cms_skew_salting(spark, sf_dir):
 # Distributed model fitting: linear probe -> AUC -> calibration -> gate
 # ---------------------------------------------------------------------------
 
-#: Shared oracle CTEs: integer features over documents, one-pass moment
-#: sums (HUGEINT — determinant products reach ~1e31), Cramer's rule
-#: with the sign factored out BEFORE the division so truncation
-#: toward zero matches Spark's exact-int driver solve bit-for-bit.
-#: (sign via (a<0)<>(b<0), never a*b — the product would overflow.)
-_PROBE_COEF_SQL = """
+#: Shared oracle building blocks: integer features over documents,
+#: one-pass moment sums (HUGEINT — determinant products reach ~1e31),
+#: Cramer's rule with the sign factored out BEFORE the division so
+#: truncation toward zero matches Spark's exact-int driver solve
+#: bit-for-bit.  (sign via (a<0)<>(b<0), never a*b — the product would
+#: overflow.)  ONE generator feeds the global, grouped, and
+#: standing-half variants so the formulas cannot drift apart.
+_PROBE_FEATS_SQL = """
     feats AS MATERIALIZED (
       SELECT doc_id, lang, n_chars,
              len(string_split(text, ' ')) AS x1,
              len(list_filter(string_split(text, ' '),
                              w -> len(w) >= 5)) AS x2
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents WHERE text IS NOT NULL)"""
+
+
+def _probe_cramer_sql(src: str = "feats", key: str = "") -> str:
+    """``sums`` + ``dets`` CTEs over ``src``, optionally grouped by
+    ``key`` (the Cramer formulas exist exactly once, here)."""
+    ks = f"{key}, " if key else ""
+    kg = f" GROUP BY {key}" if key else ""
+    return f"""
     sums AS MATERIALIZED (
-      SELECT CAST(count(*) AS HUGEINT) AS n,
+      SELECT {ks}CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(x1) AS HUGEINT) AS s1,
              CAST(sum(x2) AS HUGEINT) AS s2,
              CAST(sum(n_chars) AS HUGEINT) AS sy,
@@ -435,9 +445,9 @@ _PROBE_COEF_SQL = """
              CAST(sum(x2 * x2) AS HUGEINT) AS s22,
              CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
              CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
-      FROM feats),
+      FROM {src}{kg}),
     dets AS MATERIALIZED (
-      SELECT
+      SELECT {ks}n,
         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
           + s2*(s1*s12 - s11*s2) AS d,
         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
@@ -446,18 +456,31 @@ _PROBE_COEF_SQL = """
           + s2*(s1*s2y - s1y*s2) AS d1,
         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
           + sy*(s1*s12 - s11*s2) AS d2
-      FROM sums),
+      FROM sums)"""
+
+
+def _probe_pin_sql(dk: str) -> str:
+    """The ppm coefficient pin for determinant column ``dk``."""
+    return (
+        f"CAST(CASE WHEN ({dk} < 0) <> (d < 0) THEN -1 ELSE 1 END"
+        f" * (abs({dk}) * 1000000 // abs(d)) AS BIGINT)"
+    )
+
+
+_PROBE_COEF_SQL = (
+    _PROBE_FEATS_SQL
+    + ","
+    + _probe_cramer_sql()
+    + f""",
     coef AS MATERIALIZED (
       SELECT
         CAST((SELECT n FROM sums) AS BIGINT) AS n_rows,
-        CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
-        CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
-        CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+        {_probe_pin_sql("d0")} AS b0_ppm,
+        {_probe_pin_sql("d1")} AS b1_ppm,
+        {_probe_pin_sql("d2")} AS b2_ppm
       FROM dets)
 """
+)
 
 _PROBE_CACHE: dict = {}
 
@@ -602,13 +625,11 @@ def quality_probe_calibration(spark, sf_dir):
             F.expr(
                 "CAST(sum(n_chars) * 1000000 DIV count(*) AS BIGINT)"
             ).alias("mean_chars_ppm"),
-            # sign factored out of the division (same rule as the
-            # coefficient pin): Spark DIV truncates toward zero, the
-            # oracle's // floors — identical only on non-negatives
-            F.expr(
-                "CAST(CASE WHEN sum(s) < 0 THEN -((-sum(s)) DIV count(*))"
-                " ELSE sum(s) DIV count(*) END AS BIGINT)"
-            ).alias("mean_pred_ppm"),
+            # Spark DIV already truncates toward zero — the sign
+            # factoring lives in the ORACLE only, where // floors
+            F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias(
+                "mean_pred_ppm"
+            ),
         )
     )
 
@@ -897,40 +918,7 @@ def ann_ivf_rebalance(spark, sf_dir):
     )
 
 
-#: Grouped variant of the probe oracle: one grouped moment-sum
-#: aggregate, Cramer per group, singular groups (d = 0) excluded on
-#: BOTH sides.
-_PROBE_GROUPED_SQL = """
-    feats AS MATERIALIZED (
-      SELECT doc_id, lang, n_chars,
-             len(string_split(text, ' ')) AS x1,
-             len(list_filter(string_split(text, ' '),
-                             w -> len(w) >= 5)) AS x2
-      FROM documents WHERE text IS NOT NULL),
-    sums AS MATERIALIZED (
-      SELECT lang,
-             CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x1) AS HUGEINT) AS s1,
-             CAST(sum(x2) AS HUGEINT) AS s2,
-             CAST(sum(n_chars) AS HUGEINT) AS sy,
-             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
-             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
-             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
-             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
-             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
-      FROM feats GROUP BY lang),
-    dets AS MATERIALIZED (
-      SELECT lang, n,
-        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-          + s2*(s1*s12 - s11*s2) AS d,
-        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
-          + s2*(s1y*s12 - s11*s2y) AS d0,
-        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
-          + s2*(s1*s2y - s1y*s2) AS d1,
-        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
-          + sy*(s1*s12 - s11*s2) AS d2
-      FROM sums)
-"""
+_PROBE_GROUPED_SQL = _PROBE_FEATS_SQL + "," + _probe_cramer_sql(key="lang")
 
 
 @query(
@@ -938,12 +926,9 @@ _PROBE_GROUPED_SQL = """
     f"""
     WITH {_PROBE_GROUPED_SQL}
     SELECT lang, CAST(n AS BIGINT) AS n_rows,
-           CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
-                * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
-           CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
-                * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
-           CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
-                * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+           {_probe_pin_sql("d0")} AS b0_ppm,
+           {_probe_pin_sql("d1")} AS b1_ppm,
+           {_probe_pin_sql("d2")} AS b2_ppm
     FROM dets WHERE d <> 0
     """,
 )
@@ -977,44 +962,13 @@ def quality_probe_by_lang(spark, sf_dir):
 @query(
     "stream_probe_quality_gate",
     f"""
-    WITH
-    feats AS MATERIALIZED (
-      SELECT doc_id, lang, n_chars,
-             len(string_split(text, ' ')) AS x1,
-             len(list_filter(string_split(text, ' '),
-                             w -> len(w) >= 5)) AS x2
-      FROM documents WHERE text IS NOT NULL),
+    WITH {_PROBE_FEATS_SQL},
     ef AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 2 = 0),
-    sums AS MATERIALIZED (
-      SELECT CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x1) AS HUGEINT) AS s1,
-             CAST(sum(x2) AS HUGEINT) AS s2,
-             CAST(sum(n_chars) AS HUGEINT) AS sy,
-             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
-             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
-             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
-             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
-             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
-      FROM ef),
-    dets AS MATERIALIZED (
-      SELECT
-        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-          + s2*(s1*s12 - s11*s2) AS d,
-        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
-          + s2*(s1y*s12 - s11*s2y) AS d0,
-        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
-          + s2*(s1*s2y - s1y*s2) AS d1,
-        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
-          + sy*(s1*s12 - s11*s2) AS d2
-      FROM sums),
+    {_probe_cramer_sql(src="ef")},
     coef AS MATERIALIZED (
-      SELECT
-        CAST(CASE WHEN (d0 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d0) * 1000000 // abs(d)) AS BIGINT) AS b0_ppm,
-        CAST(CASE WHEN (d1 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d1) * 1000000 // abs(d)) AS BIGINT) AS b1_ppm,
-        CAST(CASE WHEN (d2 < 0) <> (d < 0) THEN -1 ELSE 1 END
-             * (abs(d2) * 1000000 // abs(d)) AS BIGINT) AS b2_ppm
+      SELECT {_probe_pin_sql("d0")} AS b0_ppm,
+             {_probe_pin_sql("d1")} AS b1_ppm,
+             {_probe_pin_sql("d2")} AS b2_ppm
       FROM dets)
     SELECT lang,
            CASE WHEN b0_ppm + b1_ppm * x1 + b2_ppm * x2 >= 250 * 1000000
@@ -1045,14 +999,10 @@ def stream_probe_quality_gate(spark, sf_dir):
     coeffs = res["coeffs_ppm"]
 
     stream = read_table_stream(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 2 == 1) & F.col("text").isNotNull()
+        F.col("doc_id") % 2 == 1
     )
-    words = F.split(F.col("text"), " ")
-    feats = stream.select(
-        "lang",
-        F.size(words).alias("x1"),
-        F.size(F.filter(words, lambda w: F.length(w) >= 5)).alias("x2"),
-    )
+    # the ONE feature definition (works on streaming DataFrames too)
+    feats = _probe_feats(stream)
     gated = feats.select(
         "lang",
         F.when(

@@ -584,3 +584,34 @@ def test_contrastive_triplets_match_brute_force(spark):
         nc, nb = max(neg, key=lambda t: (t[0], -t[1]))
         want.add((a, pb, nb, pc, nc))
     assert got == want and len(want) >= 12
+
+
+def test_hard_negative_kernel_boundary_poison(spark):
+    """Round-6 second-review finding: a row whose raw cosine clears the
+    eligibility slack but ROUNDS ABOVE neg_max (here 0.50006 -> 0.5001)
+    must not anchor the group-local max — with the old single-mask
+    retention it evicted the true hardest negative sitting more than
+    2.1e-4 below it."""
+    import math
+
+    from spark_alchemy_spark.operators.dedup import (
+        _cross_hard_negative_candidates_blocked,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(1, [1.0, 0.0])], "__id long, __v array<double>")
+    rows = [
+        (10, [0.50006, math.sqrt(1 - 0.50006**2)]),  # rounds to 0.5001
+        (20, [0.4, math.sqrt(1 - 0.16)]),            # the true winner
+        (30, [0.9, math.sqrt(1 - 0.81)]),            # ineligible
+    ]
+    b = spark.createDataFrame(rows, "__id long, __v array<double>")
+    cand = _cross_hard_negative_candidates_blocked(a, b, 0.5, blocks=1)
+    best = (
+        cand.withColumn("c", F.round("__cos", 4))
+        .filter(F.col("c") <= 0.5)
+        .orderBy(F.desc("c"), "id_b")
+        .limit(1)
+        .collect()
+    )
+    assert best and best[0]["id_b"] == 20 and best[0]["c"] == 0.4
