@@ -1155,3 +1155,76 @@ def quality_probe_residuals(spark, sf_dir):
         .limit(20)
         .select("doc_id", "lang", "n_chars", "pred_ppm", "residual_ppm")
     )
+
+
+@query(
+    "stream_ivf_append",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t WHERE rnk <= 10
+    """,
+)
+def stream_ivf_append(spark, sf_dir):
+    """STREAMING vector ingest into the persisted IVF index — the
+    lifecycle composed end to end the way a live pipeline runs it:
+    build on the standing corpus (vec_id < 250, the append entry's
+    slice convention, with the session's shared trained model), then
+    every arriving micro-batch (vec_id >= 250 replayed as a file
+    stream) lands through ``append_ivf_index`` inside ``foreachBatch``
+    — assign to the EXISTING centroids, append only the touched list
+    partitions, fold the batch into the running drift baseline, and
+    emit the per-batch drift report (stateless: no state store; the
+    index directory IS the state).  Probing all lists afterwards must
+    reduce exactly to brute force over the FULL corpus — the proof
+    that stream-appended rows are immediately queryable with correct
+    assignments."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+    from .streaming import read_table_stream
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    standing = embeddings.filter(F.col("vec_id") < 250)
+    path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_stream"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    arrivals = read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= 250
+    )
+    reports: list = []  # bounded: one dict per micro-batch
+
+    def append_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        reports.append(
+            append_ivf_index(batch_df, "vec_id", "embedding", path)
+        )
+
+    q = (
+        arrivals.writeStream.foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert reports and all(r["n_appended"] > 0 for r in reports)
+    queries_df = embeddings.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(
+        spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
+    )
