@@ -1228,3 +1228,65 @@ def stream_ivf_append(spark, sf_dir):
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
     )
+
+
+@query(
+    "stream_media_dedup",
+    f"""
+    WITH
+    {_media_bits_sql()},
+    em AS MATERIALIZED (
+      SELECT DISTINCT doc_id % {_MOTIF_MOD} AS m FROM documents
+      WHERE doc_id % 2 = 0),
+    om AS MATERIALIZED (
+      SELECT DISTINCT doc_id % {_MOTIF_MOD} AS m FROM documents
+      WHERE doc_id % 2 = 1),
+    close AS MATERIALIZED (
+      SELECT DISTINCT o.m
+      FROM om o JOIN h ho ON ho.m = o.m
+      JOIN em e ON TRUE JOIN h he ON he.m = e.m
+      WHERE len(list_filter([ho.hs[j:j] <> he.hs[j:j] FOR j IN range(1, 65)],
+                            x -> x)) <= 3),
+    arr AS (SELECT doc_id, lang, doc_id % {_MOTIF_MOD} AS m
+            FROM documents WHERE doc_id % 2 = 1)
+    SELECT lang, count(*) AS n_arrived,
+           CAST(sum(CASE WHEN close.m IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*)
+                - sum(CASE WHEN close.m IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_survived
+    FROM arr LEFT JOIN close ON close.m = arr.m
+    GROUP BY lang
+    """,
+)
+def stream_media_dedup(spark, sf_dir):
+    """MULTIMODAL dedup AT INGEST — the image twin of
+    ``stream_semantic_dedup``: odd-id documents' (deterministic synth)
+    images arrive as a stream, are aHash-fingerprinted per
+    micro-batch, and checked against the STATIC even-id standing
+    fingerprint index by banded Hamming <= 3 with an exact verify
+    (``streaming.media_dedup_at_ingest`` — stateless foreachBatch; the
+    standing index is the checkpointed DISTINCT-fingerprint band
+    table, bounded by distinct imagery).  The oracle replays the aHash
+    bits in closed form per motif (the ``media_*`` convention) and the
+    Hamming-<=3 closure between odd and even motif fingerprints."""
+    from .multimodal import synth_image_udf
+    from .streaming import media_dedup_at_ingest, read_table_stream
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    img = lambda df: df.select(
+        "doc_id",
+        "lang",
+        synth_image_udf()(
+            (F.col("doc_id") % _MOTIF_MOD) * 17, F.lit(8), F.lit(8)
+        ).alias("data"),
+    )
+    standing = img(documents.filter(F.col("doc_id") % 2 == 0))
+    arrivals = img(
+        read_table_stream(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 1
+        )
+    )
+    return media_dedup_at_ingest(
+        arrivals, standing, "doc_id", "data", "lang", max_hamming=3
+    )

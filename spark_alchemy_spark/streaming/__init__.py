@@ -314,6 +314,111 @@ def incremental_sketch_store(
         spark.conf.set(conf_key, old)
 
 
+def media_dedup_at_ingest(
+    arrivals: DataFrame,
+    standing_imgs: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    lang_col: str = "lang",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_bands: int = 4,
+    state_partitions: int = 8,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """IMAGE dedup AT INGEST — the multimodal twin of
+    :func:`semantic_dedup_at_ingest`: arriving images (binary column on
+    a stream) are aHash-fingerprinted per micro-batch and checked
+    against a STATIC standing fingerprint index by banded Hamming
+    (``n_bands`` equal chunks — pigeonhole-complete for
+    ``max_hamming <= n_bands - 1``) with an exact character-diff
+    verify.  STATELESS: foreachBatch against the checkpointed standing
+    DISTINCT-fingerprint band index (bounded by distinct imagery, not
+    corpus size); per-batch driver collection is language-bounded.
+    Returns per-language (n_arrived, n_dropped, n_survived)."""
+    from ..multimodal import ahash_bits
+
+    spark = standing_imgs.sparkSession
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding complete only for max_hamming <= {n_bands - 1}"
+        )
+    blen = n_bits // n_bands
+
+    def banded(fp: DataFrame, hcol: str) -> DataFrame:
+        bands = F.array(
+            *[F.substring(hcol, i * blen + 1, blen) for i in range(n_bands)]
+        )
+        return fp.select(
+            "*", F.posexplode(bands).alias("__band", "__bkey")
+        )
+
+    sidx = banded(
+        ahash_bits(standing_imgs, data_col, id_col)
+        .select(F.col("ahash").alias("__sh"))
+        .distinct(),
+        "__sh",
+    ).localCheckpoint(eager=False)  # distinct-imagery-bounded, reused per batch
+
+    exact = F.expr(
+        f"size(filter(sequence(1, {n_bits}),"
+        f" i -> substring(ahash, i, 1) <> substring(__sh, i, 1)))"
+        f" <= {max_hamming}"
+    )
+    results: list[tuple] = []  # bounded: n_langs rows per micro-batch
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=False)
+        bfp = ahash_bits(batch_df, data_col, id_col)
+        dup_ids = (
+            banded(bfp, "ahash")
+            .join(sidx, ["__band", "__bkey"])
+            .filter(exact)
+            .select(id_col)
+            .distinct()
+        )
+        flagged = batch_df.join(
+            dup_ids.withColumn("__dup", F.lit(1)), id_col, "left"
+        )
+        for r in (
+            flagged.groupBy(lang_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_arrived"),
+                F.count("__dup").alias("n_dropped"),
+            )
+            .collect()
+        ):
+            results.append((r[lang_col], r["n_arrived"], r["n_dropped"]))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            arrivals.writeStream.foreachBatch(dedup_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        spark.conf.set(conf_key, old)
+
+    out = spark.createDataFrame(
+        results, f"{lang_col} string, n_arrived long, n_dropped long"
+    )
+    return out.groupBy(lang_col).agg(
+        F.sum("n_arrived").alias("n_arrived"),
+        F.sum("n_dropped").alias("n_dropped"),
+        (F.sum("n_arrived") - F.sum("n_dropped")).alias("n_survived"),
+    )
+
+
 def semantic_dedup_at_ingest(
     arrivals: DataFrame,
     standing_docs: DataFrame,

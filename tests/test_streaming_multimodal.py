@@ -497,3 +497,45 @@ def test_idle_session_state_rows_shrink_to_open_sessions(spark, tmp_path):
     assert sum(p.get("numRowsRemoved", 0) for p in state_progress) >= 4, (
         state_progress
     )
+
+
+def test_media_dedup_at_ingest_stateless_and_exact(spark, tmp_path):
+    """The image-ingest dedup must match an exact replay (banded
+    Hamming is pigeonhole-complete at 4x16 for radius 3) and run with
+    ZERO state-store rows — foreachBatch against a static index."""
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.multimodal import synth_image_udf
+    from spark_alchemy_spark.streaming import media_dedup_at_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    img = lambda df: df.select(
+        "doc_id", "lang",
+        synth_image_udf()((F.col("doc_id") % 7) * 17, F.lit(8), F.lit(8))
+        .alias("data"),
+    )
+    standing = img(docs.filter(F.col("doc_id") % 2 == 0))
+    d = tmp_path / "arr"
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d))
+    arrivals = img(
+        spark.readStream.schema("doc_id long, lang string").parquet(str(d))
+    )
+    progress: list = []
+    got = {
+        r["lang"]: (r["n_arrived"], r["n_dropped"], r["n_survived"])
+        for r in media_dedup_at_ingest(
+            arrivals, standing, "doc_id", "data", "lang",
+            progress_out=progress,
+        ).collect()
+    }
+    # mod-7 motifs: every odd doc's motif also occurs among even docs
+    # (doc ids are dense), so EVERY arrival is an exact-fingerprint dup
+    want = {
+        r["lang"]: (r["n"], r["n"], 0)
+        for r in docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got
+    assert progress and all(p["stateOperators"] == [] for p in progress)
