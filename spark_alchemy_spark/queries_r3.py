@@ -1379,9 +1379,10 @@ def stream_scd2_enrichment(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "ann_ivf_index_append",
-    """
+#: Exact top-10-over-the-FULL-corpus oracle shared by every entry whose
+#: contract is "probing all lists reduces to brute force" (the batch
+#: append entry here and the streaming append in queries_r6).
+ANN_FULL_CORPUS_TOPK_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1392,8 +1393,10 @@ def stream_scd2_enrichment(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
       FROM scored) t WHERE rnk <= 10
-    """,
-)
+    """
+
+
+@query("ann_ivf_index_append", ANN_FULL_CORPUS_TOPK_ORACLE)
 def ann_ivf_index_append(spark, sf_dir):
     """INCREMENTAL vector-index maintenance: build the IVF index on the
     standing corpus (vec_id < 250), then APPEND the new batch by

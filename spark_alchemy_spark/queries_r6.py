@@ -1157,21 +1157,10 @@ def quality_probe_residuals(spark, sf_dir):
     )
 
 
-@query(
-    "stream_ivf_append",
-    """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.v, c.v), 4) AS cos
-      FROM v q JOIN v c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 5)
-    SELECT query_id, neighbor_id, rnk AS rank, cos FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rnk
-      FROM scored) t WHERE rnk <= 10
-    """,
-)
+from .queries_r3 import ANN_FULL_CORPUS_TOPK_ORACLE  # noqa: E402
+
+
+@query("stream_ivf_append", ANN_FULL_CORPUS_TOPK_ORACLE)
 def stream_ivf_append(spark, sf_dir):
     """STREAMING vector ingest into the persisted IVF index — the
     lifecycle composed end to end the way a live pipeline runs it:

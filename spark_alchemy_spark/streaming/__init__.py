@@ -355,12 +355,23 @@ def media_dedup_at_ingest(
             "*", F.posexplode(bands).alias("__band", "__bkey")
         )
 
-    sidx = banded(
+    standing_fp = (
         ahash_bits(standing_imgs, data_col, id_col)
         .select(F.col("ahash").alias("__sh"))
-        .distinct(),
-        "__sh",
-    ).localCheckpoint(eager=False)  # distinct-imagery-bounded, reused per batch
+        .distinct()
+        .localCheckpoint(eager=False)  # distinct-imagery-bounded
+    )
+    # fail LOUD if the fingerprint width disagrees with n_bits: the
+    # substring verify would otherwise silently ignore trailing bits
+    # (substring past end is '' on both sides) and band keys would
+    # truncate — wrong duplicates, no error (round-6 review finding)
+    wrong = standing_fp.filter(F.length("__sh") != n_bits).limit(1).collect()
+    if wrong:
+        raise ValueError(
+            f"standing fingerprints are {len(wrong[0]['__sh'])} bits, "
+            f"n_bits={n_bits} — pass the matching n_bits"
+        )
+    sidx = banded(standing_fp, "__sh").localCheckpoint(eager=False)
 
     exact = F.expr(
         f"size(filter(sequence(1, {n_bits}),"

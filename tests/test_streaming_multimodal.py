@@ -508,9 +508,9 @@ def test_media_dedup_at_ingest_stateless_and_exact(spark, tmp_path):
     from spark_alchemy_spark.multimodal import synth_image_udf
     from spark_alchemy_spark.streaming import media_dedup_at_ingest
 
-    docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).select("doc_id", "lang")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
     img = lambda df: df.select(
         "doc_id", "lang",
         synth_image_udf()((F.col("doc_id") % 7) * 17, F.lit(8), F.lit(8))
@@ -539,3 +539,32 @@ def test_media_dedup_at_ingest_stateless_and_exact(spark, tmp_path):
     }
     assert got == want and got
     assert progress and all(p["stateOperators"] == [] for p in progress)
+
+
+def test_media_dedup_at_ingest_rejects_mismatched_n_bits(spark, tmp_path):
+    """16x16 images produce 256-bit fingerprints: with the default
+    n_bits=64 the substring verify would silently ignore 192 bits —
+    the helper must fail loud instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.multimodal import synth_image_udf
+    from spark_alchemy_spark.streaming import media_dedup_at_ingest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    img = lambda df, side: df.select(
+        "doc_id", "lang",
+        synth_image_udf()((F.col("doc_id") % 7) * 17, F.lit(side), F.lit(side))
+        .alias("data"),
+    )
+    standing = img(docs.filter(F.col("doc_id") % 2 == 0), 16)
+    d = tmp_path / "arr16"
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d))
+    arrivals = img(
+        spark.readStream.schema("doc_id long, lang string").parquet(str(d)),
+        16,
+    )
+    with pytest.raises(ValueError, match="256 bits"):
+        media_dedup_at_ingest(arrivals, standing, "doc_id", "data", "lang")
