@@ -613,6 +613,18 @@ def bitstring_hamming_pairs(
         )
     blen = n_bits // n_bands
     fp = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    # fail LOUD if any fingerprint disagrees with n_bits: substring
+    # past end returns '' on BOTH sides, so trailing bits would be
+    # silently ignored and band keys would truncate — wrong duplicate
+    # pairs with no error (same guard as the streaming twin
+    # media_dedup_at_ingest; round-7 ADVICE finding)
+    wrong = fp.filter(F.length("__h") != n_bits).limit(1).collect()
+    if wrong:
+        raise ValueError(
+            f"fingerprint {wrong[0]['__id']!r} is "
+            f"{len(wrong[0]['__h'])} bits, n_bits={n_bits} — pass the "
+            f"matching n_bits"
+        )
     bands = F.array(
         *[F.substring("__h", i * blen + 1, blen) for i in range(n_bands)]
     )
@@ -1347,8 +1359,14 @@ def pairs_to_comp_map(
             if ra != rb:  # min root wins
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        # node type INHERITED from the caller's pair schema (string
+        # ids must not crash at driver collapse, and the driver path
+        # must agree with the distributed fallback — same pattern as
+        # the cross-set cosine kernels; round-7 ADVICE finding)
+        node_t = pairs.schema["id_a"].dataType.simpleString()
         return pairs.sparkSession.createDataFrame(
-            [(x, find(x)) for x in parent], "node long, comp long"
+            [(x, find(x)) for x in parent],
+            f"node {node_t}, comp {node_t}",
         )
     return connected_components(pairs, "id_a", "id_b")
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "linear_probe_sums",
     "fit_linear_probe_ppm",
+    "fit_grouped_probes_ppm",
     "probe_score_ppm",
     "rank_auc_ppm",
     "exact_int_det",

@@ -723,8 +723,10 @@ def prep_probe_gated_sample(spark, sf_dir):
       SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY w2),
     t2 AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bc)
     SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-           round(-sum(k * ln((7 * c12 * nn + 3 * c1 * c2)
-                             / (10.0 * c1 * nn))) / sum(k), 4) AS nll
+           round(-sum(k * ln((7 * CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                              + 3 * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))
+                             / (10 * CAST(c1 AS DOUBLE)
+                                * CAST(nn AS DOUBLE)))) / sum(k), 4) AS nll
     FROM dbk JOIN bc USING (w1, w2)
     JOIN c1t USING (w1) JOIN c2t USING (w2)
     CROSS JOIN t2
@@ -737,10 +739,14 @@ def quality_bigram_logprob(spark, sf_dir):
     ladder: per-document average negative log-likelihood under
     p(w2|w1) = 0.7 * C(w1 w2)/C(w1 ·) + 0.3 * C(· w2)/N, i.e. bigram
     MLE backed off to the unigram marginal so unseen contexts never
-    zero out.  The probability is assembled as ONE exact-integer
-    rational — (7*C12*N + 3*C1*C2) / (10*C1*N), every product within
-    int64 by construction — so both engines feed bit-identical doubles
-    into the single ln(); nll rounds at 4dp (the proven unigram
+    zero out.  The probability is assembled as ONE rational —
+    (7*C12*N + 3*C1*C2) / (10*C1*N) — with the products computed in
+    DOUBLE on both engines: below 2^53 (≈9e15, i.e. corpora up to
+    ~1.3e9 bigrams for the 7*C12*N term) the double products are exact
+    integers and both engines feed bit-identical values into the
+    single ln(); beyond that precision degrades to ~1e-16 relative
+    error instead of the silent int64 wrap Spark's non-ANSI long
+    multiply would produce.  nll rounds at 4dp (the proven unigram
     contract).
 
     Scale shape: per-token rows exist only in the one (doc_id, bigram)
@@ -790,7 +796,20 @@ def quality_bigram_logprob(spark, sf_dir):
         .join(c2t, "w2")
         .crossJoin(F.broadcast(tot))
     )
-    p = F.expr("(7 * c12 * nn + 3 * c1 * c2) / (10 * c1 * nn)")
+    # products ride DOUBLEs, not int64: 7*c12*nn wraps silently past
+    # ~1.3e9 bigrams under Spark's non-ANSI long multiply (and errors
+    # in DuckDB).  Below 2^53 the double products are exact integers,
+    # so both engines still feed bit-identical values into ln(); past
+    # that the result degrades gracefully to ~1e-16 relative error
+    # instead of garbage (round-7 ADVICE finding).  Literals stay
+    # INTEGER with explicit CASTs on the columns — a 7.0 literal is
+    # DECIMAL in DuckDB but double in Spark, and the mixed-type
+    # arithmetic diverges at 4dp rounding ties (measured).
+    p = F.expr(
+        "(7 * CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE)"
+        " + 3 * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"
+        " / (10 * CAST(c1 AS DOUBLE) * CAST(nn AS DOUBLE))"
+    )
     return j.groupBy("doc_id").agg(
         F.sum("k").cast("bigint").alias("n_bigrams"),
         F.round(-F.sum(F.col("k") * F.log(p)) / F.sum("k"), 4).alias("nll"),

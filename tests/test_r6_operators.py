@@ -180,6 +180,36 @@ def test_bitstring_hamming_pairs_rejects_bad_geometry(spark):
         bitstring_hamming_pairs(df, "rep", "ahash", max_hamming=4, n_bands=4)
 
 
+def test_bitstring_hamming_pairs_rejects_wrong_width(spark):
+    """A fingerprint narrower than n_bits must fail LOUD, not silently
+    truncate band keys (substring past end returns '' on both sides —
+    the round-7 ADVICE finding; the streaming twin already guarded)."""
+    from spark_alchemy_spark.operators.dedup import bitstring_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, "0" * 64), (2, "0" * 32)], "rep long, ahash string"
+    )
+    with pytest.raises(ValueError, match="n_bits"):
+        bitstring_hamming_pairs(df, "rep", "ahash").collect()
+
+
+def test_pairs_to_comp_map_inherits_string_ids(spark):
+    """The driver union–find path must inherit the caller's id type —
+    string ids crash a hardcoded 'node long' schema and diverge from
+    the distributed fallback (round-7 ADVICE finding)."""
+    from spark_alchemy_spark.operators.dedup import pairs_to_comp_map
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    m = {r["node"]: r["comp"] for r in pairs_to_comp_map(pairs).collect()}
+    assert m == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert dict(pairs_to_comp_map(pairs).dtypes) == {
+        "node": "string",
+        "comp": "string",
+    }
+
+
 def test_selective_recall_entry_laws(spark):
     """The planted-recall entry's structural guarantees, asserted
     directly (not just via the oracle): identical plants are found at
