@@ -1225,12 +1225,9 @@ def stream_ivf_append(spark, sf_dir):
             append_ivf_index(batch_df, "vec_id", "embedding", path)
         )
 
-    q = (
-        arrivals.writeStream.foreachBatch(append_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming import _drain_foreach_batch
+
+    _drain_foreach_batch(arrivals, append_batch)
     assert reports and all(r["n_appended"] > 0 for r in reports)
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     return ivf_topk_indexed(

@@ -154,6 +154,45 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _drain_foreach_batch(
+    stream_df: DataFrame,
+    fn,
+    state_partitions: int | None = None,
+    progress_out: list | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Run ``fn(batch_df, batch_id)`` over every micro-batch of
+    ``stream_df`` with an ``availableNow`` trigger and block until the
+    stream drains — the ONE foreachBatch scaffold shared by the
+    ingest-dedup family, the sketch store, and the streaming IVF
+    entries (round-7 VERDICT task: four hand-rolled copies meant a
+    conf-leak fixed in one missed the other three).
+
+    ``state_partitions`` temporarily bounds
+    ``spark.sql.shuffle.partitions`` for the stream's lifetime (micro-
+    batches are small; full-width shuffles would dominate wall time)
+    and ALWAYS restores the caller's setting, even on failure.
+    ``progress_out`` receives ``q.recentProgress`` for callers that
+    assert on state-store metrics.  ``checkpoint`` sets the
+    checkpointLocation for restart-recoverable sinks."""
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key) if state_partitions is not None else None
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        w = stream_df.writeStream.foreachBatch(fn).trigger(availableNow=True)
+        if checkpoint is not None:
+            w = w.option("checkpointLocation", checkpoint)
+        q = w.start()
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+
+
 #: conf key + provider class for the RocksDB state store — the backend a
 #: TB-state deployment runs (bounded executor heap: state lives off-heap
 #: in RocksDB with changelog checkpointing), vs the default HDFS-backed
@@ -298,20 +337,12 @@ def incremental_sketch_store(
             .parquet(store_path)
         )
 
-    spark = events.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(state_partitions))
-    try:
-        q = (
-            events.writeStream.foreachBatch(write_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", store_path + "_chk")
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(conf_key, old)
+    _drain_foreach_batch(
+        events,
+        write_batch,
+        state_partitions=state_partitions,
+        checkpoint=store_path + "_chk",
+    )
 
 
 def media_dedup_at_ingest(
@@ -405,20 +436,12 @@ def media_dedup_at_ingest(
         ):
             results.append((r[lang_col], r["n_arrived"], r["n_dropped"]))
 
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(state_partitions))
-    try:
-        q = (
-            arrivals.writeStream.foreachBatch(dedup_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        spark.conf.set(conf_key, old)
+    _drain_foreach_batch(
+        arrivals,
+        dedup_batch,
+        state_partitions=state_partitions,
+        progress_out=progress_out,
+    )
 
     out = spark.createDataFrame(
         results, f"{lang_col} string, n_arrived long, n_dropped long"
@@ -561,20 +584,12 @@ def semantic_dedup_at_ingest(
         ):
             results.append((r[lang_col], r["n_arrived"], r["n_dropped"]))
 
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(state_partitions))
-    try:
-        q = (
-            arrivals.writeStream.foreachBatch(dedup_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        spark.conf.set(conf_key, old)
+    _drain_foreach_batch(
+        arrivals,
+        dedup_batch,
+        state_partitions=state_partitions,
+        progress_out=progress_out,
+    )
 
     out = spark.createDataFrame(
         results, f"{lang_col} string, n_arrived long, n_dropped long"
