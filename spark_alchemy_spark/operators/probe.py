@@ -47,6 +47,7 @@ __all__ = [
     "linear_probe_sums",
     "fit_linear_probe_ppm",
     "fit_grouped_probes_ppm",
+    "fit_ridge_path_ppm",
     "probe_score_ppm",
     "rank_auc_ppm",
     "exact_int_det",
@@ -120,11 +121,23 @@ def _moment_aggs(x_cols: list[str], y_col: str) -> list[Column]:
     return aggs
 
 
-def _solve_ppm(r: dict, d: int) -> tuple[int, list[int] | None]:
+def _solve_ppm(
+    r: dict, d: int, ridge_lambda: int = 0
+) -> tuple[int, list[int] | None]:
     """Assemble the augmented normal-equation system from a moment-sum
     row dict and Cramer-solve it in exact integers; returns (n,
     coeffs_ppm) with ``None`` coefficients for a singular system.  The
-    single solver both fit paths share."""
+    single solver all fit paths share.
+
+    ``ridge_lambda`` (integer, same unit as the squared features) is
+    added to the d FEATURE diagonal entries — never the intercept row
+    — before the solve: standard ridge with an unpenalized intercept,
+    i.e. min ||y - b0 - Xb||^2 + lambda*||b||^2.  The system stays
+    exact-integer, so the DuckDB HUGEINT replay is still bit-for-bit;
+    lambda > 0 also makes near-collinear features (e.g. word count vs
+    long-word count) solvable where pure OLS is numerically fragile."""
+    if ridge_lambda < 0:
+        raise ValueError(f"ridge_lambda must be >= 0, got {ridge_lambda}")
     n = int(r["n"])
     s = [[0] * (d + 1) for _ in range(d + 1)]
     b = [0] * (d + 1)
@@ -135,6 +148,7 @@ def _solve_ppm(r: dict, d: int) -> tuple[int, list[int] | None]:
         b[i + 1] = int(r[f"s{i}y"])
         for j in range(i, d):
             s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
+        s[i + 1][i + 1] += int(ridge_lambda)
     det = exact_int_det(s)
     if det == 0:
         return n, None
@@ -154,19 +168,42 @@ def _solve_ppm(r: dict, d: int) -> tuple[int, list[int] | None]:
 
 
 def fit_linear_probe_ppm(
-    df: DataFrame, x_cols: list[str], y_col: str
+    df: DataFrame, x_cols: list[str], y_col: str, ridge_lambda: int = 0
 ) -> dict:
     """Fit y ~ b0 + sum(b_i * x_i) by exact-integer Cramer's rule over
     the one-pass moment sums.  Returns ``{"n": rows, "coeffs_ppm":
     [b0_ppm, b1_ppm, ...]}`` with coefficients truncated toward zero
     at ppm — the exact numbers a DuckDB replay of the same sums
-    produces.  Raises on a singular system (the fit-path contract;
-    the grouped path surfaces singular groups instead)."""
+    produces.  ``ridge_lambda > 0`` L2-penalizes the slopes (intercept
+    unpenalized, see :func:`_solve_ppm`); ``ridge_lambda = 0`` is pure
+    OLS.  Raises on a singular system (the fit-path contract; the
+    grouped path surfaces singular groups instead)."""
     row = linear_probe_sums(df, x_cols, y_col).collect()[0].asDict()
-    n, coeffs = _solve_ppm(row, len(x_cols))
+    n, coeffs = _solve_ppm(row, len(x_cols), ridge_lambda)
     if coeffs is None:
         raise ZeroDivisionError("singular normal-equation system")
     return {"n": n, "coeffs_ppm": coeffs}
+
+
+def fit_ridge_path_ppm(
+    df: DataFrame, x_cols: list[str], y_col: str, lambdas: list[int]
+) -> list[dict]:
+    """The full REGULARIZATION PATH from ONE corpus pass: the moment
+    sums do not depend on lambda, so every lambda on the path is just
+    another exact-integer Cramer solve of the same d+1 system with a
+    different diagonal — the corpus is aggregated once no matter how
+    many lambdas are swept (the hyperparameter-sweep shape a 100 TB
+    fit needs; a per-lambda refit would re-scan the corpus).  Returns
+    one ``{"ridge_lambda", "n", "coeffs_ppm"}`` dict per lambda, in
+    input order; singular systems come back with ``coeffs_ppm=None``
+    (only possible at lambda=0 — a positive lambda makes the feature
+    block positive-definite)."""
+    row = linear_probe_sums(df, x_cols, y_col).collect()[0].asDict()
+    out = []
+    for lam in lambdas:
+        n, coeffs = _solve_ppm(row, len(x_cols), lam)
+        out.append({"ridge_lambda": int(lam), "n": n, "coeffs_ppm": coeffs})
+    return out
 
 
 def fit_grouped_probes_ppm(

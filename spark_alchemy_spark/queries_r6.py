@@ -429,9 +429,9 @@ _PROBE_FEATS_SQL = """
       FROM documents WHERE text IS NOT NULL)"""
 
 
-def _probe_cramer_sql(src: str = "feats", key: str = "") -> str:
-    """``sums`` + ``dets`` CTEs over ``src``, optionally grouped by
-    ``key`` (the Cramer formulas exist exactly once, here)."""
+def _probe_sums_sql(src: str = "feats", key: str = "") -> str:
+    """The ``sums`` CTE over ``src`` (the one-pass moment sums),
+    optionally grouped by ``key``."""
     ks = f"{key}, " if key else ""
     kg = f" GROUP BY {key}" if key else ""
     return f"""
@@ -445,18 +445,36 @@ def _probe_cramer_sql(src: str = "feats", key: str = "") -> str:
              CAST(sum(x2 * x2) AS HUGEINT) AS s22,
              CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
              CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
-      FROM {src}{kg}),
-    dets AS MATERIALIZED (
+      FROM {src}{kg})"""
+
+
+def _probe_dets_sql(key: str = "", ridge: int = 0, name: str = "dets") -> str:
+    """The Cramer determinant CTE over ``sums`` (the formulas exist
+    exactly once, here).  ``ridge`` adds an integer lambda to the two
+    FEATURE diagonal entries (s11, s22) — never the intercept row —
+    mirroring ``operators/probe.py::_solve_ppm``'s unpenalized-
+    intercept ridge; 0 is pure OLS."""
+    ks = f"{key}, " if key else ""
+    s11 = f"(s11 + {int(ridge)})" if ridge else "s11"
+    s22 = f"(s22 + {int(ridge)})" if ridge else "s22"
+    return f"""
+    {name} AS MATERIALIZED (
       SELECT {ks}n,
-        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-          + s2*(s1*s12 - s11*s2) AS d,
-        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
-          + s2*(s1y*s12 - s11*s2y) AS d0,
-        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        n*({s11}*{s22} - s12*s12) - s1*(s1*{s22} - s12*s2)
+          + s2*(s1*s12 - {s11}*s2) AS d,
+        sy*({s11}*{s22} - s12*s12) - s1*(s1y*{s22} - s12*s2y)
+          + s2*(s1y*s12 - {s11}*s2y) AS d0,
+        n*(s1y*{s22} - s12*s2y) - sy*(s1*{s22} - s12*s2)
           + s2*(s1*s2y - s1y*s2) AS d1,
-        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
-          + sy*(s1*s12 - s11*s2) AS d2
+        n*({s11}*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+          + sy*(s1*s12 - {s11}*s2) AS d2
       FROM sums)"""
+
+
+def _probe_cramer_sql(src: str = "feats", key: str = "") -> str:
+    """``sums`` + ``dets`` CTEs over ``src``, optionally grouped by
+    ``key`` (composition of the two single-definition pieces)."""
+    return _probe_sums_sql(src, key) + "," + _probe_dets_sql(key)
 
 
 def _probe_pin_sql(dk: str) -> str:
@@ -1295,3 +1313,6 @@ def stream_media_dedup(spark, sf_dir):
     return media_dedup_at_ingest(
         arrivals, standing, "doc_id", "data", "lang", max_hamming=3
     )
+
+
+from . import queries_r7  # noqa: E402,F401  (registration side effect)

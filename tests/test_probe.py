@@ -179,3 +179,79 @@ def test_probe_sums_single_aggregate(spark):
     sums = linear_probe_sums(df, ["x1", "x2"], "y")
     plan = sums._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_ridge_zero_lambda_equals_ols(spark):
+    """fit_ridge_path_ppm at lambda=0 must be bit-identical to the OLS
+    fit (same sums, same solver, no diagonal shift)."""
+    from spark_alchemy_spark.operators.probe import (
+        fit_linear_probe_ppm,
+        fit_ridge_path_ppm,
+    )
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 + 2 * x2 + (x1 * x2) % 5)
+        for x1 in range(0, 20)
+        for x2 in range(0, 7)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    ols = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    path = fit_ridge_path_ppm(df, ["x1", "x2"], "y", [0])
+    assert path[0]["coeffs_ppm"] == ols["coeffs_ppm"]
+    assert path[0]["n"] == ols["n"]
+
+
+def test_ridge_slopes_shrink_monotonically(spark):
+    """Ridge with an unpenalized intercept: the slope-vector norm is
+    non-increasing in lambda, strictly shrinking over a wide sweep,
+    and -> 0 at huge lambda (ppm truncation allows ties between
+    adjacent lambdas, never an increase beyond rounding)."""
+    from spark_alchemy_spark.operators.probe import fit_ridge_path_ppm
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 + 2 * x2 + (x1 * 7 + x2 * 3) % 11)
+        for x1 in range(0, 25)
+        for x2 in range(0, 9)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    lambdas = [0, 10_000, 1_000_000, 100_000_000, 10**14]
+    path = fit_ridge_path_ppm(df, ["x1", "x2"], "y", lambdas)
+    norms = [
+        r["coeffs_ppm"][1] ** 2 + r["coeffs_ppm"][2] ** 2 for r in path
+    ]
+    # monotone non-increasing with 1 ppm^2-scale slack for truncation
+    for a, b in zip(norms, norms[1:]):
+        assert b <= a + 4 * max(abs(c) for r in path for c in r["coeffs_ppm"])
+    assert norms[-1] < norms[0]  # strict shrink across the sweep
+    b1, b2 = path[-1]["coeffs_ppm"][1], path[-1]["coeffs_ppm"][2]
+    assert abs(b1) <= 1 and abs(b2) <= 1  # slopes -> 0 at huge lambda
+
+
+def test_ridge_solves_singular_ols_system(spark):
+    """Perfectly collinear features (x2 = 2*x1) make OLS singular; any
+    positive lambda must yield a solvable, finite fit — the practical
+    reason the ridge path exists."""
+    import pytest
+
+    from spark_alchemy_spark.operators.probe import (
+        fit_linear_probe_ppm,
+        fit_ridge_path_ppm,
+    )
+
+    rows = [(x1, 2 * x1, 5 + 4 * x1) for x1 in range(0, 30)]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    with pytest.raises(ZeroDivisionError):
+        fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    path = fit_ridge_path_ppm(df, ["x1", "x2"], "y", [0, 1_000])
+    assert path[0]["coeffs_ppm"] is None  # singular surfaced, not hidden
+    assert path[1]["coeffs_ppm"] is not None
+
+
+def test_ridge_rejects_negative_lambda(spark):
+    import pytest
+
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    df = spark.createDataFrame([(1, 2, 3), (2, 3, 5)], "x1 int, x2 int, y int")
+    with pytest.raises(ValueError, match="ridge_lambda"):
+        fit_linear_probe_ppm(df, ["x1", "x2"], "y", ridge_lambda=-1)
