@@ -606,7 +606,11 @@ def append_ivf_index(
     the baseline from the standing lists (one extra scan, documented).
 
     Returns the drift report dict: n_appended, batch_mean_cos,
-    build_mean_cos, drift_ratio, retrain_recommended.
+    build_mean_cos, drift_ratio, retrain_recommended, plus
+    ``list_counts`` ({list_id: rows appended} — bounded by the lists
+    the batch touched), which is what lets a streaming ingest loop
+    track per-list growth and trigger a rebalance WITHOUT any extra
+    index scan (:func:`make_streaming_ivf_maintainer`).
     """
     spark = new_batch.sparkSession
     cents = spark.read.parquet(path + "/centroids")
@@ -614,10 +618,16 @@ def append_ivf_index(
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
         eager=False
     )
-    batch = assigned.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("__best_cos").alias("m")
-    ).collect()[0]
-    if int(batch["n"]) == 0:
+    # ONE bounded job (rows per TOUCHED list): the global (n, mean)
+    # the drift report needs is the driver-side rollup of the same
+    # per-list rows the streaming maintainer needs
+    per_list = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__best_cos").alias("s"))
+        .collect()
+    )
+    n_batch = sum(int(r["n"]) for r in per_list)
+    if n_batch == 0:
         # empty append period: harmless no-op — return BEFORE resolving
         # the baseline, so a pre-sidecar index doesn't pay a full
         # standing-list rescan just to discard it
@@ -627,7 +637,10 @@ def append_ivf_index(
             "build_mean_cos": None,
             "drift_ratio": 1.0,
             "retrain_recommended": False,
+            "list_counts": {},
         }
+    batch_mean = sum(float(r["s"]) for r in per_list) / n_batch
+    list_counts = {int(r["list_id"]): int(r["n"]) for r in per_list}
 
     # Resolve the build-time baseline BEFORE the append WRITE: the
     # pre-sidecar fallback rescans the STANDING lists, and doing that
@@ -665,20 +678,105 @@ def append_ivf_index(
     # append-blind baseline would make that delta math wrong the
     # moment a split list contains appended rows.  The drift ratio
     # above still compares the batch against the PRE-append baseline.
-    new_n = base_n + int(batch["n"])
+    new_n = base_n + n_batch
     spark.createDataFrame(
-        [(new_n, (build_mean * base_n + float(batch["m"]) * int(batch["n"])) / new_n)],
+        [(new_n, (build_mean * base_n + batch_mean * n_batch) / new_n)],
         "n long, mean_assigned_cos double",
     ).write.mode("overwrite").parquet(path + "/stats")
 
-    ratio = (float(batch["m"]) / build_mean) if build_mean else 1.0
+    ratio = (batch_mean / build_mean) if build_mean else 1.0
     return {
-        "n_appended": int(batch["n"]),
-        "batch_mean_cos": float(batch["m"]),
+        "n_appended": n_batch,
+        "batch_mean_cos": batch_mean,
         "build_mean_cos": build_mean,
         "drift_ratio": ratio,
         "retrain_recommended": bool(ratio < drift_ratio_threshold),
+        "list_counts": list_counts,
     }
+
+
+def make_streaming_ivf_maintainer(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_ratio: float = 2.0,
+    split_ratio: float = 2.0,
+) -> tuple:
+    """The SELF-MAINTAINING streaming index: compose the three index
+    lifecycle legs (build → :func:`append_ivf_index` per micro-batch →
+    :func:`rebalance_ivf_index` when appends skew) into one
+    ``foreachBatch`` callable — what a live 100 TB vector ingest
+    actually runs, instead of a human watching drift dashboards.
+
+    Returns ``(fn, log)``: pass ``fn`` to ``foreachBatch`` (or
+    ``streaming._drain_foreach_batch``); ``log`` accumulates one dict
+    per micro-batch — {batch_id, n_appended, max_share_ppm,
+    rebalanced, rebalance_report} — bounded by batch count.
+
+    The rebalance TRIGGER costs zero extra index scans: driver-side
+    per-list sizes are seeded with one bounded count at construction
+    (one row per list) and advanced from each append report's
+    ``list_counts``; when the hottest list exceeds ``trigger_ratio`` x
+    the mean list size, the rebalance runs INSIDE the batch (so later
+    batches land on the post-split layout) and the sizes are re-seeded
+    from the rewritten index (bounded, and only after the rare split).
+    The state lives in the index directory + this closure — no state
+    store, so the stream itself is stateless and restart recovery is
+    the index's own atomicity (same contract as ``stream_ivf_append``).
+    """
+    sizes = {
+        int(r["list_id"]): int(r["n"])
+        for r in spark.read.parquet(path + "/lists")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per list
+    }
+    log: list = []
+
+    def _max_share_ppm() -> int:
+        total = sum(sizes.values())
+        return max(sizes.values()) * 1_000_000 // total if total else 0
+
+    def maintain(batch_df, batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = append_ivf_index(batch_df, id_col, vec_col, path)
+        for lid, n in rep["list_counts"].items():
+            sizes[lid] = sizes.get(lid, 0) + n
+        entry = {
+            "batch_id": int(batch_id),
+            "n_appended": rep["n_appended"],
+            "max_share_ppm": _max_share_ppm(),
+            "rebalanced": False,
+            "rebalance_report": None,
+        }
+        total = sum(sizes.values())
+        mean = total / max(len(sizes), 1)
+        if sizes and max(sizes.values()) > trigger_ratio * mean:
+            rb = rebalance_ivf_index(
+                spark, path, id_col, split_ratio=split_ratio
+            )
+            if rb["n_split"] > 0:
+                # re-seed from the rewritten layout (bounded; only
+                # after an actual split — the common batch path never
+                # rescans the index)
+                sizes.clear()
+                sizes.update(
+                    {
+                        int(r["list_id"]): int(r["n"])
+                        for r in spark.read.parquet(path + "/lists")
+                        .groupBy("list_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                )
+                entry["rebalanced"] = True
+                entry["max_share_ppm"] = _max_share_ppm()
+            entry["rebalance_report"] = rb
+        log.append(entry)
+
+    return maintain, log
 
 
 def mine_contrastive_triplets(

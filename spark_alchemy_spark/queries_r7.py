@@ -231,3 +231,154 @@ def bpe_encode_fixed32(spark, sf_dir):
             .alias("subtokens_per_word_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered streaming IVF rebalance (VERDICT r6 task 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_ivf_rebalance",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 2000)
+                + (SELECT count(*) FROM embeddings
+                   WHERE vec_id < 2000 AND vec_id % 4 = 0)
+                AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_batches,
+           TRUE AS rows_conserved,
+           TRUE AS rebalanced_mid_stream,
+           TRUE AS max_share_reduced,
+           TRUE AS plant_refound,
+           TRUE AS stateless
+    """,
+)
+def stream_ivf_rebalance(spark, sf_dir):
+    """The SELF-MAINTAINING streaming index — the three IVF lifecycle
+    legs composed the way a live ingest runs them (VERDICT r6 task 2):
+    build on the standing corpus, append every arriving micro-batch,
+    and trip the REBALANCE from inside ``foreachBatch`` the moment the
+    running per-list sizes show a hot list past 2x the mean
+    (``operators/similarity.py::make_streaming_ivf_maintainer``).  The
+    trigger costs zero index scans: sizes are seeded once (one row per
+    list) and advanced from each append report's ``list_counts``; only
+    an actual split re-seeds.
+
+    Arrivals replay as THREE mtime-ordered micro-batches of planted
+    skew (scaled copies of one base vector — identical direction, so
+    every plant lands in the base's list): the hot list must cross the
+    threshold by batch 2 at the latest (500 standing-mean-sized lists
+    + >=167 plants/batch), so the split happens MID-stream and later
+    batches land on the post-split layout — the property a nightly
+    batch rebalance cannot give.  Invariants (engine-checkable, the
+    ``ann_ivf_rebalance`` set plus the streaming ones):
+    ``rows_conserved`` — every standing + streamed row is in the index
+    exactly once after the mid-stream rewrite; ``rebalanced_mid_
+    stream`` — the split fired on a non-final batch;
+    ``max_share_reduced`` — the tripped rebalance strictly cut the
+    hottest list's share; ``plant_refound`` — a post-stream INDEXED
+    query at selective nprobe finds a planted duplicate at cosine 1.0;
+    ``stateless`` — zero state-store operators (the index directory IS
+    the state, same contract as ``stream_ivf_append``)."""
+    import glob
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        make_streaming_ivf_maintainer,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 2000).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = standing.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    plants = (
+        emb.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 4 == 0))
+        .select((F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(base.select(F.col("embedding").alias("__b")))
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "__b", lambda x: x * (1.0 + F.col("vec_id") % 97 / 100000.0)
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=False)  # reused: 3 slice writes + count
+    )
+    n_expected = standing.count() + plants.count()
+
+    # three mtime-ordered arrival files => three deterministic
+    # micro-batches (the established multi-batch replay pattern)
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("ivf_rebal_arrivals")
+    )
+    for i, residue in enumerate((0, 4, 8)):  # vec_id%4==0 => %12 in {0,4,8}
+        sub = os.path.join(arrivals_dir, f"f{i}")
+        plants.filter(
+            (F.col("vec_id") - 30_000_000) % 12 == residue
+        ).coalesce(1).write.mode("overwrite").parquet(sub)
+        for leaf in glob.glob(os.path.join(sub, "*.parquet")):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_rebal_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, idx_path, trigger_ratio=2.0, split_ratio=2.0
+    )
+    arrivals = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    progress: list = []
+    _drain_foreach_batch(arrivals, maintain, progress_out=progress)
+
+    rebal_idx = [i for i, e in enumerate(log) if e["rebalanced"]]
+    first_rb = log[rebal_idx[0]]["rebalance_report"] if rebal_idx else None
+    conserve = (
+        spark.read.parquet(idx_path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+        )
+        .collect()[0]
+    )
+    top = (
+        ivf_topk_indexed(
+            spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
+        )
+        .filter(F.col("neighbor_id") >= 30_000_000)
+        .orderBy(F.desc("cos"))
+        .limit(1)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                len(log),
+                int(conserve["n"]) == n_expected
+                and int(conserve["nid"]) == n_expected,
+                bool(rebal_idx) and rebal_idx[0] < len(log) - 1,
+                first_rb is not None
+                and first_rb["n_split"] >= 1
+                and first_rb["max_share_after_ppm"]
+                < first_rb["max_share_before_ppm"],
+                bool(top) and float(top[0]["cos"]) >= 1.0,
+                all(p["stateOperators"] == [] for p in progress),
+            )
+        ],
+        "n_rows long, n_batches long, rows_conserved boolean, "
+        "rebalanced_mid_stream boolean, max_share_reduced boolean, "
+        "plant_refound boolean, stateless boolean",
+    )

@@ -265,6 +265,7 @@ def test_ivf_append_empty_batch_is_noop(spark, tmp_path):
         "build_mean_cos": None,
         "drift_ratio": 1.0,
         "retrain_recommended": False,
+        "list_counts": {},
     }
 
 
