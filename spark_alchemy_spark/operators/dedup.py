@@ -1242,7 +1242,7 @@ def semantic_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 2,
     seed: int = 42,
     centroids: DataFrame | None = None,
@@ -1274,12 +1274,32 @@ def semantic_dup_pairs(
     nprobe, never all-pairs.  Candidates travel as SKINNY (id, id)
     rows; vectors re-attach by hash join after the distinct.
 
+    ``n_centroids=None`` derives the PRODUCTION setting from the
+    corpus: ~sqrt(n) centroids (one bounded count job, floored at 2).
+    At fixed centroid count, 50x the vectors in the same k clusters
+    grows candidates ~n²/k; scaling k ∝ sqrt(n) keeps the expected
+    per-cluster size at ~sqrt(n), so total candidate volume
+    k·(n/k)²·nprobe = n²·nprobe/k rides ~n^1.5 instead of n² —
+    measured near-linear in SCALING.md's sqrt-n sweep: 2.3s/6.5s/16.8s
+    warm across 550/2.2k/11k planted corpora (k = 23/47/105) WITH the
+    planted-recall contract (exact plants 100%, scaled plants >= 99%)
+    holding at every tier; the fixed-16 configuration costs 24.5s at
+    the same 50x point and diverges quadratically beyond it.  Pass an
+    explicit ``n_centroids`` only to pin deterministic cluster
+    membership (the battery's planted-recall gate does).
+
     Returns (id_a, id_b, cos) with cos rounded to 4 (matching the
     DuckDB oracle's rounding), id_a < id_b, each pair exactly once.
     """
     from pyspark.sql.window import Window
 
     from .similarity import train_ivf_centroids
+
+    if n_centroids is None:
+        if centroids is not None:
+            n_centroids = centroids.count()  # bounded: one row/centroid
+        else:
+            n_centroids = max(2, int(round(df.count() ** 0.5)))
 
     v = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
     if nprobe >= n_centroids and not _force_bucketed:

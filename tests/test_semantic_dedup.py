@@ -302,3 +302,73 @@ def test_doc_hash_embeddings_property(spark, texts, dim):
             assert got[i] == vec, (t, got[i], vec)
         else:
             assert i not in got
+
+
+def test_sqrt_n_default_holds_recall(spark):
+    """The sqrt(n) production default (n_centroids=None): planted
+    recall must hold at the DERIVED setting — identical plants found
+    at 100% (structural: identical vectors share the centroid ranking
+    bit-for-bit), 1.001x-scaled plants >= 99% (the battery entry's
+    contract, here at scaled centroids instead of the pinned 16)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+
+    rng = random.Random(13)
+    dim, n = 16, 400
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+    base_ids = [i for i in range(n) if i % 20 == 0]
+    for i in base_ids:
+        rows.append((i + 10_000_000, list(rows[i][1])))  # identical
+        rows.append((i + 20_000_000, [x * 1.001 for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95,
+        n_centroids=None, nprobe=2, seed=42,
+    )
+    got = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in pairs.filter(F.col("id_b") >= 10_000_000).collect()
+    }
+    exact = sum((i, i + 10_000_000) in got for i in base_ids)
+    scaled = sum((i, i + 20_000_000) in got for i in base_ids)
+    assert exact == len(base_ids)  # structural 100%
+    assert scaled * 100 >= 99 * len(base_ids)
+
+
+def test_sqrt_n_default_derivation_paths(spark):
+    """n_centroids=None derives from the corpus count, or from a
+    passed centroid table's row count — and an explicit value is
+    never overridden (the battery entry's determinism contract)."""
+    from spark_alchemy_spark.operators.dedup import semantic_dup_pairs
+    from spark_alchemy_spark.operators.similarity import train_ivf_centroids
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # corpus-derived: sqrt(100) = 10 centroids > nprobe=2 -> the
+    # selective path runs (not the probe-all kernel); smoke the result
+    pairs = semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99,
+        n_centroids=None, nprobe=2, seed=1,
+    )
+    assert {"id_a", "id_b", "cos"} == set(pairs.columns)
+    pairs.count()  # executes the derived-k plan
+    # centroid-table-derived: k comes from the table, and nprobe >= k
+    # must still delegate to the exact kernel (2 >= 2)
+    cents = train_ivf_centroids(df, "embedding", n_centroids=2, seed=1)
+    all_pairs = semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99,
+        n_centroids=None, nprobe=2, centroids=cents, seed=1,
+    )
+    plan = all_pairs._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the blocked BLAS kernel
