@@ -96,12 +96,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: held EIGHT head slots; simhash stays in the full sweep and its
 #: banded-Hamming machinery is also exercised by media_dedup_* — the
 #: new distributed model-fitting tier gets gated directly instead).
+#: Round-7 rotation (VERDICT r6 task 7; same coverage-not-correctness
+#: policy — both swapped-out entries were driver-green in r6 and stay
+#: in the full sweep): q5_region_revenue -> stream_semantic_dedup
+#: (TPC-H keeps q1/q3/q18/q21 head representation; the round-6
+#: streaming ingest-dedup tier gets gated directly) and
+#: stream_windowed_counts -> media_dedup_components (the streaming
+#: family keeps four other head slots incl. the ingest-dedup entry;
+#: the unified multimodal component collapse is the round-6 family
+#: the head did not yet cover).
 _GATE_HEAD = [
     "hll_init_agg_cardinality", "hll_merge_reaggregate", "dedup_semantic_docs",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
     "hll_sql_surface", "bpe_encode_corpus", "theta_set_algebra_segments",
     "kll_quantiles_quantity", "cms_user_frequencies", "bitmap_exact_distinct_users",
-    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_region_revenue",
+    "q1_pricing_summary", "q3_top_unshipped_orders", "stream_semantic_dedup",
     "dedup_strip_shared_spans", "q18_large_volume_orders", "q21_waiting_suppliers",
     "window_top_orders_per_customer", "rollup_returnflag_status",
     "asof_last_click_before_error", "range_join_close_events",
@@ -111,7 +120,7 @@ _GATE_HEAD = [
     "cms_join_size_estimate", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "curate_corpus_report", "prep_decontaminate", "prep_pack_greedy",
     "prep_contamination_containment", "text_quality", "bpe_train_merges",
-    "quality_unigram_logprob", "stream_windowed_counts",
+    "quality_unigram_logprob", "media_dedup_components",
     "stream_stateful_user_counters", "stream_stream_interval_join",
     "stream_chained_windows", "graph_pagerank_topk", "dedup_semantic_clusters",
     "geo_cell_radius_join", "media_image_features", "source_jdbc_roundtrip",
