@@ -136,6 +136,28 @@ def synth_image_udf():
     return make
 
 
+def png_image_udf():
+    """The REAL-container twin of :func:`synth_image_udf`: the same
+    deterministic pixels, PNG-encoded (pure-stdlib :func:`png_encode`,
+    scanline filter cycling with the seed so all five filter paths
+    appear in any non-trivial corpus)."""
+
+    @F.pandas_udf("binary")
+    def make(seed: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                png_encode(
+                    _decode_synth(synth_image_bytes(int(s), int(wi), int(hi))),
+                    filter_type=int(s) % 5,
+                )
+                for s, wi, hi in zip(seed, w, h)
+            ],
+            dtype=object,
+        )
+
+    return make
+
+
 # ---------------------------------------------------------------------------
 # Decode / transform (Arrow batch stages)
 # ---------------------------------------------------------------------------
@@ -150,12 +172,167 @@ def _decode_synth(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8, offset=9).reshape(h, w, c)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count (bit depth 8, the overwhelmingly
+#: common web case this pure-stdlib decoder supports)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Pure-Python PNG decoder (stdlib zlib only — no PIL/pillow):
+    8-bit-depth, non-interlaced grayscale / RGB / gray+alpha / RGBA,
+    all five scanline filters (None/Sub/Up/Average/Paeth) per the
+    public PNG specification.  Returns HxWxC uint8.
+
+    This exists so the multimodal tier runs on REAL image bytes in
+    codec-less environments (VERDICT r6 task 8); a production cluster
+    swaps in a native codec for throughput, behind the same
+    ``_decode_any`` seam.  Up is vectorized; Sub/Average/Paeth carry a
+    per-byte recurrence along the scanline (inherently sequential —
+    each byte's predictor reads the just-reconstructed left
+    neighbor)."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG buffer")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png_decode supports 8-bit non-interlaced color types "
+            f"{sorted(_PNG_CHANNELS)}; got depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        ft = raw[rpos]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=rpos + 1
+        ).copy()
+        rpos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up (uint8 add wraps mod 256 natively)
+            cur += prev
+        elif ft == 1:  # Sub
+            for i in range(c, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - c])) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (stdlib zlib only) for HxWxC uint8 arrays
+    (C in {1, 2, 3, 4}); ``filter_type`` applies one of the five
+    scanline filters to every row — which makes decode∘encode a
+    round-trip law over ALL filter paths (tests/test_multimodal png
+    laws), not just the store-uncompressed one."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    flat = img.reshape(h, w * c).astype(np.uint8)
+    stride = w * c
+    lines = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(c, np.uint8), cur[:-c]])
+            enc = cur - left
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(c, np.uint8), cur[:-c]])
+            enc = cur - (
+                (left.astype(np.int32) + prev.astype(np.int32)) >> 1
+            ).astype(np.uint8)
+        elif filter_type == 4:
+            enc = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (int(cur[i]) - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + enc.tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_any(buf: bytes) -> np.ndarray:
-    """Decode to an HxWxC uint8 array.  Real codecs are gated behind an
-    import-try (PIL not shipped in this environment); SYNTH decodes
-    natively so the distributed plumbing is fully exercised."""
+    """Decode to an HxWxC uint8 array.  SYNTH and PNG decode natively
+    (PNG via the pure-stdlib :func:`png_decode` — real image bytes
+    work without any codec library); other formats fall through to an
+    import-try on PIL, absent in this environment."""
     if buf[:4] == b"SYNT":
         return _decode_synth(buf)
+    if buf[:8] == _PNG_SIG:
+        return png_decode(buf)
     try:
         import io
 
@@ -164,7 +341,8 @@ def _decode_any(buf: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(buf)))
     except ImportError as e:
         raise NotImplementedError(
-            "non-SYNTH image decoding needs PIL/pillow, not available here"
+            "non-SYNTH/PNG image decoding needs PIL/pillow, "
+            "not available here"
         ) from e
 
 

@@ -382,3 +382,85 @@ def stream_ivf_rebalance(spark, sf_dir):
         "rebalanced_mid_stream boolean, max_share_reduced boolean, "
         "plant_refound boolean, stateless boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-container (PNG) decode through the multimodal tier (VERDICT r6 task 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_png_decode",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(*) AS BIGINT) AS n_matching,
+           TRUE AS png_sniffed,
+           TRUE AS features_equal
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def media_png_decode(spark, sf_dir):
+    """REAL image bytes through the multimodal tier: the same
+    deterministic pixels land once in the SYNTH container and once as
+    honest-to-spec PNG (pure-stdlib encoder, scanline filter cycling
+    doc_id % 5 so all five filter paths appear), and
+    ``multimodal.image_features`` must produce IDENTICAL features for
+    both — decode is a container concern, the featurizer contract is
+    pixels (``multimodal.png_decode``, public PNG spec, zlib only; no
+    codec library).  ``png_sniffed`` additionally pins the magic-byte
+    sniffer on the real header.  Engine-side the equality is exact
+    (both paths round to 4dp on the same values); the oracle pins the
+    count and the invariants.  Parameter-bounded slice (doc_id < 300)
+    — the entry gates DECODE MECHANICS; scan-throughput lives in
+    ``media_image_features``, which replays the featurizer
+    value-for-value in SQL."""
+    from .multimodal import png_image_udf, sniff_mime, synth_image_udf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ids = (
+        documents.select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .repartition("doc_id")  # spread the Arrow encode/decode tasks
+    )
+    w = (16 + F.col("doc_id") % 17).cast("int")
+    h = (8 + F.col("doc_id") % 11).cast("int")
+    synth = ids.select(
+        "doc_id", synth_image_udf()(F.col("doc_id"), w, h).alias("media")
+    )
+    png = ids.select(
+        "doc_id", png_image_udf()(F.col("doc_id"), w, h).alias("media")
+    )
+    from .multimodal import image_features
+
+    # checkpoint each Arrow stage's output: without the barriers AQE
+    # re-inlines the encode+featurize subtree into every consumer and
+    # the slice pays the Python passes ~4x (same fix as
+    # bpe_encode_fixed32's vocab table)
+    png = png.localCheckpoint(eager=False)
+    fs = image_features(synth, "media", "doc_id", thumb=8).localCheckpoint(
+        eager=False
+    )
+    fp = image_features(png, "media", "doc_id", thumb=8).localCheckpoint(
+        eager=False
+    )
+    sniff_ok = png.select(
+        F.min((sniff_mime("media") == "image/png").cast("int")).alias("ok")
+    )
+    j = fs.alias("a").join(fp.alias("b"), "doc_id")
+    eq = (
+        (F.col("a.width") == F.col("b.width"))
+        & (F.col("a.height") == F.col("b.height"))
+        & (F.col("a.channels") == F.col("b.channels"))
+        & (F.col("a.channel_mean") == F.col("b.channel_mean"))
+        & (F.col("a.embedding") == F.col("b.embedding"))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(eq.cast("long")).alias("n_matching"),
+    )
+    return agg.crossJoin(F.broadcast(sniff_ok)).select(
+        F.col("n_images").cast("bigint").alias("n_images"),
+        F.col("n_matching").cast("bigint").alias("n_matching"),
+        (F.col("ok") == 1).alias("png_sniffed"),
+        (F.col("n_images") == F.col("n_matching")).alias("features_equal"),
+    )

@@ -153,3 +153,96 @@ def test_fixed32_merge_table_is_wellformed():
             if len(side) > 2:
                 assert side in built, f"symbol {side} used before built"
         built.add(lhs + rhs)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (VERDICT r6 task 8)
+# ---------------------------------------------------------------------------
+
+
+def _rand_img(rng, h, w, c):
+    import numpy as np
+
+    return np.array(
+        [[[rng.randrange(256) for _ in range(c)] for _ in range(w)]
+         for _ in range(h)],
+        dtype=np.uint8,
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_channels(filter_type, channels):
+    """decode(encode(img, f)) == img for every scanline filter and
+    every supported channel count — the five filter-reversal paths are
+    each exercised against the forward filter (public PNG spec)."""
+    import random
+
+    import numpy as np
+
+    from spark_alchemy_spark.multimodal import png_decode, png_encode
+
+    rng = random.Random(100 * filter_type + channels)
+    img = _rand_img(rng, 7, 5, channels)
+    buf = png_encode(img, filter_type=filter_type)
+    out = png_decode(buf)
+    assert out.shape == (7, 5, channels)
+    assert np.array_equal(out, img)
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
+
+    from spark_alchemy_spark.multimodal import _PNG_SIG, png_decode, png_encode
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JUNKJUNKJUNK")
+    # 16-bit depth: patch the encoder's IHDR depth byte
+    buf = bytearray(png_encode(_rand_img(__import__("random").Random(1), 3, 3, 3)))
+    # IHDR data starts at 8(+8 len/type); depth is byte 8 of the data
+    depth_pos = 8 + 8 + 8
+    assert buf[depth_pos] == 8
+    buf[depth_pos] = 16
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        png_decode(bytes(buf))
+    assert png_encode(np.zeros((2, 2, 3), np.uint8))[:8] == _PNG_SIG
+
+
+def test_image_features_real_png_equals_synth(spark):
+    """The multimodal pipeline on REAL PNG bytes: image_features over
+    PNG-encoded pixels must equal image_features over the same pixels
+    in the SYNTH container — same interface, same features, different
+    (real) container format."""
+    import numpy as np
+
+    from spark_alchemy_spark.multimodal import (
+        _decode_synth,
+        image_features,
+        png_encode,
+        synth_image_bytes,
+    )
+
+    rows_synth, rows_png = [], []
+    for i in range(6):
+        sb = synth_image_bytes(17 * i, 8, 8)
+        img = _decode_synth(sb)
+        rows_synth.append((i, bytearray(sb)))
+        rows_png.append((i, bytearray(png_encode(img, filter_type=i % 5))))
+    synth_df = spark.createDataFrame(rows_synth, "media_id long, data binary")
+    png_df = spark.createDataFrame(rows_png, "media_id long, data binary")
+    fs = {
+        int(r["media_id"]): r
+        for r in image_features(synth_df, "data", "media_id").collect()
+    }
+    fp = {
+        int(r["media_id"]): r
+        for r in image_features(png_df, "data", "media_id").collect()
+    }
+    assert set(fs) == set(fp) == set(range(6))
+    for i in range(6):
+        a, b = fs[i], fp[i]
+        assert (a["width"], a["height"], a["channels"]) == (
+            b["width"], b["height"], b["channels"],
+        )
+        assert a["channel_mean"] == b["channel_mean"]
+        assert a["embedding"] == b["embedding"]
