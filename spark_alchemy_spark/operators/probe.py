@@ -48,6 +48,8 @@ __all__ = [
     "fit_linear_probe_ppm",
     "fit_grouped_probes_ppm",
     "fit_ridge_path_ppm",
+    "moment_sum_keys",
+    "merge_moment_sums",
     "probe_score_ppm",
     "rank_auc_ppm",
     "exact_int_det",
@@ -183,6 +185,30 @@ def fit_linear_probe_ppm(
     if coeffs is None:
         raise ZeroDivisionError("singular normal-equation system")
     return {"n": n, "coeffs_ppm": coeffs}
+
+
+def moment_sum_keys(d: int) -> list[str]:
+    """The moment-sum column names for d features — the one place the
+    key layout is defined for driver-side consumers."""
+    keys = ["n", "sy"]
+    for i in range(d):
+        keys.append(f"s{i}")
+        keys.append(f"s{i}y")
+        for j in range(i, d):
+            keys.append(f"s{i}{j}")
+    return keys
+
+
+def merge_moment_sums(rows: list[dict], d: int) -> dict:
+    """Fold moment-sum rows into one — the sums are a MONOID (exact
+    integer adds), which is what makes the fit incrementally
+    maintainable: a streaming ingest folds each micro-batch's sums
+    into a running dict and re-solves on the driver, and the result
+    is BIT-IDENTICAL to a from-scratch fit over the union (pytest
+    law).  NULL sums (empty batches) fold as zero."""
+    return {
+        k: sum(int(r.get(k) or 0) for r in rows) for k in moment_sum_keys(d)
+    }
 
 
 def fit_ridge_path_ppm(

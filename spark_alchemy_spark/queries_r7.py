@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from .operators.bpe import PRE_TOKEN_RE
 from .queries import _t, query
 from .queries_r6 import (
+    _PROBE_COEF_SQL,
     _PROBE_FEATS_SQL,
     _probe_dets_sql,
     _probe_feats,
@@ -463,4 +464,97 @@ def media_png_decode(spark, sf_dir):
         F.col("n_matching").cast("bigint").alias("n_matching"),
         (F.col("ok") == 1).alias("png_sniffed"),
         (F.col("n_images") == F.col("n_matching")).alias("features_equal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental probe fit (moment sums are a monoid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_probe_incremental_fit",
+    f"""
+    WITH {_PROBE_COEF_SQL}
+    SELECT CAST(3 AS BIGINT) AS n_batches, n_rows, b0_ppm, b1_ppm, b2_ppm,
+           TRUE AS matches_batch_fit
+    FROM coef
+    """,
+)
+def stream_probe_incremental_fit(spark, sf_dir):
+    """The quality probe fitted INCREMENTALLY over a document stream —
+    the model-maintenance twin of ``stream_ivf_rebalance``'s index
+    maintenance: each micro-batch contributes ONE moment-sum row (the
+    same map-side-combinable aggregate the batch fit runs, on the
+    batch alone), the driver folds it into the running sums
+    (``operators/probe.py::merge_moment_sums`` — the sums are a MONOID
+    in exact integers), and the refreshed coefficients come from the
+    same Cramer solve.  No state store, no corpus rescan, no
+    approximation: because the sufficient statistics add exactly, the
+    post-stream fit is BIT-IDENTICAL to a from-scratch fit over the
+    full corpus — which is exactly what the oracle (the batch fit's
+    own Cramer SQL) checks, and what ``matches_batch_fit`` re-asserts
+    engine-side against the session's batch fit.  At 100 TB this is
+    how a live quality gate keeps its model current: d² longs per
+    micro-batch cross the wire, nothing else."""
+    import glob
+    import os
+    import tempfile
+
+    from .operators.probe import (
+        _solve_ppm,
+        linear_probe_sums,
+        merge_moment_sums,
+    )
+    from .queries_ext import _sink_name
+    from .queries_r6 import _probe_coeffs
+    from .streaming import _drain_foreach_batch
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("probe_fit_arrivals")
+    )
+    for i in range(3):  # three mtime-ordered replay files
+        sub = os.path.join(arrivals_dir, f"f{i}")
+        documents.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for leaf in glob.glob(os.path.join(sub, "*.parquet")):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    running: list = []  # one moment-sum dict per micro-batch
+
+    def fold_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        row = (
+            linear_probe_sums(_probe_feats(batch_df), ["x1", "x2"], "n_chars")
+            .collect()[0]  # bounded: ONE d2-long row per micro-batch
+            .asDict()
+        )
+        running.append(row)
+
+    arrivals = (
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    _drain_foreach_batch(arrivals, fold_batch)
+
+    merged = merge_moment_sums(running, d=2)
+    n, coeffs = _solve_ppm(merged, d=2)
+    b_n, b_coeffs = _probe_coeffs(spark, sf_dir)  # the batch fit (cached)
+    return spark.createDataFrame(
+        [
+            (
+                len(running),
+                n,
+                coeffs[0],
+                coeffs[1],
+                coeffs[2],
+                n == b_n and coeffs == list(b_coeffs),
+            )
+        ],
+        "n_batches long, n_rows long, b0_ppm long, b1_ppm long, "
+        "b2_ppm long, matches_batch_fit boolean",
     )

@@ -255,3 +255,40 @@ def test_ridge_rejects_negative_lambda(spark):
     df = spark.createDataFrame([(1, 2, 3), (2, 3, 5)], "x1 int, x2 int, y int")
     with pytest.raises(ValueError, match="ridge_lambda"):
         fit_linear_probe_ppm(df, ["x1", "x2"], "y", ridge_lambda=-1)
+
+
+def test_moment_sums_are_a_monoid(spark):
+    """sums(A ∪ B) == merge(sums(A), sums(B)) in exact integers, and
+    the fit from merged sums is bit-identical to the from-scratch fit
+    — the law the streaming incremental-fit entry rides."""
+    from spark_alchemy_spark.operators.probe import (
+        _solve_ppm,
+        fit_linear_probe_ppm,
+        linear_probe_sums,
+        merge_moment_sums,
+    )
+
+    rows = [
+        (x1, x2, 3 + 2 * x1 + 5 * x2 + (x1 * x2) % 7)
+        for x1 in range(0, 18)
+        for x2 in range(0, 6)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    a = df.filter("x1 % 3 = 0")
+    b = df.filter("x1 % 3 = 1")
+    c = df.filter("x1 % 3 = 2")
+    parts = [
+        linear_probe_sums(p, ["x1", "x2"], "y").collect()[0].asDict()
+        for p in (a, b, c)
+    ]
+    merged = merge_moment_sums(parts, d=2)
+    whole = linear_probe_sums(df, ["x1", "x2"], "y").collect()[0].asDict()
+    assert merged == {k: int(whole[k]) for k in merged}
+    n, coeffs = _solve_ppm(merged, d=2)
+    direct = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    assert n == direct["n"] and coeffs == direct["coeffs_ppm"]
+    # empty parts fold as zero (NULL sums)
+    empty = linear_probe_sums(
+        df.filter("x1 < 0"), ["x1", "x2"], "y"
+    ).collect()[0].asDict()
+    assert merge_moment_sums(parts + [empty], d=2) == merged
