@@ -88,6 +88,7 @@ def linear_probe_sums(
     x_cols: list[str],
     y_col: str,
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The sufficient statistics of the OLS fit as ONE aggregate row:
     n, sum(x_i), sum(y), sum(x_i*x_j) for i<=j, sum(x_i*y).  All
@@ -95,30 +96,45 @@ def linear_probe_sums(
     the aggregate is map-side combinable — this is the only
     distributed work in the fit.  With ``group_cols`` the same sums
     come back per group (one grouped aggregate, shuffle = n_groups x
-    d^2 longs) — the single definition both fit paths share."""
-    aggs = _moment_aggs(x_cols, y_col)
+    d^2 longs) — the single definition both fit paths share.
+
+    ``weight_col`` (integer-valued, >= 0) turns the sums into WEIGHTED
+    least squares sufficient statistics: every term picks up the row's
+    weight (n becomes sum(w)), which is EXACTLY equivalent to
+    replicating each row w times (pytest law) — so the fit stays
+    exact-integer-replayable.  Integer weights are how a curation
+    pipeline expresses annotation confidence or source multiplicity
+    without materializing replicas."""
+    aggs = _moment_aggs(x_cols, y_col, weight_col)
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
 
 
-def _moment_aggs(x_cols: list[str], y_col: str) -> list[Column]:
-    aggs = [F.count(F.lit(1)).alias("n")]
+def _moment_aggs(
+    x_cols: list[str], y_col: str, weight_col: str | None = None
+) -> list[Column]:
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    aggs = [F.sum(w).alias("n")]
     for i, xi in enumerate(x_cols):
-        aggs.append(F.sum(F.col(xi).cast("long")).alias(f"s{i}"))
-    aggs.append(F.sum(F.col(y_col).cast("long")).alias("sy"))
+        aggs.append(F.sum(w * F.col(xi).cast("long")).alias(f"s{i}"))
+    aggs.append(F.sum(w * F.col(y_col).cast("long")).alias("sy"))
     for i, xi in enumerate(x_cols):
         for j in range(i, len(x_cols)):
             xj = x_cols[j]
             aggs.append(
                 F.sum(
-                    (F.col(xi).cast("long") * F.col(xj).cast("long"))
+                    w * (F.col(xi).cast("long") * F.col(xj).cast("long"))
                 ).alias(f"s{i}{j}")
             )
         aggs.append(
-            F.sum(F.col(xi).cast("long") * F.col(y_col).cast("long")).alias(
-                f"s{i}y"
-            )
+            F.sum(
+                w * (F.col(xi).cast("long") * F.col(y_col).cast("long"))
+            ).alias(f"s{i}y")
         )
     return aggs
 
@@ -170,7 +186,11 @@ def _solve_ppm(
 
 
 def fit_linear_probe_ppm(
-    df: DataFrame, x_cols: list[str], y_col: str, ridge_lambda: int = 0
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    ridge_lambda: int = 0,
+    weight_col: str | None = None,
 ) -> dict:
     """Fit y ~ b0 + sum(b_i * x_i) by exact-integer Cramer's rule over
     the one-pass moment sums.  Returns ``{"n": rows, "coeffs_ppm":
@@ -178,9 +198,15 @@ def fit_linear_probe_ppm(
     at ppm — the exact numbers a DuckDB replay of the same sums
     produces.  ``ridge_lambda > 0`` L2-penalizes the slopes (intercept
     unpenalized, see :func:`_solve_ppm`); ``ridge_lambda = 0`` is pure
-    OLS.  Raises on a singular system (the fit-path contract; the
-    grouped path surfaces singular groups instead)."""
-    row = linear_probe_sums(df, x_cols, y_col).collect()[0].asDict()
+    OLS.  ``weight_col`` fits WEIGHTED least squares with integer
+    weights (``n`` becomes the total weight).  Raises on a singular
+    system (the fit-path contract; the grouped path surfaces singular
+    groups instead)."""
+    row = (
+        linear_probe_sums(df, x_cols, y_col, weight_col=weight_col)
+        .collect()[0]
+        .asDict()
+    )
     n, coeffs = _solve_ppm(row, len(x_cols), ridge_lambda)
     if coeffs is None:
         raise ZeroDivisionError("singular normal-equation system")

@@ -429,22 +429,29 @@ _PROBE_FEATS_SQL = """
       FROM documents WHERE text IS NOT NULL)"""
 
 
-def _probe_sums_sql(src: str = "feats", key: str = "") -> str:
+def _probe_sums_sql(
+    src: str = "feats", key: str = "", weight: str = ""
+) -> str:
     """The ``sums`` CTE over ``src`` (the one-pass moment sums),
-    optionally grouped by ``key``."""
+    optionally grouped by ``key``.  ``weight`` is an integer SQL
+    expression over ``src`` columns for WEIGHTED least squares (every
+    term picks up the weight, n becomes sum(w)) — mirroring
+    ``operators/probe.py::linear_probe_sums(weight_col=...)``."""
     ks = f"{key}, " if key else ""
     kg = f" GROUP BY {key}" if key else ""
+    w = f"({weight}) * " if weight else ""
+    nw = f"sum({weight})" if weight else "count(*)"
     return f"""
     sums AS MATERIALIZED (
-      SELECT {ks}CAST(count(*) AS HUGEINT) AS n,
-             CAST(sum(x1) AS HUGEINT) AS s1,
-             CAST(sum(x2) AS HUGEINT) AS s2,
-             CAST(sum(n_chars) AS HUGEINT) AS sy,
-             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
-             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
-             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
-             CAST(sum(x1 * n_chars) AS HUGEINT) AS s1y,
-             CAST(sum(x2 * n_chars) AS HUGEINT) AS s2y
+      SELECT {ks}CAST({nw} AS HUGEINT) AS n,
+             CAST(sum({w}x1) AS HUGEINT) AS s1,
+             CAST(sum({w}x2) AS HUGEINT) AS s2,
+             CAST(sum({w}n_chars) AS HUGEINT) AS sy,
+             CAST(sum({w}x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum({w}x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum({w}x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum({w}x1 * n_chars) AS HUGEINT) AS s1y,
+             CAST(sum({w}x2 * n_chars) AS HUGEINT) AS s2y
       FROM {src}{kg})"""
 
 

@@ -558,3 +558,47 @@ def stream_probe_incremental_fit(spark, sf_dir):
         "n_batches long, n_rows long, b0_ppm long, b1_ppm long, "
         "b2_ppm long, matches_batch_fit boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted least squares probe (integer confidence weights)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_probe_weighted",
+    f"""
+    WITH {_PROBE_FEATS_SQL},
+    {_probe_sums_sql(weight="1 + doc_id % 3")},
+    {_probe_dets_sql()}
+    SELECT CAST(n AS BIGINT) AS total_weight,
+           {_probe_pin_sql("d0")} AS b0_ppm,
+           {_probe_pin_sql("d1")} AS b1_ppm,
+           {_probe_pin_sql("d2")} AS b2_ppm
+    FROM dets
+    """,
+)
+def quality_probe_weighted(spark, sf_dir):
+    """WEIGHTED least squares probe — integer per-document weights
+    (here the deterministic confidence stand-in ``1 + doc_id % 3``; a
+    real pipeline plugs annotation confidence or source multiplicity)
+    flow through the SAME one-pass moment aggregate: every sum picks
+    up the weight, n becomes total weight, and the Cramer solve is
+    unchanged — exactly equivalent to replicating each row w times
+    without materializing replicas (the pytest law), and still
+    bit-replayable in DuckDB HUGEINT.  One corpus pass, d² longs per
+    partition, weights never leave the executors
+    (``operators/probe.py::linear_probe_sums(weight_col=...)``)."""
+    from .operators.probe import fit_linear_probe_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = _probe_feats(documents).withColumn(
+        "w", 1 + F.col("doc_id") % 3
+    )
+    res = fit_linear_probe_ppm(
+        feats, ["x1", "x2"], "n_chars", weight_col="w"
+    )
+    return spark.createDataFrame(
+        [(res["n"], *res["coeffs_ppm"])],
+        "total_weight long, b0_ppm long, b1_ppm long, b2_ppm long",
+    )

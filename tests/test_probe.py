@@ -292,3 +292,27 @@ def test_moment_sums_are_a_monoid(spark):
         df.filter("x1 < 0"), ["x1", "x2"], "y"
     ).collect()[0].asDict()
     assert merge_moment_sums(parts + [empty], d=2) == merged
+
+
+def test_weighted_fit_equals_replication(spark):
+    """WLS with integer weights must equal OLS over the replicated
+    rows EXACTLY (same sums, same Cramer solve) — and weight_col=None
+    stays the unweighted path."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [
+        (x1, x2, 5 + 2 * x1 + 3 * x2 + (x1 + x2) % 4, 1 + (x1 * 3 + x2) % 3)
+        for x1 in range(0, 15)
+        for x2 in range(0, 5)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int, w int")
+    weighted = fit_linear_probe_ppm(
+        df, ["x1", "x2"], "y", weight_col="w"
+    )
+    replicated = spark.createDataFrame(
+        [(x1, x2, y) for x1, x2, y, w in rows for _ in range(w)],
+        "x1 int, x2 int, y int",
+    )
+    plain = fit_linear_probe_ppm(replicated, ["x1", "x2"], "y")
+    assert weighted == plain
+    assert weighted["n"] == sum(w for _, _, _, w in rows)

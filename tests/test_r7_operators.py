@@ -246,3 +246,70 @@ def test_image_features_real_png_equals_synth(spark):
         )
         assert a["channel_mean"] == b["channel_mean"]
         assert a["embedding"] == b["embedding"]
+
+
+def test_ahash_real_png_equals_synth(spark):
+    """The aHash fingerprint (the media-dedup primitive) must be
+    container-agnostic: PNG bytes and SYNTH bytes of the same pixels
+    produce the same bits — so the whole image-dedup family works on
+    real PNGs through the same decode seam."""
+    from spark_alchemy_spark.multimodal import (
+        _decode_synth,
+        ahash_bits,
+        png_encode,
+        synth_image_bytes,
+    )
+
+    rows_s, rows_p = [], []
+    for i in range(5):
+        sb = synth_image_bytes(31 * i, 8, 8)
+        rows_s.append((i, bytearray(sb)))
+        rows_p.append((i, bytearray(png_encode(_decode_synth(sb), i % 5))))
+    hs = {
+        int(r["media_id"]): r["ahash"]
+        for r in ahash_bits(
+            spark.createDataFrame(rows_s, "media_id long, data binary"),
+            "data", "media_id",
+        ).collect()
+    }
+    hp = {
+        int(r["media_id"]): r["ahash"]
+        for r in ahash_bits(
+            spark.createDataFrame(rows_p, "media_id long, data binary"),
+            "data", "media_id",
+        ).collect()
+    }
+    assert hs == hp and len(hs) == 5
+
+
+def test_fixed32_cross_encoder_equality(spark):
+    """The merge-rank encoder and the Catalyst fold encoder must agree
+    on the FIXED 32-merge table too (the trained-merge law's twin) —
+    including the chained '7468'+'696E' rule that joins two merged
+    symbols."""
+    from spark_alchemy_spark.operators.bpe import (
+        encode_with_merge_ranks,
+        encode_with_merges,
+    )
+    from spark_alchemy_spark.queries_r7 import _FIXED_MERGES_32
+
+    words = spark.createDataFrame(
+        [("thinking",), ("the",), ("thin",), ("brothers",), ("outing",),
+         ("llama",), ("arrange",), ("z",), ("stout",)],
+        "w string",
+    )
+    a = {
+        r["w"]: (r["n_subtokens"], r["syms"])
+        for r in encode_with_merge_ranks(
+            words, list(_FIXED_MERGES_32), keep_syms=True
+        ).collect()
+    }
+    b = {
+        r["w"]: (r["n_subtokens"], r["syms"])
+        for r in encode_with_merges(
+            words, list(_FIXED_MERGES_32), keep_syms=True
+        ).collect()
+    }
+    assert a == b and len(a) == 9
+    # the chained rule actually fired: 'thin' collapsed to ONE symbol
+    assert a["thin"][0] == 1 and a["thin"][1] == ["7468696E"]
