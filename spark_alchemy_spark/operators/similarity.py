@@ -620,10 +620,19 @@ def append_ivf_index(
     )
     # ONE bounded job (rows per TOUCHED list): the global (n, mean)
     # the drift report needs is the driver-side rollup of the same
-    # per-list rows the streaming maintainer needs
+    # per-list rows the streaming maintainer needs.  count("__best_cos")
+    # is tracked separately from count(*) because a zero-norm vector's
+    # cosine is NULL (non-ANSI 0/0): the mean must average the NON-NULL
+    # scores — the avg() semantics the pre-list_counts version had —
+    # and an all-NULL list must not crash the fold (round-7 review
+    # finding; float(None) killed the stream inside foreachBatch)
     per_list = (
         assigned.groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__best_cos").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__best_cos").alias("ns"),
+            F.sum("__best_cos").alias("s"),
+        )
         .collect()
     )
     n_batch = sum(int(r["n"]) for r in per_list)
@@ -639,7 +648,14 @@ def append_ivf_index(
             "retrain_recommended": False,
             "list_counts": {},
         }
-    batch_mean = sum(float(r["s"]) for r in per_list) / n_batch
+    n_scored = sum(int(r["ns"]) for r in per_list)
+    # all-zero-norm batch: no meaningful drift signal; mean 0.0 makes
+    # the ratio 0 and flags retrain — the conservative read
+    batch_mean = (
+        sum(float(r["s"]) for r in per_list if r["s"] is not None) / n_scored
+        if n_scored
+        else 0.0
+    )
     list_counts = {int(r["list_id"]): int(r["n"]) for r in per_list}
 
     # Resolve the build-time baseline BEFORE the append WRITE: the
@@ -695,6 +711,20 @@ def append_ivf_index(
     }
 
 
+def _list_sizes(spark, path: str) -> dict:
+    """{list_id: rows} for a persisted IVF index — one bounded job
+    (one row per list).  The ONE definition the maintainer seed, its
+    post-split re-seed, and :func:`rebalance_ivf_index` share (round-7
+    review finding: three hand-rolled copies)."""
+    return {
+        int(r["list_id"]): int(r["n"])
+        for r in spark.read.parquet(path + "/lists")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def make_streaming_ivf_maintainer(
     spark,
     path: str,
@@ -725,14 +755,16 @@ def make_streaming_ivf_maintainer(
     store, so the stream itself is stateless and restart recovery is
     the index's own atomicity (same contract as ``stream_ivf_append``).
     """
-    sizes = {
-        int(r["list_id"]): int(r["n"])
-        for r in spark.read.parquet(path + "/lists")
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: one row per list
-    }
+    sizes = _list_sizes(spark, path)  # bounded: one row per list
     log: list = []
+    #: lists whose split attempt degenerated, recorded at the size the
+    #: attempt saw: a (near-)identical-vector hot list cannot split
+    #: (Lloyd yields one nonempty child), and without this marker the
+    #: trigger condition would stay true forever — every later batch
+    #: would pay a full rebalance attempt that splits nothing (round-7
+    #: review finding).  A marked list re-qualifies only after it has
+    #: GROWN past the failed size (new appends can make it splittable).
+    unsplittable: dict = {}
 
     def _max_share_ppm() -> int:
         total = sum(sizes.values())
@@ -753,7 +785,13 @@ def make_streaming_ivf_maintainer(
         }
         total = sum(sizes.values())
         mean = total / max(len(sizes), 1)
-        if sizes and max(sizes.values()) > trigger_ratio * mean:
+        hot = {
+            lid
+            for lid, n in sizes.items()
+            if n > trigger_ratio * mean
+            and (lid not in unsplittable or n > unsplittable[lid])
+        }
+        if hot:
             rb = rebalance_ivf_index(
                 spark, path, id_col, split_ratio=split_ratio
             )
@@ -762,17 +800,13 @@ def make_streaming_ivf_maintainer(
                 # after an actual split — the common batch path never
                 # rescans the index)
                 sizes.clear()
-                sizes.update(
-                    {
-                        int(r["list_id"]): int(r["n"])
-                        for r in spark.read.parquet(path + "/lists")
-                        .groupBy("list_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    }
-                )
+                sizes.update(_list_sizes(spark, path))
+                unsplittable.clear()  # new layout: stale markers out
                 entry["rebalanced"] = True
                 entry["max_share_ppm"] = _max_share_ppm()
+            else:
+                for lid in hot:
+                    unsplittable[lid] = sizes[lid]
             entry["rebalance_report"] = rb
         log.append(entry)
 
@@ -912,12 +946,7 @@ def rebalance_ivf_index(
     Returns {n_lists_before, n_split, skipped_degenerate, rows_moved,
     max_share_before_ppm, max_share_after_ppm, new_list_ids}."""
     lists = spark.read.parquet(path + "/lists")
-    sizes = {
-        int(r["list_id"]): int(r["n"])
-        for r in lists.groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: one row per list
-    }
+    sizes = _list_sizes(spark, path)  # bounded: one row per list
     total = sum(sizes.values())
     mean = total / max(len(sizes), 1)
     hot = sorted(
