@@ -612,19 +612,24 @@ def bitstring_hamming_pairs(
             f"(got {max_hamming}); raise n_bands"
         )
     blen = n_bits // n_bands
-    fp = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
     # fail LOUD if any fingerprint disagrees with n_bits: substring
     # past end returns '' on BOTH sides, so trailing bits would be
     # silently ignored and band keys would truncate — wrong duplicate
     # pairs with no error (same guard as the streaming twin
-    # media_dedup_at_ingest; round-7 ADVICE finding)
-    wrong = fp.filter(F.length("__h") != n_bits).limit(1).collect()
-    if wrong:
-        raise ValueError(
-            f"fingerprint {wrong[0]['__id']!r} is "
-            f"{len(wrong[0]['__h'])} bits, n_bits={n_bits} — pass the "
-            f"matching n_bits"
-        )
+    # media_dedup_at_ingest; round-7 ADVICE finding).  The check is
+    # LAZY — an assert_true folded into the fingerprint projection, so
+    # it surfaces on the existing scan instead of an eager extra job
+    # per call (round-8 ADVICE: per-micro-batch callers paid a full
+    # fingerprint-table scan just for the guard).
+    checked = F.expr(
+        f"CASE WHEN assert_true(length(__h) = {int(n_bits)}, "
+        f"concat('fingerprint ', CAST(__id AS STRING), ' is ', "
+        f"CAST(length(__h) AS STRING), ' bits, n_bits={int(n_bits)}"
+        f" — pass the matching n_bits')) IS NULL THEN __h END"
+    )
+    fp = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    ).select("__id", checked.alias("__h"))
     bands = F.array(
         *[F.substring("__h", i * blen + 1, blen) for i in range(n_bands)]
     )

@@ -114,11 +114,27 @@ def linear_probe_sums(
 def _moment_aggs(
     x_cols: list[str], y_col: str, weight_col: str | None = None
 ) -> list[Column]:
-    w = (
-        F.col(weight_col).cast("long")
-        if weight_col is not None
-        else F.lit(1).cast("long")
-    )
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        # VALIDATED, not silently cast (round-8 ADVICE): a fractional
+        # or negative weight would truncate / flow through and corrupt
+        # the WLS sums despite the documented integer->=0 contract.
+        # The check is lazy — assert_true folded into the weight
+        # expression, so it fires on the one aggregate scan the fit
+        # already runs (NULL weights also fail: assert_true(NULL)
+        # raises, which is the right read of a missing confidence).
+        wc = F.col(weight_col)
+        w = F.when(
+            F.assert_true(
+                (wc >= 0) & (wc == F.floor(wc)),
+                F.lit(
+                    f"linear_probe_sums: weight column {weight_col!r} "
+                    "must be integer-valued and >= 0"
+                ),
+            ).isNull(),
+            wc.cast("long"),
+        )
     aggs = [F.sum(w).alias("n")]
     for i, xi in enumerate(x_cols):
         aggs.append(F.sum(w * F.col(xi).cast("long")).alias(f"s{i}"))

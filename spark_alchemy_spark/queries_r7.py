@@ -543,6 +543,9 @@ def stream_probe_incremental_fit(spark, sf_dir):
 
     merged = merge_moment_sums(running, d=2)
     n, coeffs = _solve_ppm(merged, d=2)
+    if coeffs is None:  # mirror fit_linear_probe_ppm's fit-path
+        # contract (round-8 ADVICE: an opaque TypeError otherwise)
+        raise ZeroDivisionError("singular normal-equation system")
     b_n, b_coeffs = _probe_coeffs(spark, sf_dir)  # the batch fit (cached)
     return spark.createDataFrame(
         [

@@ -183,13 +183,16 @@ def test_bitstring_hamming_pairs_rejects_bad_geometry(spark):
 def test_bitstring_hamming_pairs_rejects_wrong_width(spark):
     """A fingerprint narrower than n_bits must fail LOUD, not silently
     truncate band keys (substring past end returns '' on both sides —
-    the round-7 ADVICE finding; the streaming twin already guarded)."""
+    the round-7 ADVICE finding; the streaming twin already guarded).
+    The guard is LAZY (assert_true folded into the projection — no
+    extra scan per call, round-8 ADVICE), so the error surfaces at
+    execution as a Spark runtime error naming the bad fingerprint."""
     from spark_alchemy_spark.operators.dedup import bitstring_hamming_pairs
 
     df = spark.createDataFrame(
         [(1, "0" * 64), (2, "0" * 32)], "rep long, ahash string"
     )
-    with pytest.raises(ValueError, match="n_bits"):
+    with pytest.raises(Exception, match="n_bits"):
         bitstring_hamming_pairs(df, "rep", "ahash").collect()
 
 
