@@ -342,7 +342,10 @@ def stream_ivf_rebalance(spark, sf_dir):
         .parquet(arrivals_dir + "/*")
     )
     progress: list = []
-    _drain_foreach_batch(arrivals, maintain, progress_out=progress)
+    _drain_foreach_batch(
+        arrivals, maintain, progress_out=progress,
+        checkpoint=idx_path + "_chk",
+    )
 
     rebal_idx = [i for i, e in enumerate(log) if e["rebalanced"]]
     first_rb = log[rebal_idx[0]]["rebalance_report"] if rebal_idx else None
@@ -605,3 +608,6 @@ def quality_probe_weighted(spark, sf_dir):
         [(res["n"], *res["coeffs_ppm"])],
         "total_weight long, b0_ppm long, b1_ppm long, b2_ppm long",
     )
+
+
+from . import queries_r8  # noqa: E402,F401  (registration side effect)

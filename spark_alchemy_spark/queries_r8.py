@@ -1,0 +1,167 @@
+"""Battery extension, round 8: the VERDICT-r7 task list — exactly-once
+streaming index appends proven through an engine-real kill/restart,
+IVF small-file compaction composed into the index lifecycle, and
+exact-integer fit diagnostics (R² from the same moment sums).
+
+* ``stream_ivf_recovery`` — the restart-recovery contract made real:
+  the maintainer commits a micro-batch to the index's JSON transaction
+  log, the stream is KILLED before the engine checkpoint commit, and
+  the restarted stream replays that batch — which the log turns into a
+  visible no-op skip, leaving every row exactly once
+  (``operators/similarity.py`` txn note; VERDICT r7 task 1).
+
+Same determinism conventions as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming appends under kill/restart (VERDICT r7 task 1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_ivf_recovery",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 400)
+                AS BIGINT) AS n_rows,
+           TRUE AS crash_landed_batch0,
+           TRUE AS replay_skipped,
+           TRUE AS rows_conserved,
+           TRUE AS stats_exact,
+           TRUE AS stateless
+    """,
+)
+def stream_ivf_recovery(spark, sf_dir):
+    """EXACTLY-ONCE streaming appends proven by an engine-real
+    kill/restart (VERDICT r7 task 1): batch 0's append COMMITS to the
+    index (rows + ``txn.json`` high-water mark), then the stream
+    crashes before the engine checkpoint commit — foreachBatch's
+    at-least-once window.  The restarted stream (fresh maintainer
+    closure, same checkpoint) REPLAYS batch 0; the transaction log
+    turns the replay into a visible no-op skip, so after the drain
+    every standing and streamed row is in the index exactly once and
+    the ``/stats`` sidecar matches the exact row count — the
+    invariant a plain ``mode("append")`` write cannot keep.
+
+    Invariants: ``crash_landed_batch0`` — the kill really happened
+    after the index commit (pre-restart count = standing + batch 0);
+    ``replay_skipped`` — the restarted stream's first log entry is the
+    skip; ``rows_conserved`` — count == distinct ids == expected;
+    ``stats_exact`` — the sidecar's running n equals the row count;
+    ``stateless`` — zero state-store operators (the index directory +
+    txn log ARE the state)."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        build_ivf_index,
+        make_streaming_ivf_maintainer,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_standing = standing.count()
+
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("ivf_recov_arrivals")
+    )
+    batch_sizes = []
+    for i, (lo, hi) in enumerate(((300, 350), (350, 400))):
+        sub = os.path.join(arrivals_dir, f"f{i}")
+        sl = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        batch_sizes.append(sl.count())
+        sl.coalesce(1).write.mode("overwrite").parquet(sub)
+        for leaf in os.listdir(sub):
+            if leaf.endswith(".parquet"):
+                os.utime(
+                    os.path.join(sub, leaf), (1_700_000_000 + i * 100,) * 2
+                )
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_recov_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    chk = idx_path + "_chk"
+
+    def read_arrivals():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals_dir + "/*")
+        )
+
+    # phase 1: crash AFTER the index commit, BEFORE the engine
+    # checkpoint commit (raising inside foreachBatch fails the batch
+    # post-side-effect — exactly the at-least-once replay window)
+    maintain1, _log1 = make_streaming_ivf_maintainer(
+        spark, idx_path, id_col="vec_id", vec_col="embedding"
+    )
+
+    def crash_after_commit(batch_df, batch_id):
+        maintain1(batch_df, batch_id)
+        raise RuntimeError("injected crash after index commit")
+
+    crashed = False
+    try:
+        _drain_foreach_batch(read_arrivals(), crash_after_commit,
+                             checkpoint=chk)
+    except Exception as e:  # StreamingQueryException wrapping the raise
+        crashed = "injected crash" in str(e)
+    mid_count = int(
+        spark.read.parquet(idx_path + "/lists").count()
+    )
+    crash_landed = crashed and mid_count == n_standing + batch_sizes[0]
+
+    # phase 2: restart — fresh maintainer closure, same checkpoint:
+    # the engine replays batch 0, the txn log skips it
+    maintain2, log2 = make_streaming_ivf_maintainer(
+        spark, idx_path, id_col="vec_id", vec_col="embedding"
+    )
+    progress: list = []
+    _drain_foreach_batch(
+        read_arrivals(), maintain2, progress_out=progress, checkpoint=chk
+    )
+
+    n_expected = n_standing + sum(batch_sizes)
+    conserve = (
+        spark.read.parquet(idx_path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+        )
+        .collect()[0]
+    )
+    stats_n = int(
+        spark.read.parquet(idx_path + "/stats").collect()[0]["n"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                crash_landed,
+                bool(log2) and log2[0]["skipped_replay"] is True,
+                int(conserve["n"]) == n_expected
+                and int(conserve["nid"]) == n_expected,
+                stats_n == n_expected,
+                all(p["stateOperators"] == [] for p in progress),
+            )
+        ],
+        "n_rows long, crash_landed_batch0 boolean, replay_skipped boolean,"
+        " rows_conserved boolean, stats_exact boolean, stateless boolean",
+    )
