@@ -1258,7 +1258,10 @@ def stream_ivf_append(spark, sf_dir):
     # after a mid-stream crash is a committed-id no-op, so the appends
     # are exactly-once (round-7 VERDICT task 1; proof in
     # stream_ivf_recovery / tests/test_r8_recovery.py)
-    _drain_foreach_batch(arrivals, append_batch, checkpoint=path + "_chk")
+    _drain_foreach_batch(
+        arrivals, append_batch, state_partitions=8,
+        checkpoint=path + "_chk",
+    )
     assert reports and all(r["n_appended"] > 0 for r in reports)
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     return ivf_topk_indexed(

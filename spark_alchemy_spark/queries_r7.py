@@ -265,13 +265,17 @@ def stream_ivf_rebalance(spark, sf_dir):
     list) and advanced from each append report's ``list_counts``; only
     an actual split re-seeds.
 
-    Arrivals replay as THREE mtime-ordered micro-batches of planted
-    skew (scaled copies of one base vector — identical direction, so
-    every plant lands in the base's list): the hot list must cross the
-    threshold by batch 2 at the latest (500 standing-mean-sized lists
-    + >=167 plants/batch), so the split happens MID-stream and later
-    batches land on the post-split layout — the property a nightly
-    batch rebalance cannot give.  Invariants (engine-checkable, the
+    Arrivals replay as THREE mtime-ordered micro-batches: batch 0
+    carries ALL the planted skew (scaled copies of one base vector —
+    identical direction, so every plant lands in the base's list,
+    pushing it robustly past 2x the mean and tripping the rebalance on
+    the FIRST batch), batches 1-2 are own-direction duplicates that
+    fatten every list in proportion and must NOT re-trip — one split,
+    mid-stream, with later batches landing on the post-split layout
+    and paying only the append (the steady-state cost profile a live
+    ingest has; re-concentrating plants per batch made every batch pay
+    a full rebalance, tripling this entry's wall cost for no extra
+    coverage — VERDICT r7 task 2).  Invariants (engine-checkable, the
     ``ann_ivf_rebalance`` set plus the streaming ones):
     ``rows_conserved`` — every standing + streamed row is in the index
     exactly once after the mid-stream rewrite; ``rebalanced_mid_
@@ -299,33 +303,64 @@ def stream_ivf_rebalance(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     base = standing.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    # ONE agg for both expected counts (was two count() jobs — VERDICT
+    # r7 task 2: this entry is job-count bound, not data bound)
+    cnt = (
+        emb.filter(F.col("vec_id") < 2000)
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.count_if(F.col("vec_id") % 4 == 0).alias("np"),
+        )
+        .collect()[0]
+    )
+    n_expected = int(cnt["ns"]) + int(cnt["np"])
+    # batch 0 (vec_id%12 in {0,4}, ~2/3 of the plants): CONCENTRATED —
+    # base's direction, all land in one list, guaranteed trigger trip
+    # even if base's list starts well under the standing mean (the
+    # per-residue variant was data-marginal: ~167 plants trip only if
+    # the target list starts near the mean).  batches 1-2: SPREAD —
+    # each plant duplicates its OWN source direction, landing in the
+    # source row's list, so growth is proportional and nothing re-trips
     plants = (
         emb.filter((F.col("vec_id") < 2000) & (F.col("vec_id") % 4 == 0))
-        .select((F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("__own"),
+        )
         .crossJoin(
             F.broadcast(base.select(F.col("embedding").alias("__b")))
         )
         .select(
-            "vec_id",
+            (F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"),
             F.transform(
-                "__b", lambda x: x * (1.0 + F.col("vec_id") % 97 / 100000.0)
+                F.when(F.col("vec_id") % 12 < 8, F.col("__b")).otherwise(
+                    F.col("__own")
+                ),
+                lambda x: x * (1.0 + F.col("vec_id") % 97 / 100000.0),
             ).alias("embedding"),
+            # batch key: concentrated mass first, spread halves after
+            F.when(F.col("vec_id") % 12 < 8, F.lit(0))
+            .when(F.col("vec_id") % 24 == 8, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("r"),
         )
-        .localCheckpoint(eager=False)  # reused: 3 slice writes + count
     )
-    n_expected = standing.count() + plants.count()
 
     # three mtime-ordered arrival files => three deterministic
-    # micro-batches (the established multi-batch replay pattern)
+    # micro-batches, written by ONE partitioned job (was three
+    # coalesce(1) writes; each batch key hashes to one shuffle
+    # partition so each r= dir gets exactly one file — VERDICT r7
+    # task 2)
     arrivals_dir = os.path.join(
         tempfile.gettempdir(), _sink_name("ivf_rebal_arrivals")
     )
-    for i, residue in enumerate((0, 4, 8)):  # vec_id%4==0 => %12 in {0,4,8}
-        sub = os.path.join(arrivals_dir, f"f{i}")
-        plants.filter(
-            (F.col("vec_id") - 30_000_000) % 12 == residue
-        ).coalesce(1).write.mode("overwrite").parquet(sub)
-        for leaf in glob.glob(os.path.join(sub, "*.parquet")):
+    plants.repartition("r").write.mode("overwrite").partitionBy(
+        "r"
+    ).parquet(arrivals_dir)
+    for i in range(3):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_rebal_idx"))
@@ -333,8 +368,15 @@ def stream_ivf_rebalance(spark, sf_dir):
         standing, "vec_id", "embedding", idx_path, n_centroids=16,
         centroids=_ivf_centroids_cached(spark, sf_dir),
     )
+    # trigger 2.5 / split 2.0: the selector cleans to <=2x the OLD
+    # mean, but splitting grows the list count and LOWERS the mean, so
+    # survivors can sit at ~2.1x the new mean — a trigger equal to the
+    # selector re-fires on that residue every batch (profiled: 3
+    # rebalances per drain, ~3s each, for one list's worth of actual
+    # skew).  The gap absorbs the post-split residue; only genuine new
+    # concentration (batch 0's planted mass lands at >3x) trips.
     maintain, log = make_streaming_ivf_maintainer(
-        spark, idx_path, trigger_ratio=2.0, split_ratio=2.0
+        spark, idx_path, trigger_ratio=2.5, split_ratio=2.0
     )
     arrivals = (
         spark.readStream.schema("vec_id long, embedding array<double>")
@@ -342,8 +384,11 @@ def stream_ivf_rebalance(spark, sf_dir):
         .parquet(arrivals_dir + "/*")
     )
     progress: list = []
+    # state_partitions=8: micro-batches are a few hundred rows — a
+    # 32-task shuffle per batch stage is pure scheduling overhead
+    # (the established drain-scaffold lever; VERDICT r7 task 2)
     _drain_foreach_batch(
-        arrivals, maintain, progress_out=progress,
+        arrivals, maintain, state_partitions=8, progress_out=progress,
         checkpoint=idx_path + "_chk",
     )
 

@@ -45,14 +45,17 @@ def stream_ivf_recovery(spark, sf_dir):
     closure, same checkpoint) REPLAYS batch 0; the transaction log
     turns the replay into a visible no-op skip, so after the drain
     every standing and streamed row is in the index exactly once and
-    the ``/stats`` sidecar matches the exact row count — the
-    invariant a plain ``mode("append")`` write cannot keep.
+    the running stats record (the txn commit carries the (n, mean)
+    fold; ``read_index_stats`` resolves it first) matches the exact
+    row count — the invariant a plain ``mode("append")`` write cannot
+    keep.
 
     Invariants: ``crash_landed_batch0`` — the kill really happened
     after the index commit (pre-restart count = standing + batch 0);
     ``replay_skipped`` — the restarted stream's first log entry is the
     skip; ``rows_conserved`` — count == distinct ids == expected;
-    ``stats_exact`` — the sidecar's running n equals the row count;
+    ``stats_exact`` — the running stats record's n equals the row
+    count;
     ``stateless`` — zero state-store operators (the index directory +
     txn log ARE the state)."""
     import os
@@ -120,7 +123,7 @@ def stream_ivf_recovery(spark, sf_dir):
     crashed = False
     try:
         _drain_foreach_batch(read_arrivals(), crash_after_commit,
-                             checkpoint=chk)
+                             state_partitions=8, checkpoint=chk)
     except Exception as e:  # StreamingQueryException wrapping the raise
         crashed = "injected crash" in str(e)
     mid_count = int(
@@ -135,7 +138,8 @@ def stream_ivf_recovery(spark, sf_dir):
     )
     progress: list = []
     _drain_foreach_batch(
-        read_arrivals(), maintain2, progress_out=progress, checkpoint=chk
+        read_arrivals(), maintain2, state_partitions=8,
+        progress_out=progress, checkpoint=chk,
     )
 
     n_expected = n_standing + sum(batch_sizes)
@@ -147,9 +151,9 @@ def stream_ivf_recovery(spark, sf_dir):
         )
         .collect()[0]
     )
-    stats_n = int(
-        spark.read.parquet(idx_path + "/stats").collect()[0]["n"]
-    )
+    from .operators.similarity import read_index_stats
+
+    stats_n = read_index_stats(spark, idx_path)[0]
     return spark.createDataFrame(
         [
             (

@@ -266,6 +266,7 @@ def test_ivf_append_empty_batch_is_noop(spark, tmp_path):
         "drift_ratio": 1.0,
         "retrain_recommended": False,
         "list_counts": {},
+        "skipped_replay": False,  # round 8: the txn-log replay flag
     }
 
 

@@ -39,14 +39,17 @@ def _batch(spark, n, start_id, dim=8, axis=0):
 
 
 def _index_state(spark, path):
+    from spark_alchemy_spark.operators.similarity import read_index_stats
+
     lists = spark.read.parquet(path + "/lists")
     r = lists.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("nid")
     ).collect()[0]
-    stats = spark.read.parquet(path + "/stats").collect()[0]
-    return int(r["n"]), int(r["nid"]), int(stats["n"]), float(
-        stats["mean_assigned_cos"]
-    )
+    # the ONE stats accessor: txn commit record first (authoritative
+    # for a transactional index — appends fold there, not into the
+    # 1-row parquet), /stats parquet fallback
+    stats_n, stats_m = read_index_stats(spark, path)
+    return int(r["n"]), int(r["nid"]), stats_n, stats_m
 
 
 def test_append_replay_is_noop(spark, tmp_path):
