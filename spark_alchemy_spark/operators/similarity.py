@@ -1023,6 +1023,8 @@ def make_streaming_ivf_maintainer(
     vec_col: str = "embedding",
     trigger_ratio: float = 2.0,
     split_ratio: float = 2.0,
+    compact_files_per_list: int | None = None,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> tuple:
     """The SELF-MAINTAINING streaming index: compose the three index
     lifecycle legs (build → :func:`append_ivf_index` per micro-batch →
@@ -1059,6 +1061,17 @@ def make_streaming_ivf_maintainer(
     ``split_ratio`` — a trigger below the selector would fire
     rebalances that select nothing and mis-mark genuinely splittable
     lists as unsplittable (round-8 ADVICE; validated here).
+
+    ``compact_files_per_list`` (opt-in) arms the FOURTH lifecycle leg:
+    every append adds one file per touched list, so the maintainer
+    also tracks per-list FILE counts — seeded from one driver-side
+    metadata scan (zero Spark jobs), advanced by +1 per touched list
+    per append, re-surveyed only after a rebalance or compaction
+    actually rewrote partitions — and runs
+    :func:`compact_ivf_index` inside the batch the moment any list
+    exceeds the threshold, so a long-running ingest never accretes the
+    thousands-of-small-files tail (VERDICT r7 task 3).  Log entries
+    gain {compacted, compaction_report}.
     """
     if trigger_ratio < split_ratio:
         raise ValueError(
@@ -1067,6 +1080,10 @@ def make_streaming_ivf_maintainer(
             "rebalances whose hot-list selector finds nothing"
         )
     sizes = _list_sizes(spark, path)  # bounded: one row per list
+    fcounts: dict = (
+        _ivf_list_files(path)[0] if compact_files_per_list is not None
+        else {}
+    )  # driver-side metadata scan, zero Spark jobs
     log: list = []
     #: lists whose split attempt degenerated, recorded at the size the
     #: attempt saw: a (near-)identical-vector hot list cannot split
@@ -1100,18 +1117,26 @@ def make_streaming_ivf_maintainer(
                     "max_share_ppm": _max_share_ppm(),
                     "rebalanced": False,
                     "rebalance_report": None,
+                    "compacted": False,
+                    "compaction_report": None,
                     "skipped_replay": True,
                 }
             )
             return
         for lid, n in rep["list_counts"].items():
             sizes[lid] = sizes.get(lid, 0) + n
+        if compact_files_per_list is not None:
+            # the append writes exactly ONE file per touched list
+            for lid in rep["list_counts"]:
+                fcounts[lid] = fcounts.get(lid, 0) + 1
         entry = {
             "batch_id": int(batch_id),
             "n_appended": rep["n_appended"],
             "max_share_ppm": _max_share_ppm(),
             "rebalanced": False,
             "rebalance_report": None,
+            "compacted": False,
+            "compaction_report": None,
             "skipped_replay": False,
         }
         total = sum(sizes.values())
@@ -1147,10 +1172,28 @@ def make_streaming_ivf_maintainer(
                         unsplittable[lid] = sizes[lid]
                 entry["rebalanced"] = True
                 entry["max_share_ppm"] = _max_share_ppm()
+                if compact_files_per_list is not None:
+                    # the split rewrote partitions: re-survey (driver
+                    # metadata scan, free, only after the rare split)
+                    fcounts.clear()
+                    fcounts.update(_ivf_list_files(path)[0])
             else:
                 for lid in hot:
                     unsplittable[lid] = sizes[lid]
             entry["rebalance_report"] = rb
+        if compact_files_per_list is not None and any(
+            c > compact_files_per_list for c in fcounts.values()
+        ):
+            cp = compact_ivf_index(
+                spark,
+                path,
+                max_files_per_list=compact_files_per_list,
+                target_file_bytes=compact_target_bytes,
+            )
+            fcounts.clear()
+            fcounts.update(_ivf_list_files(path)[0])
+            entry["compacted"] = cp["n_compacted"] > 0
+            entry["compaction_report"] = cp
         log.append(entry)
 
     return maintain, log
@@ -1440,6 +1483,146 @@ def rebalance_ivf_index(
         max(new_sizes.values()) * 1_000_000 // total if total else 0
     )
     report["new_sizes"] = new_sizes
+    return report
+
+
+def _ivf_list_files(path: str) -> tuple[dict, dict]:
+    """Per-list ``({list_id: file count}, {list_id: bytes})`` for a
+    persisted IVF index — a driver-side metadata scan (``os.scandir``),
+    ZERO Spark jobs.  Local-filesystem only, the same contract as the
+    index transaction log; at deployment scale this is one call to the
+    table format's file-listing API."""
+    import os
+
+    base = _txn_local_path(path, "lists")
+    counts: dict = {}
+    sizes: dict = {}
+    for entry in os.scandir(base):
+        if entry.is_dir() and entry.name.startswith("list_id="):
+            lid = int(entry.name.split("=", 1)[1])
+            n = b = 0
+            for f in os.scandir(entry.path):
+                if f.is_file() and not f.name.startswith(("_", ".")):
+                    n += 1
+                    b += f.stat().st_size
+            counts[lid], sizes[lid] = n, b
+    return counts, sizes
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files_per_list: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """COMPACT the fragmented list partitions of a persisted IVF index
+    — the fourth lifecycle leg (build → append per batch → rebalance on
+    skew → compact on fragmentation).  Every streamed micro-batch
+    append adds ONE parquet file per touched list
+    (:func:`append_ivf_index` clusters its write by list id), so a
+    week-long ingest leaves thousands of small files per hot list and
+    every later probe pays per-file open/footer costs plus a task per
+    file — the same silent killer :func:`sources.io.compact_table`
+    exists for, composed here into the index lifecycle (VERDICT r7
+    task 3).
+
+    Mechanics, sized so COLD lists are never touched:
+
+    * per-list file counts and bytes come from one driver-side metadata
+      scan (zero Spark jobs); only lists with more than
+      ``max_files_per_list`` files are rewritten;
+    * output file count per hot list follows compact_table's sizing
+      rule — from the actual BYTES (``ceil(bytes/target_file_bytes)``),
+      never the input file count — implemented as a shuffle on
+      ``(list_id, salt)`` with a per-list salt modulus, so one job
+      rewrites every hot list at once;
+    * the rewrite is a dynamic-partition overwrite of exactly the hot
+      list partitions (the established rebalance/repair pattern —
+      partition-selective, unlike compact_table's whole-table staged
+      swap, because rewriting the cold lists would turn an O(hot)
+      maintenance task into an O(index) one), reading through a
+      ``localCheckpoint`` since it overwrites the very partitions it
+      reads;
+    * rows, assignments, ``__batch`` tags, ``/centroids``, and the
+      stats record are all UNCHANGED — compaction moves bytes, not
+      rows, so conservation and probe results are bit-identical;
+    * an index with an UNCOMMITTED append intent refuses to compact:
+      folding a crashed attempt's tagged rows into compacted files
+      would not break the replay repair (it filters on the ``__batch``
+      DATA column), but the repair's rewrite and this rewrite racing
+      the same partitions is a second-writer scenario the local-fs log
+      forbids — fail loud, let the replay repair first.
+
+    Returns {n_lists, n_compacted, compacted_list_ids, files_before,
+    files_after, rows} — ``rows`` is the exact rewritten row count
+    (from the checkpoint materialization, no extra job), letting
+    callers assert conservation cheaply."""
+    import math
+
+    if not _txn_possible(path):
+        raise ValueError(
+            "compact_ivf_index's partition rewrite assumes a local "
+            f"filesystem (got {path!r}) — use a table-format rewrite "
+            "commit (Delta OPTIMIZE / Iceberg rewrite_data_files) on "
+            "object stores"
+        )
+    txn = _read_index_json(path, "txn.json")
+    intent = _read_index_json(path, "txn_intent.json")
+    committed = int(txn["last_batch_id"]) if txn is not None else -1
+    if intent is not None and int(intent["batch_id"]) > committed:
+        raise RuntimeError(
+            "ivf index has an uncommitted append intent (batch "
+            f"{intent['batch_id']} > committed {committed}): replay the "
+            "stream so the repair runs first — compacting under it "
+            "would race the repair's partition rewrite"
+        )
+
+    counts, sizes = _ivf_list_files(path)
+    hot = sorted(
+        lid for lid, c in counts.items() if c > max_files_per_list
+    )
+    report = {
+        "n_lists": len(counts),
+        "n_compacted": len(hot),
+        "compacted_list_ids": hot,
+        "files_before": sum(counts.values()),
+        "files_after": sum(counts.values()),
+        "rows": 0,
+    }
+    if not hot:
+        return report
+
+    n_out = {
+        lid: max(1, math.ceil(sizes[lid] / target_file_bytes)) for lid in hot
+    }
+    lists = spark.read.parquet(path + "/lists")
+    salt_mod = F.create_map(
+        *[F.lit(x) for lid in hot for x in (lid, n_out[lid])]
+    )[F.col("list_id")]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in lists.columns]), salt_mod
+    )
+    hot_df = (
+        lists.filter(F.col("list_id").isin([int(x) for x in hot]))
+        # deterministic row-hash salt splits an over-target list into
+        # ~ceil(bytes/target) writers; under-target lists collapse to
+        # salt 0 => one file per list
+        .repartition(F.col("list_id"), salt)
+        .localCheckpoint()  # EAGER: materialize before the overwrite
+        # deletes the files this plan reads (rebalance/repair pattern)
+    )
+    report["rows"] = hot_df.count()  # served from the checkpoint
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        hot_df.write.mode("overwrite").partitionBy("list_id").parquet(
+            path + "/lists"
+        )
+    finally:
+        spark.conf.set(conf_key, old_mode)
+    after, _ = _ivf_list_files(path)
+    report["files_after"] = sum(after.values())
     return report
 
 

@@ -169,3 +169,136 @@ def stream_ivf_recovery(spark, sf_dir):
         "n_rows long, crash_landed_batch0 boolean, replay_skipped boolean,"
         " rows_conserved boolean, stats_exact boolean, stateless boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF small-file compaction in the index lifecycle (VERDICT r7 task 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_compaction",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 400)
+                + (SELECT count(*) FROM embeddings WHERE vec_id < 300) + 1
+                AS BIGINT) AS n_rows,
+           TRUE AS rows_conserved,
+           TRUE AS files_reduced,
+           TRUE AS only_hot_rewritten,
+           TRUE AS stats_exact,
+           TRUE AS plant_refound
+    """,
+)
+def ann_ivf_compaction(spark, sf_dir):
+    """The FOURTH index lifecycle leg (VERDICT r7 task 3): every
+    incremental append clusters its write by list id — one parquet
+    file per touched list per batch — so a long-running ingest
+    fragments the hot lists into the small-file tail that taxes every
+    later probe.  ``compact_ivf_index`` surveys per-list file counts
+    with one driver-side metadata scan (zero Spark jobs), rewrites
+    ONLY the over-threshold lists (one salted shuffle job, output
+    sized from bytes per ``sources/io.py::compact_table``'s rule), and
+    must change nothing but the file layout.
+
+    Three batch appends — own-direction duplicates of standing rows
+    (new ids at +40M, so the batches spread across the lists the way
+    real arrivals do, independent of the table's id range), the first
+    also carrying a planted duplicate of the base vector at id 50M —
+    push the touched lists past the 2-file threshold; the compaction
+    then collapses them.  Invariants:
+    ``rows_conserved`` — count == distinct ids == expected after the
+    rewrite; ``files_reduced`` — at least one list compacted and the
+    total file count strictly fell; ``only_hot_rewritten`` — the
+    compacted set is EXACTLY the over-threshold set from the
+    pre-compaction survey (cold lists untouched); ``stats_exact`` —
+    the running stats record still equals the exact row count
+    (compaction moves bytes, not rows); ``plant_refound`` — a
+    post-compaction INDEXED probe at selective nprobe still finds the
+    planted duplicate at cosine 1.0."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        _ivf_list_files,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+        read_index_stats,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = standing.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    # ONE agg for both expected counts (job-count discipline, the
+    # stream_ivf_rebalance pattern)
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 400).alias("ns"),
+        F.count_if(F.col("vec_id") < 300).alias("na"),
+    ).collect()[0]
+    n_expected = int(cnt["ns"]) + int(cnt["na"]) + 1
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_cmp_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    for i, (lo, hi) in enumerate(((0, 100), (100, 200), (200, 300))):
+        sl = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        if i == 0:
+            sl = sl.unionByName(
+                base.select(
+                    F.lit(50_000_000).cast("long").alias("vec_id"),
+                    "embedding",
+                )
+            )
+        append_ivf_index(sl, "vec_id", "embedding", idx_path)
+
+    before, _ = _ivf_list_files(idx_path)
+    hot_expected = sorted(lid for lid, c in before.items() if c > 2)
+    rep = compact_ivf_index(spark, idx_path, max_files_per_list=2)
+
+    conserve = (
+        spark.read.parquet(idx_path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+        )
+        .collect()[0]
+    )
+    stats_n = read_index_stats(spark, idx_path)[0]
+    top = (
+        ivf_topk_indexed(
+            spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
+        )
+        .filter(F.col("neighbor_id") >= 50_000_000)
+        .orderBy(F.desc("cos"))
+        .limit(1)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                int(conserve["n"]) == n_expected
+                and int(conserve["nid"]) == n_expected,
+                rep["n_compacted"] >= 1
+                and rep["files_after"] < rep["files_before"],
+                sorted(rep["compacted_list_ids"]) == hot_expected,
+                stats_n == n_expected,
+                bool(top) and float(top[0]["cos"]) >= 1.0,
+            )
+        ],
+        "n_rows long, rows_conserved boolean, files_reduced boolean,"
+        " only_hot_rewritten boolean, stats_exact boolean,"
+        " plant_refound boolean",
+    )
