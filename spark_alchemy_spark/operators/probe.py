@@ -50,6 +50,7 @@ __all__ = [
     "fit_ridge_path_ppm",
     "moment_sum_keys",
     "merge_moment_sums",
+    "r2_ppm_from_sums",
     "probe_score_ppm",
     "rank_auc_ppm",
     "exact_int_det",
@@ -139,6 +140,14 @@ def _moment_aggs(
     for i, xi in enumerate(x_cols):
         aggs.append(F.sum(w * F.col(xi).cast("long")).alias(f"s{i}"))
     aggs.append(F.sum(w * F.col(y_col).cast("long")).alias("sy"))
+    # sum(w * y^2): the one extra term that makes goodness-of-fit
+    # (SST, SSE, R^2) an exact-integer function of the SAME sums —
+    # diagnostics cost zero additional passes (VERDICT r7 task 4)
+    aggs.append(
+        F.sum(
+            w * (F.col(y_col).cast("long") * F.col(y_col).cast("long"))
+        ).alias("syy")
+    )
     for i, xi in enumerate(x_cols):
         for j in range(i, len(x_cols)):
             xj = x_cols[j]
@@ -155,13 +164,15 @@ def _moment_aggs(
     return aggs
 
 
-def _solve_ppm(
+def _solve_dets(
     r: dict, d: int, ridge_lambda: int = 0
-) -> tuple[int, list[int] | None]:
+) -> tuple[int, int, list[int] | None]:
     """Assemble the augmented normal-equation system from a moment-sum
-    row dict and Cramer-solve it in exact integers; returns (n,
-    coeffs_ppm) with ``None`` coefficients for a singular system.  The
-    single solver all fit paths share.
+    row dict and Cramer-expand it in exact integers; returns (n, det,
+    [d_0..d_d]) — the system determinant and the d+1 replaced-column
+    determinants, i.e. the coefficients as EXACT rationals d_k/det —
+    or (n, 0, None) for a singular system.  The single expansion both
+    the coefficient pin and the R^2 diagnostic share.
 
     ``ridge_lambda`` (integer, same unit as the squared features) is
     added to the d FEATURE diagonal entries — never the intercept row
@@ -185,20 +196,73 @@ def _solve_ppm(
         s[i + 1][i + 1] += int(ridge_lambda)
     det = exact_int_det(s)
     if det == 0:
-        return n, None
-    coeffs = [
-        _trunc_div_ppm(
-            exact_int_det(
-                [
-                    [b[p] if c == k else s[p][c] for c in range(d + 1)]
-                    for p in range(d + 1)
-                ]
-            ),
-            det,
+        return n, 0, None
+    dks = [
+        exact_int_det(
+            [
+                [b[p] if c == k else s[p][c] for c in range(d + 1)]
+                for p in range(d + 1)
+            ]
         )
         for k in range(d + 1)
     ]
-    return n, coeffs
+    return n, det, dks
+
+
+def _solve_ppm(
+    r: dict, d: int, ridge_lambda: int = 0
+) -> tuple[int, list[int] | None]:
+    """Cramer-solve a moment-sum row into ppm-pinned coefficients;
+    returns (n, coeffs_ppm) with ``None`` coefficients for a singular
+    system.  The single solver all fit paths share (see
+    :func:`_solve_dets` for the ridge semantics)."""
+    n, det, dks = _solve_dets(r, d, ridge_lambda)
+    if dks is None:
+        return n, None
+    return n, [_trunc_div_ppm(dk, det) for dk in dks]
+
+
+def r2_ppm_from_sums(r: dict, d: int, ridge_lambda: int = 0) -> int | None:
+    """The coefficient of determination R^2 in ppm, an EXACT-integer
+    function of the same moment sums the fit runs on — goodness-of-fit
+    costs zero extra passes over the corpus (VERDICT r7 task 4).
+
+    With b = [sy, s0y, ..] and d_k/det the exact rational coefficients
+    from :func:`_solve_dets`:
+
+        SST*n       = n*syy - sy^2
+        SSE*det^2   = syy*det^2 - det*sum_k(d_k*b_k)
+                      - lambda*sum_{k>=1}(d_k^2)
+        R^2         = 1 - SSE/SST
+                    = 1 - n*(SSE*det^2) / (det^2 * SST*n)
+
+    The SSE identity uses the (ridge) normal equations — at lambda=0
+    it reduces to the classical SSE*det = syy*det - sum(d_k*b_k); for
+    lambda>0 the penalty term accounts for beta'Sbeta != beta'b.  All
+    intermediates are exact Python integers; the ppm pin truncates the
+    SSE/SST RATIO toward zero (the same convention as every
+    coefficient pin; note this is 1e6 - trunc_ppm(ratio), which
+    differs from trunc(R^2 * 1e6) by one ppm on fractional ratios), so
+    a DuckDB HUGEINT replay of the identical formula matches
+    bit-for-bit.
+    Returns ``None`` for a singular system or a constant label
+    (SST=0, where R^2 is undefined).  Ridge R^2 is measured against
+    the UNPENALIZED residual (the fit-quality number a model-selection
+    sweep wants), so it is monotonically non-increasing in lambda
+    (pytest law)."""
+    n, det, dks = _solve_dets(r, d, ridge_lambda)
+    if dks is None:
+        return None
+    syy = int(r["syy"])
+    sy = int(r["sy"])
+    sst_n = n * syy - sy * sy
+    if sst_n == 0:
+        return None
+    b = [sy] + [int(r[f"s{i}y"]) for i in range(d)]
+    dot_db = sum(dk * bk for dk, bk in zip(dks, b))
+    pen = int(ridge_lambda) * sum(dk * dk for dk in dks[1:])
+    sse_det2 = syy * det * det - det * dot_db - pen
+    return PPM - _trunc_div_ppm(n * sse_det2, det * det * sst_n)
 
 
 def fit_linear_probe_ppm(
@@ -217,22 +281,29 @@ def fit_linear_probe_ppm(
     OLS.  ``weight_col`` fits WEIGHTED least squares with integer
     weights (``n`` becomes the total weight).  Raises on a singular
     system (the fit-path contract; the grouped path surfaces singular
-    groups instead)."""
+    groups instead).  ``r2_ppm`` (exact-integer goodness of fit from
+    the same sums, :func:`r2_ppm_from_sums`) rides along for free —
+    ``None`` only for a constant label."""
     row = (
         linear_probe_sums(df, x_cols, y_col, weight_col=weight_col)
         .collect()[0]
         .asDict()
     )
-    n, coeffs = _solve_ppm(row, len(x_cols), ridge_lambda)
+    d = len(x_cols)
+    n, coeffs = _solve_ppm(row, d, ridge_lambda)
     if coeffs is None:
         raise ZeroDivisionError("singular normal-equation system")
-    return {"n": n, "coeffs_ppm": coeffs}
+    return {
+        "n": n,
+        "coeffs_ppm": coeffs,
+        "r2_ppm": r2_ppm_from_sums(row, d, ridge_lambda),
+    }
 
 
 def moment_sum_keys(d: int) -> list[str]:
     """The moment-sum column names for d features — the one place the
     key layout is defined for driver-side consumers."""
-    keys = ["n", "sy"]
+    keys = ["n", "sy", "syy"]
     for i in range(d):
         keys.append(f"s{i}")
         keys.append(f"s{i}y")
@@ -262,15 +333,32 @@ def fit_ridge_path_ppm(
     different diagonal — the corpus is aggregated once no matter how
     many lambdas are swept (the hyperparameter-sweep shape a 100 TB
     fit needs; a per-lambda refit would re-scan the corpus).  Returns
-    one ``{"ridge_lambda", "n", "coeffs_ppm"}`` dict per lambda, in
-    input order; singular systems come back with ``coeffs_ppm=None``
-    (only possible at lambda=0 — a positive lambda makes the feature
-    block positive-definite)."""
+    one ``{"ridge_lambda", "n", "coeffs_ppm", "r2_ppm"}`` dict per
+    lambda, in input order; per-lambda ``r2_ppm``
+    (:func:`r2_ppm_from_sums`, also from the same one pass) turns the
+    path into an actual model-selection sweep — R^2 against the
+    unpenalized residual is monotonically non-increasing in lambda, so
+    the sweep reads as fit-vs-shrinkage directly.  Singular systems
+    come back with ``coeffs_ppm=None`` / ``r2_ppm=None`` (only
+    possible at lambda=0 — a positive lambda makes the feature block
+    positive-definite)."""
     row = linear_probe_sums(df, x_cols, y_col).collect()[0].asDict()
+    d = len(x_cols)
     out = []
     for lam in lambdas:
-        n, coeffs = _solve_ppm(row, len(x_cols), lam)
-        out.append({"ridge_lambda": int(lam), "n": n, "coeffs_ppm": coeffs})
+        n, coeffs = _solve_ppm(row, d, lam)
+        out.append(
+            {
+                "ridge_lambda": int(lam),
+                "n": n,
+                "coeffs_ppm": coeffs,
+                "r2_ppm": (
+                    None
+                    if coeffs is None
+                    else r2_ppm_from_sums(row, d, lam)
+                ),
+            }
+        )
     return out
 
 

@@ -430,23 +430,28 @@ _PROBE_FEATS_SQL = """
 
 
 def _probe_sums_sql(
-    src: str = "feats", key: str = "", weight: str = ""
+    src: str = "feats", key: str = "", weight: str = "", name: str = "sums"
 ) -> str:
     """The ``sums`` CTE over ``src`` (the one-pass moment sums),
     optionally grouped by ``key``.  ``weight`` is an integer SQL
     expression over ``src`` columns for WEIGHTED least squares (every
     term picks up the weight, n becomes sum(w)) — mirroring
-    ``operators/probe.py::linear_probe_sums(weight_col=...)``."""
+    ``operators/probe.py::linear_probe_sums(weight_col=...)``.
+    ``name`` lets one oracle carry several sums variants (e.g. the
+    weighted and unweighted systems side by side).  ``syy`` mirrors
+    the engine's goodness-of-fit term (``_moment_aggs``)."""
     ks = f"{key}, " if key else ""
     kg = f" GROUP BY {key}" if key else ""
     w = f"({weight}) * " if weight else ""
     nw = f"sum({weight})" if weight else "count(*)"
     return f"""
-    sums AS MATERIALIZED (
+    {name} AS MATERIALIZED (
       SELECT {ks}CAST({nw} AS HUGEINT) AS n,
              CAST(sum({w}x1) AS HUGEINT) AS s1,
              CAST(sum({w}x2) AS HUGEINT) AS s2,
              CAST(sum({w}n_chars) AS HUGEINT) AS sy,
+             CAST(sum({w}CAST(n_chars AS HUGEINT) * n_chars)
+                  AS HUGEINT) AS syy,
              CAST(sum({w}x1 * x1) AS HUGEINT) AS s11,
              CAST(sum({w}x1 * x2) AS HUGEINT) AS s12,
              CAST(sum({w}x2 * x2) AS HUGEINT) AS s22,
@@ -455,18 +460,22 @@ def _probe_sums_sql(
       FROM {src}{kg})"""
 
 
-def _probe_dets_sql(key: str = "", ridge: int = 0, name: str = "dets") -> str:
-    """The Cramer determinant CTE over ``sums`` (the formulas exist
+def _probe_dets_sql(
+    key: str = "", ridge: int = 0, name: str = "dets", src: str = "sums"
+) -> str:
+    """The Cramer determinant CTE over ``src`` (the formulas exist
     exactly once, here).  ``ridge`` adds an integer lambda to the two
     FEATURE diagonal entries (s11, s22) — never the intercept row —
     mirroring ``operators/probe.py::_solve_ppm``'s unpenalized-
-    intercept ridge; 0 is pure OLS."""
+    intercept ridge; 0 is pure OLS.  The label moments (sy, syy, s1y,
+    s2y) and the lambda pass through so an R^2 select can replay
+    ``operators/probe.py::r2_ppm_from_sums`` from this CTE alone."""
     ks = f"{key}, " if key else ""
     s11 = f"(s11 + {int(ridge)})" if ridge else "s11"
     s22 = f"(s22 + {int(ridge)})" if ridge else "s22"
     return f"""
     {name} AS MATERIALIZED (
-      SELECT {ks}n,
+      SELECT {ks}n, sy, syy, s1y, s2y, CAST({int(ridge)} AS HUGEINT) AS lam,
         n*({s11}*{s22} - s12*s12) - s1*(s1*{s22} - s12*s2)
           + s2*(s1*s12 - {s11}*s2) AS d,
         sy*({s11}*{s22} - s12*s12) - s1*(s1y*{s22} - s12*s2y)
@@ -475,7 +484,7 @@ def _probe_dets_sql(key: str = "", ridge: int = 0, name: str = "dets") -> str:
           + s2*(s1*s2y - s1y*s2) AS d1,
         n*({s11}*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
           + sy*(s1*s12 - {s11}*s2) AS d2
-      FROM sums)"""
+      FROM {src})"""
 
 
 def _probe_cramer_sql(src: str = "feats", key: str = "") -> str:
@@ -490,6 +499,24 @@ def _probe_pin_sql(dk: str) -> str:
         f"CAST(CASE WHEN ({dk} < 0) <> (d < 0) THEN -1 ELSE 1 END"
         f" * (abs({dk}) * 1000000 // abs(d)) AS BIGINT)"
     )
+
+
+#: R^2 in ppm over a ``_probe_dets_sql`` CTE row, valid at lambda=0
+#: ONLY: the OLS normal equations give SSE*det = syy*det -
+#: sum(d_k*b_k), one det factor instead of the general det^2 — the
+#: det^2 form (``operators/probe.py::r2_ppm_from_sums``, used for
+#: ridge) overflows HUGEINT at this data scale (~1e39 > 2^127), while
+#: this reduction stays under ~1e27 at sf0.01; the two are the SAME
+#: rational scaled by det>0, so the trunc-toward-zero ppm pin is
+#: bit-identical.
+_PROBE_R2_NUM = "(n * (syy*d - (d0*sy + d1*s1y + d2*s2y)))"
+_PROBE_R2_DEN = "(d * (n*syy - sy*sy))"
+_PROBE_R2_SQL = (
+    f"CAST(1000000 - CASE WHEN ({_PROBE_R2_NUM} < 0) <>"
+    f" ({_PROBE_R2_DEN} < 0) THEN -1 ELSE 1 END"
+    f" * (abs({_PROBE_R2_NUM}) * 1000000 // abs({_PROBE_R2_DEN}))"
+    " AS BIGINT)"
+)
 
 
 _PROBE_COEF_SQL = (

@@ -18,6 +18,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import _t, query
+from .queries_r6 import (
+    _PROBE_FEATS_SQL,
+    _PROBE_R2_SQL,
+    _probe_dets_sql,
+    _probe_feats,
+    _probe_pin_sql,
+    _probe_sums_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Exactly-once streaming appends under kill/restart (VERDICT r7 task 1)
@@ -301,4 +309,93 @@ def ann_ivf_compaction(spark, sf_dir):
         "n_rows long, rows_conserved boolean, files_reduced boolean,"
         " only_hot_rewritten boolean, stats_exact boolean,"
         " plant_refound boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer fit diagnostics: R^2 from the same moment sums
+# (VERDICT r7 tasks 4 + 5, parameterized per task 8's hygiene note)
+# ---------------------------------------------------------------------------
+
+#: the one weight expression the probe battery shares (see
+#: quality_probe_weighted) — a deterministic confidence stand-in
+_PROBE_W_SQL = "1 + doc_id % 3"
+
+
+def _r2_row_sql(lam: int, weighted: bool, dets: str, with_r2: bool) -> str:
+    r2 = _PROBE_R2_SQL if with_r2 else "CAST(NULL AS BIGINT)"
+    return f"""
+    SELECT CAST({lam} AS BIGINT) AS ridge_lambda,
+           {str(weighted).upper()} AS weighted,
+           CAST(n AS BIGINT) AS n_rows,
+           {_probe_pin_sql("d0")} AS b0_ppm,
+           {_probe_pin_sql("d1")} AS b1_ppm,
+           {_probe_pin_sql("d2")} AS b2_ppm,
+           {r2} AS r2_ppm
+    FROM {dets}"""
+
+
+@query(
+    "quality_probe_r2",
+    f"""
+    WITH {_PROBE_FEATS_SQL},
+    {_probe_sums_sql()},
+    {_probe_sums_sql(weight=_PROBE_W_SQL, name="sums_w")},
+    {_probe_dets_sql(name="du0")},
+    {_probe_dets_sql(name="dw0", src="sums_w")},
+    {_probe_dets_sql(name="dw1", src="sums_w", ridge=1_000_000)}
+    {_r2_row_sql(0, False, "du0", True)}
+    UNION ALL {_r2_row_sql(0, True, "dw0", True)}
+    UNION ALL {_r2_row_sql(1_000_000, True, "dw1", False)}
+    """,
+)
+def quality_probe_r2(spark, sf_dir):
+    """GOODNESS OF FIT from the sums the fit already has (VERDICT r7
+    task 4): SST and SSE are exact-integer functions of the moment
+    sums plus the one extra term sum(y^2), so R^2 in ppm rides the
+    SAME one-pass aggregate — diagnostics cost zero extra corpus
+    scans, the shape a 100 TB model-selection sweep needs
+    (``operators/probe.py::r2_ppm_from_sums``; per-lambda R^2 also
+    rides ``fit_ridge_path_ppm`` for free).
+
+    One row per fit config, all from ONE pass per sums variant:
+    unweighted OLS, weighted OLS, and the weighted RIDGE combination
+    (VERDICT r7 task 5 — ``ridge_lambda`` and ``weight_col`` composed
+    through the same aggregate; pytest law: identical to
+    replicated-rows ridge).  The two lambda=0 rows carry the exact
+    HUGEINT R^2 replay via the OLS reduction SSE*det = syy*det -
+    sum(d_k*b_k) (one det factor); the ridge row's R^2 is NULL in
+    BOTH engines because the general det^2 identity the engine uses
+    for lambda>0 exceeds 128-bit HUGEINT at this scale (~1e39) —
+    ridge R^2 is Python-bigint-exact and law-tested in pytest
+    (monotone non-increasing in lambda) instead."""
+    from .operators.probe import fit_linear_probe_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = _probe_feats(documents).withColumn(
+        "w", 1 + F.col("doc_id") % 3
+    )
+    rows = []
+    for lam, wcol, with_r2 in (
+        (0, None, True),
+        (0, "w", True),
+        (1_000_000, "w", False),
+    ):
+        res = fit_linear_probe_ppm(
+            feats, ["x1", "x2"], "n_chars",
+            ridge_lambda=lam, weight_col=wcol,
+        )
+        rows.append(
+            (
+                lam,
+                wcol is not None,
+                res["n"],
+                *res["coeffs_ppm"],
+                res["r2_ppm"] if with_r2 else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "ridge_lambda long, weighted boolean, n_rows long, b0_ppm long,"
+        " b1_ppm long, b2_ppm long, r2_ppm long",
     )

@@ -316,3 +316,138 @@ def test_weighted_fit_equals_replication(spark):
     plain = fit_linear_probe_ppm(replicated, ["x1", "x2"], "y")
     assert weighted == plain
     assert weighted["n"] == sum(w for _, _, _, w in rows)
+
+
+def test_r2_is_exactly_one_on_exact_fit(spark):
+    """A zero-residual planted relation must report r2_ppm ==
+    1_000_000 exactly — SSE's integer identity has no float fuzz to
+    leak (VERDICT r7 task 4 law)."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 + 2 * x2)
+        for x1 in range(0, 20)
+        for x2 in range(0, 7)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    assert res["r2_ppm"] == 1_000_000
+
+
+def test_r2_matches_rational_reference(spark):
+    """r2_ppm must equal the definitional 1 - SSE/SST computed with
+    EXACT rational coefficients (Fraction reference, trunc-toward-zero
+    pin) — on a noisy system where R^2 is strictly inside (0, 1)."""
+    from spark_alchemy_spark.operators.probe import (
+        exact_int_det,
+        fit_linear_probe_ppm,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            x1 := rng.randint(0, 50),
+            x2 := rng.randint(0, 30),
+            rng.randint(0, 400) + 2 * x1 - 3 * x2,
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    n = len(rows)
+    s1 = sum(r[0] for r in rows)
+    s2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows)
+    s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows)
+    s2y = sum(r[1] * r[2] for r in rows)
+    a = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    d = exact_int_det(a)
+    beta = []
+    for k in range(3):
+        mk = [
+            [b[r] if c == k else a[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+        beta.append(Fraction(exact_int_det(mk), d))
+    sse = sum(
+        (Fraction(y) - beta[0] - beta[1] * x1 - beta[2] * x2) ** 2
+        for x1, x2, y in rows
+    )
+    sst = Fraction(sum(r[2] ** 2 for r in rows)) - Fraction(sy * sy, n)
+    # the pin convention: the SSE/SST RATIO is ppm-truncated (same
+    # trunc-toward-zero rule as every coefficient pin), then
+    # subtracted — NOT trunc(R^2), which differs by 1 ppm whenever
+    # the ratio is fractional
+    want = 1_000_000 - int(sse / sst * 1_000_000)
+    assert res["r2_ppm"] == want
+    assert 0 < res["r2_ppm"] < 1_000_000
+
+
+def test_r2_monotone_nonincreasing_in_lambda(spark):
+    """Per-lambda R^2 on the ridge path — measured against the
+    UNPENALIZED residual — must be monotonically non-increasing in
+    lambda (OLS minimizes SSE; shrinkage can only give up fit), with
+    lambda=0 bit-identical to the plain fit's r2_ppm."""
+    from spark_alchemy_spark.operators.probe import (
+        fit_linear_probe_ppm,
+        fit_ridge_path_ppm,
+    )
+
+    rows = [
+        (x1, x2, 7 + 3 * x1 + 2 * x2 + (x1 * 7 + x2 * 3) % 11)
+        for x1 in range(0, 25)
+        for x2 in range(0, 9)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    lambdas = [0, 10_000, 1_000_000, 100_000_000, 10**14]
+    path = fit_ridge_path_ppm(df, ["x1", "x2"], "y", lambdas)
+    r2s = [r["r2_ppm"] for r in path]
+    assert all(v is not None for v in r2s)
+    assert r2s[0] == fit_linear_probe_ppm(df, ["x1", "x2"], "y")["r2_ppm"]
+    # exact integers: non-increasing needs only 1 ppm truncation slack
+    for hi, lo in zip(r2s, r2s[1:]):
+        assert lo <= hi + 1
+    assert r2s[-1] < r2s[0]  # the sweep actually trades fit away
+
+
+def test_weighted_ridge_equals_replicated_ridge(spark):
+    """The VERDICT r7 task 5 composition law: ridge_lambda and
+    weight_col together must equal ridge over the replicated rows at
+    the same lambda — coefficients AND r2_ppm, bit-for-bit."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [
+        (x1, x2, 5 + 2 * x1 + 3 * x2 + (x1 + x2) % 4, 1 + (x1 * 3 + x2) % 3)
+        for x1 in range(0, 15)
+        for x2 in range(0, 5)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int, w int")
+    replicated = spark.createDataFrame(
+        [(x1, x2, y) for x1, x2, y, w in rows for _ in range(w)],
+        "x1 int, x2 int, y int",
+    )
+    for lam in (1_000, 1_000_000):
+        weighted = fit_linear_probe_ppm(
+            df, ["x1", "x2"], "y", ridge_lambda=lam, weight_col="w"
+        )
+        plain = fit_linear_probe_ppm(
+            replicated, ["x1", "x2"], "y", ridge_lambda=lam
+        )
+        assert weighted == plain  # n, coeffs_ppm, r2_ppm
+
+
+def test_r2_none_on_constant_label(spark):
+    """SST == 0 (constant y) leaves R^2 undefined: r2_ppm must come
+    back None, not a division error, while the coefficients still
+    solve (b0 = y, zero slopes)."""
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rows = [(x1, x2, 9) for x1 in range(0, 10) for x2 in range(0, 4)]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
+    assert res["r2_ppm"] is None
+    assert res["coeffs_ppm"] == [9_000_000, 0, 0]
