@@ -455,35 +455,183 @@ def synth_wav_udf():
     return make
 
 
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-stdlib RIFF/PCM WAV decoder (public WAVE spec; ``struct``
+    + numpy buffer views only — no audio library): walks the RIFF
+    chunk list rather than assuming the canonical 44-byte layout, so
+    real-world files with LIST/INFO/fact chunks or an extended fmt
+    chunk decode too.  Word-aligned chunk stepping (odd-sized chunks
+    carry a pad byte, per spec).  Supports PCM (format tag 1) at
+    sample widths 8 (unsigned, stored 0..255) and 16 (signed
+    little-endian), any channel count (interleaved frames).
+
+    Returns ``(samples, sample_rate, sample_width)`` with ``samples``
+    an int32 array of shape (n_frames, n_channels) holding the RAW
+    stored values (8-bit stays 0..255 — recentring is a feature
+    concern, not a codec concern).  Raises ValueError on a broken
+    container and NotImplementedError on non-PCM / unsupported widths
+    (float WAV, 24-bit) — the same fail-loud contract as
+    :func:`png_decode`."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            tag, n_ch, rate, _brate, _balign, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # word alignment pad
+        if fmt is not None and data is not None:
+            break
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    tag, n_ch, rate, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"only PCM (format tag 1) is supported, got tag {tag}"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM is supported, got {bits}-bit"
+        )
+    if n_ch < 1:
+        raise ValueError("channel count must be >= 1")
+    dtype = np.dtype("u1") if bits == 8 else np.dtype("<i2")
+    frame_bytes = (bits // 8) * n_ch
+    n_frames = len(data) // frame_bytes
+    samples = (
+        np.frombuffer(data, dtype=dtype, count=n_frames * n_ch)
+        .astype(np.int32)
+        .reshape(n_frames, n_ch)
+    )
+    return samples, int(rate), int(bits)
+
+
+def wav_encode(
+    samples: np.ndarray,
+    sample_rate: int,
+    sample_width: int = 16,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Canonical RIFF/PCM writer — the inverse of :func:`wav_decode`:
+    ``wav_decode(wav_encode(x))`` returns x exactly for every
+    supported width x channel combination (pytest law), and for
+    canonical mono-PCM16 input the bytes are identical to
+    :func:`synth_wav_bytes`'s writer (cross-implementation law).
+    ``samples`` is (n_frames, n_channels) or 1-D (mono) of raw stored
+    values; ``extra_chunks`` inserts additional RIFF chunks (e.g. a
+    LIST/INFO block, as real recorders emit) between fmt and data —
+    spec-faithful word alignment included."""
+    import struct
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_ch = arr.shape
+    if sample_width == 8:
+        if n_frames and (arr.min() < 0 or arr.max() > 255):
+            raise ValueError("8-bit PCM stores unsigned 0..255")
+        payload = arr.astype("u1").tobytes()
+    elif sample_width == 16:
+        if n_frames and (arr.min() < -32768 or arr.max() > 32767):
+            raise ValueError("16-bit PCM stores signed -32768..32767")
+        payload = arr.astype("<i2").tobytes()
+    else:
+        raise NotImplementedError(
+            f"only 8/16-bit PCM is supported, got {sample_width}-bit"
+        )
+    block_align = n_ch * (sample_width // 8)
+    chunks = [
+        (
+            b"fmt ",
+            struct.pack(
+                "<HHIIHH",
+                1,
+                n_ch,
+                sample_rate,
+                sample_rate * block_align,
+                block_align,
+                sample_width,
+            ),
+        )
+    ]
+    chunks.extend(extra_chunks or [])
+    chunks.append((b"data", payload))
+    body = b"".join(
+        cid
+        + struct.pack("<I", len(c))
+        + c
+        + (b"\x00" if len(c) & 1 else b"")
+        for cid, c in chunks
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_audio_any(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Audio twin of :func:`_decode_any`: WAV decodes natively via the
+    pure-stdlib :func:`wav_decode`; other containers fall through to
+    an import-try on soundfile, absent in this environment."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return wav_decode(buf)
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+
+        data, rate = soundfile.read(io.BytesIO(buf), dtype="int16")
+        return np.atleast_2d(data.astype(np.int32)).T, int(rate), 16
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-WAV audio decoding needs soundfile, not available here"
+        ) from e
+
+
 def audio_features(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
-    """Decode WAV/PCM16 clips and emit per-clip features — unlike the
-    image path (codec libraries absent, SYNTH format stands in), PCM is
-    raw bytes, so this is a fully real decode: header parse + int16
-    buffer + vectorized stats per Arrow batch.
+    """Decode audio clips and emit per-clip features.  The decode is
+    the chunk-walking :func:`wav_decode` behind the
+    :func:`_decode_audio_any` seam (real WAV bytes, any chunk layout,
+    8/16-bit x any channel count) — container parsing is the codec's
+    concern, the featurizer contract is SAMPLES, mirroring the
+    image path's pixels contract.  Stats are vectorized per Arrow
+    batch over the interleaved sample values (channels flattened).
+    Undecodable rows (wrong container, unsupported codec) come back
+    as NULL features, not errors — a curation scan must survive dirty
+    media columns.
 
     Output: (id, sample_rate, n_samples, rms [2dp], peak)."""
-    import struct
 
     def run(batches):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 buf = bytes(row[data_col])
-                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                try:
+                    arr, sr, _bits = _decode_audio_any(buf)
+                except (ValueError, NotImplementedError):
                     out.append((row[id_col], None, None, None, None))
                     continue
-                sr = struct.unpack_from("<I", buf, 24)[0]
-                (n_bytes,) = struct.unpack_from("<I", buf, 40)
-                samples = np.frombuffer(buf, dtype="<i2", offset=44,
-                                        count=n_bytes // 2).astype(np.float64)
-                rms = float(np.round(np.sqrt(np.mean(samples**2)), 2))
+                flat = arr.astype(np.float64).ravel()
+                if not flat.size:
+                    out.append((row[id_col], sr, 0, None, None))
+                    continue
+                rms = float(np.round(np.sqrt(np.mean(flat**2)), 2))
                 out.append(
                     (
                         row[id_col],
-                        int(sr),
-                        len(samples),
+                        sr,
+                        flat.size,
                         rms,
-                        int(np.abs(samples).max()),
+                        int(np.abs(flat).max()),
                     )
                 )
             yield pd.DataFrame(
