@@ -105,6 +105,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: family keeps four other head slots incl. the ingest-dedup entry;
 #: the unified multimodal component collapse is the round-6 family
 #: the head did not yet cover).
+#: Round-8 rotation (VERDICT r7 task 7; same coverage-not-correctness
+#: policy — both swapped-out entries were driver-green in r7 and stay
+#: in the full sweep): dedup_ngram_jaccard -> quality_probe_ridge (the
+#: dedup family still holds SIX head slots incl. the minhash-LSH
+#: candidate machinery n-gram Jaccard shares; the round-7 ridge
+#: regularization path gives the probe tier a second gated slot) and
+#: stream_chained_windows -> stream_ivf_rebalance (streaming keeps
+#: four other head slots incl. chained-stateful coverage via
+#: stream_stateful_user_counters; the self-maintaining streaming IVF
+#: index is the round-7 flagship the head did not yet cover).
 _GATE_HEAD = [
     "hll_init_agg_cardinality", "hll_merge_reaggregate", "dedup_semantic_docs",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
@@ -115,14 +125,14 @@ _GATE_HEAD = [
     "window_top_orders_per_customer", "rollup_returnflag_status",
     "asof_last_click_before_error", "range_join_close_events",
     "skew_salted_join_priority_revenue", "bucketed_colocated_join",
-    "stream_dedup_at_ingest", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "stream_dedup_at_ingest", "quality_probe_ridge", "dedup_minhash_lsh",
     "quality_linear_probe", "dedup_incremental_batch", "dedup_cluster_components",
     "cms_join_size_estimate", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "curate_corpus_report", "prep_decontaminate", "prep_pack_greedy",
     "prep_contamination_containment", "text_quality", "bpe_train_merges",
     "quality_unigram_logprob", "media_dedup_components",
     "stream_stateful_user_counters", "stream_stream_interval_join",
-    "stream_chained_windows", "graph_pagerank_topk", "dedup_semantic_clusters",
+    "stream_ivf_rebalance", "graph_pagerank_topk", "dedup_semantic_clusters",
     "geo_cell_radius_join", "media_image_features", "source_jdbc_roundtrip",
 ]
 
