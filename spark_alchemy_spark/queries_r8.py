@@ -67,6 +67,7 @@ def stream_ivf_recovery(spark, sf_dir):
     count;
     ``stateless`` — zero state-store operators (the index directory +
     txn log ARE the state)."""
+    import glob
     import os
     import tempfile
 
@@ -82,27 +83,40 @@ def stream_ivf_recovery(spark, sf_dir):
     standing = emb.filter(F.col("vec_id") < 300).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    n_standing = standing.count()
+    # ONE agg for the standing and both batch counts (the
+    # stream_ivf_rebalance job-count discipline: this entry is
+    # job-count bound, not data bound)
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 300).alias("ns"),
+        F.count_if(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+        ).alias("b0"),
+        F.count_if(
+            (F.col("vec_id") >= 350) & (F.col("vec_id") < 400)
+        ).alias("b1"),
+    ).collect()[0]
+    n_standing = int(cnt["ns"])
+    batch_sizes = [int(cnt["b0"]), int(cnt["b1"])]
 
+    # two mtime-ordered arrival files => two deterministic
+    # micro-batches, written by ONE partitioned job (each batch key
+    # hashes to one shuffle partition, so each r= dir gets exactly
+    # one file — same pattern as stream_ivf_rebalance)
     arrivals_dir = os.path.join(
         tempfile.gettempdir(), _sink_name("ivf_recov_arrivals")
     )
-    batch_sizes = []
-    for i, (lo, hi) in enumerate(((300, 350), (350, 400))):
-        sub = os.path.join(arrivals_dir, f"f{i}")
-        sl = emb.filter(
-            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-        ).select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        batch_sizes.append(sl.count())
-        sl.coalesce(1).write.mode("overwrite").parquet(sub)
-        for leaf in os.listdir(sub):
-            if leaf.endswith(".parquet"):
-                os.utime(
-                    os.path.join(sub, leaf), (1_700_000_000 + i * 100,) * 2
-                )
+    emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (F.col("vec_id") >= 350).cast("int").alias("r"),
+    ).repartition("r").write.mode("overwrite").partitionBy("r").parquet(
+        arrivals_dir
+    )
+    for i in range(2):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_recov_idx"))
     build_ivf_index(
