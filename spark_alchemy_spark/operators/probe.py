@@ -373,16 +373,23 @@ def fit_grouped_probes_ppm(
     per-group passes — the collect is bounded by GROUP cardinality,
     never rows.  Groups whose normal-equation system is singular
     (constant features, n <= d) are returned with ``coeffs_ppm=None``
-    rather than dropped, so the caller sees them."""
+    rather than dropped, so the caller sees them.  Per-group
+    ``r2_ppm`` rides the same sums (:func:`r2_ppm_from_sums`; None
+    for singular groups or constant labels) — which group's model is
+    trustworthy is exactly what a per-source sweep needs to read."""
+    d = len(x_cols)
     out = []
     for row in linear_probe_sums(df, x_cols, y_col, group_cols).collect():
         r = row.asDict()
-        n, coeffs = _solve_ppm(r, len(x_cols))
+        n, coeffs = _solve_ppm(r, d)
         out.append(
             {
                 "group": tuple(r[g] for g in group_cols),
                 "n": n,
                 "coeffs_ppm": coeffs,
+                "r2_ppm": (
+                    None if coeffs is None else r2_ppm_from_sums(r, d)
+                ),
             }
         )
     return out

@@ -805,14 +805,14 @@ def test_grouped_fit_matches_global_fit_per_group(spark):
     ]
     df = spark.createDataFrame(rows, "g string, x1 int, x2 int, y int")
     grouped = {
-        r["group"][0]: (r["n"], r["coeffs_ppm"])
+        r["group"][0]: (r["n"], r["coeffs_ppm"], r["r2_ppm"])
         for r in fit_grouped_probes_ppm(df, ["g"], ["x1", "x2"], "y")
     }
     for g in ("a", "b", "c"):
         solo = fit_linear_probe_ppm(
             df.filter(F.col("g") == g), ["x1", "x2"], "y"
         )
-        assert grouped[g] == (solo["n"], solo["coeffs_ppm"])
+        assert grouped[g] == (solo["n"], solo["coeffs_ppm"], solo["r2_ppm"])
 
 
 @_settings
