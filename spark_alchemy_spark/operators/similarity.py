@@ -687,6 +687,23 @@ def _repair_uncommitted_append(
         ).write.mode("overwrite").parquet(path + "/stats")
 
 
+def _assert_no_uncommitted_delete(path: str) -> None:
+    """Refuse to write into an index mid-delete: an uncommitted
+    ``del_intent.json`` means a crashed :func:`delete_from_ivf_index`
+    owns the affected partitions until its resume completes —
+    appending/rewriting under it is the second-writer scenario the
+    local-fs log forbids (same posture as compaction's refusal under
+    an uncommitted append intent)."""
+    if not _txn_possible(path):
+        return
+    if _read_index_json(path, "del_intent.json") is not None:
+        raise RuntimeError(
+            "ivf index has an uncommitted delete intent: re-run "
+            "delete_from_ivf_index with the same ids so its resume "
+            "completes first"
+        )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str,
@@ -828,6 +845,7 @@ def append_ivf_index(
     (no tags beyond ``__batch = -1``-based files, no log reads).
     """
     spark = new_batch.sparkSession
+    _assert_no_uncommitted_delete(path)
     txn: dict | None = None
     if batch_id is not None:
         batch_id = int(batch_id)
@@ -1342,6 +1360,7 @@ def rebalance_ivf_index(
     ``sizes`` lets a caller that already tracks exact per-list sizes
     (the streaming maintainer advances them from append reports) skip
     the seed count — one fewer job on the hot mid-stream path."""
+    _assert_no_uncommitted_delete(path)
     lists = spark.read.parquet(path + "/lists")
     if sizes is None:
         sizes = _list_sizes(spark, path)  # bounded: one row per list
@@ -1566,6 +1585,7 @@ def compact_ivf_index(
             "commit (Delta OPTIMIZE / Iceberg rewrite_data_files) on "
             "object stores"
         )
+    _assert_no_uncommitted_delete(path)
     txn = _read_index_json(path, "txn.json")
     intent = _read_index_json(path, "txn_intent.json")
     committed = int(txn["last_batch_id"]) if txn is not None else -1
@@ -1624,6 +1644,266 @@ def compact_ivf_index(
     after, _ = _ivf_list_files(path)
     report["files_after"] = sum(after.values())
     return report
+
+
+def _delete_ids_digest(ids) -> dict:
+    """Order-free digest of a delete's id set, stored in the intent so
+    a resume can verify it is completing the SAME delete (a different
+    id set under a live intent is a logic error, not a resume).  For a
+    driver-side list the digest is a sha256 over the sorted ids; for a
+    DataFrame it is (count, xor of xxhash64) over the distinct ids —
+    one tiny job, no collect of the id set."""
+    import hashlib
+
+    if isinstance(ids, (list, tuple, set, frozenset)):
+        ser = ",".join(str(int(x)) for x in sorted({int(x) for x in ids}))
+        return {"kind": "list", "sha": hashlib.sha256(ser.encode()).hexdigest()}
+    d = ids.select(F.col(ids.columns[0]).cast("long").alias("__del_id"))
+    r = (
+        d.distinct()
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(__del_id))").alias("x"),
+        )
+        .collect()[0]
+    )
+    return {"kind": "df", "count": int(r["c"]), "xor": int(r["x"] or 0)}
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """DELETE vectors by id from a persisted IVF index — the FIFTH
+    lifecycle leg (build → append → rebalance → compact → delete), and
+    the one a curation pipeline reaches for the moment dedup or
+    decontamination flags indexed documents: the flagged vectors must
+    stop surfacing as neighbors WITHOUT rebuilding a 100 TB index.
+
+    ``ids`` is a driver-side list/tuple/set of ids (becomes an
+    ``isin`` literal, so parquet row-group min/max statistics prune
+    the hit scan) or a single-column DataFrame (broadcast
+    semi/anti-join — the shape when the flag set is itself a Spark
+    computation).  Mechanics, sized so the REWRITE is bounded by the
+    partitions that actually contain hits:
+
+    * one scan finds the hits and folds their per-list counts and
+      assigned-cosine sum (recomputed against the broadcast centroid
+      table — n_centroids rows — inside the same scan; the stored rows
+      carry only the vector);
+    * only AFFECTED list partitions are rewritten (anti-join + eager
+      ``localCheckpoint`` + dynamic partition overwrite — the
+      compaction/repair pattern; cold lists keep their files
+      byte-identical), and a list whose every row is deleted has its
+      partition directory dropped;
+    * the running stats record updates by the exact inverse of the
+      append fold (mean weighted by row counts, the established
+      convention), kept in LOCKSTEP across the txn commit record and
+      the ``/stats`` parquet like every batch-mode writer;
+    * the whole operation is CRASH-SAFE through ``del_intent.json``:
+      the intent carries the id-set digest, the affected lists, and
+      the absolute POST-delete stats, written before the rewrite.  A
+      re-run with the same ids RESUMES (the row rewrite is idempotent
+      — already-deleted rows simply produce no hits — and the commit
+      writes the intent's absolute stats, so a crash at any point
+      double-applies nothing); a re-run with different ids refuses;
+      append/rebalance/compact refuse while the intent is live.
+
+    At deployment scale the same contract is a Delta/Iceberg DELETE
+    (deletion vectors / positional deletes + the format's commit);
+    this is that pattern on the local-fs JSON log the index already
+    uses for exactly-once appends.
+
+    Returns {n_deleted, affected_list_ids, dropped_list_ids, n_after,
+    mean_after, resumed}."""
+    import os
+    import shutil
+
+    if not _txn_possible(path):
+        raise ValueError(
+            "delete_from_ivf_index's partition rewrite assumes a local "
+            f"filesystem (got {path!r}) — use a table-format DELETE "
+            "(Delta deletion vectors / Iceberg positional deletes) on "
+            "object stores"
+        )
+    txn = _read_index_json(path, "txn.json")
+    intent = _read_index_json(path, "txn_intent.json")
+    committed = int(txn["last_batch_id"]) if txn is not None else -1
+    if intent is not None and int(intent["batch_id"]) > committed:
+        raise RuntimeError(
+            "ivf index has an uncommitted append intent (batch "
+            f"{intent['batch_id']} > committed {committed}): replay the "
+            "stream so the repair runs first — deleting under it would "
+            "race the repair's partition rewrite"
+        )
+
+    digest = _delete_ids_digest(ids)
+    live = _read_index_json(path, "del_intent.json")
+    resumed = False
+    if live is not None:
+        if live["digest"] != digest:
+            raise RuntimeError(
+                "ivf index has an uncommitted delete intent for a "
+                "DIFFERENT id set: re-run with the original ids so its "
+                "resume completes first"
+            )
+        resumed = True  # same delete, crashed mid-flight: complete it
+
+    lists = spark.read.parquet(path + "/lists")
+    if isinstance(ids, (list, tuple, set, frozenset)):
+        idlist = [int(x) for x in ids]
+        hits = lists.filter(F.col(id_col).isin(idlist))
+
+        def keep(df):
+            return df.filter(~F.col(id_col).isin(idlist))
+
+    else:
+        bids = F.broadcast(
+            ids.select(
+                F.col(ids.columns[0]).cast("long").alias("__del_id")
+            ).distinct()
+        )
+
+        def _on(df):
+            return df[id_col] == bids["__del_id"]
+
+        hits = lists.join(bids, _on(lists), "left_semi")
+
+        def keep(df):
+            return df.join(bids, _on(df), "left_anti")
+
+    if resumed:
+        # the intent's fold is authoritative: rows the crashed attempt
+        # already removed produce no hits on re-scan, so recomputing
+        # the fold here would under-count the delete
+        affected = [int(x) for x in live["affected"]]
+        d_n = int(live["d_n"])
+        post_n, post_mean = int(live["post_n"]), float(live["post_mean"])
+    else:
+        # re-score the hits against their assigned centroid (broadcast
+        # n_centroids rows) so the stats fold can subtract exactly what
+        # the build/append folds added
+        cents = F.broadcast(
+            spark.read.parquet(path + "/centroids").select(
+                F.col("__list").alias("list_id"), F.col("__cent")
+            )
+        )
+        per = (
+            hits.join(cents, "list_id")
+            .withColumn(
+                "__bc", cosine_similarity(F.col("__v"), F.col("__cent"))
+            )
+            .groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("__bc").alias("ns"),
+                F.sum("__bc").alias("s"),
+            )
+            .collect()  # bounded: one row per AFFECTED list
+        )
+        affected = sorted(int(r["list_id"]) for r in per)
+        d_n = sum(int(r["n"]) for r in per)
+        if d_n == 0:
+            st = read_index_stats(spark, path)
+            return {
+                "n_deleted": 0,
+                "affected_list_ids": [],
+                "dropped_list_ids": [],
+                "n_after": st[0] if st else None,
+                "mean_after": st[1] if st else None,
+                "resumed": False,
+            }
+        d_ns = sum(int(r["ns"]) for r in per)
+        d_mean = (
+            sum(float(r["s"]) for r in per if r["s"] is not None) / d_ns
+            if d_ns
+            else 0.0
+        )
+        st = read_index_stats(spark, path)
+        if st is None:
+            raise ValueError(
+                "delete_from_ivf_index needs the index stats record "
+                "(pre-sidecar index: run a rebuild first)"
+            )
+        pre_n, pre_mean = st
+        post_n = pre_n - d_n
+        # exact inverse of the append fold (means weighted by row
+        # counts — the record's established convention)
+        post_mean = (
+            (pre_mean * pre_n - d_mean * d_n) / post_n if post_n else 0.0
+        )
+        _write_index_json_atomic(
+            path,
+            "del_intent.json",
+            {
+                "digest": digest,
+                "affected": affected,
+                "d_n": d_n,
+                "post_n": post_n,
+                "post_mean": post_mean,
+            },
+        )
+
+    # rewrite ONLY the affected partitions; idempotent under resume
+    kept = (
+        keep(lists.filter(F.col("list_id").isin(affected)))
+        .localCheckpoint()  # EAGER: materialize before the overwrite
+        # deletes the files this plan reads (compaction's pattern)
+    )
+    counts = {
+        int(r["list_id"]): int(r["n"])
+        for r in kept.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: affected lists only
+    }
+    nonempty = [lid for lid in affected if counts.get(lid, 0) > 0]
+    dropped = [lid for lid in affected if counts.get(lid, 0) == 0]
+    if nonempty:
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            kept.filter(F.col("list_id").isin(nonempty)).repartition(
+                "list_id"
+            ).write.mode("overwrite").partitionBy("list_id").parquet(
+                path + "/lists"
+            )
+        finally:
+            spark.conf.set(conf_key, old_mode)
+    local_lists = _txn_local_path(path, "lists")
+    for lid in dropped:
+        # dynamic overwrite cannot write an empty partition: drop the
+        # dir (local-fs contract, see the txn module note)
+        shutil.rmtree(
+            os.path.join(local_lists, f"list_id={lid}"), ignore_errors=True
+        )
+
+    # COMMIT: absolute post-delete stats from the intent (idempotent —
+    # a crash after any partial commit step re-writes the same
+    # values), lockstep across both records, intent removed last
+    spark.createDataFrame(
+        [(post_n, post_mean)], "n long, mean_assigned_cos double"
+    ).write.mode("overwrite").parquet(path + "/stats")
+    if txn is not None:
+        _write_index_json_atomic(
+            path,
+            "txn.json",
+            {**txn, "n": post_n, "mean_assigned_cos": post_mean},
+        )
+    import contextlib
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_txn_local_path(path, "del_intent.json"))
+    return {
+        "n_deleted": d_n,
+        "affected_list_ids": affected,
+        "dropped_list_ids": sorted(dropped),
+        "n_after": post_n,
+        "mean_after": post_mean,
+        "resumed": resumed,
+    }
 
 
 def ivf_topk_indexed(

@@ -529,3 +529,169 @@ def media_wav_decode(spark, sf_dir):
             (F.col("r_ok") == 1).alias("canonical_roundtrip"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle leg 5: DELETE (decontamination-driven vector removal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_delete",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 400)
+                + (SELECT count(*) FROM embeddings WHERE vec_id < 100) + 1
+                - (SELECT count(*) FROM embeddings
+                   WHERE vec_id < 100 AND vec_id % 5 = 0)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM embeddings
+                 WHERE vec_id < 100 AND vec_id % 5 = 0)
+                AS BIGINT) AS n_deleted,
+           TRUE AS rows_conserved,
+           TRUE AS deleted_absent,
+           TRUE AS only_affected_rewritten,
+           TRUE AS stats_exact,
+           TRUE AS plant_refound
+    """,
+)
+def ann_ivf_delete(spark, sf_dir):
+    """The FIFTH index lifecycle leg: DELETE by id — what a curation
+    pipeline runs the moment dedup/decontamination flags indexed
+    vectors (a benchmark-contaminated document must stop surfacing as
+    a neighbor WITHOUT a 100 TB rebuild).  Standing corpus + one
+    appended batch of own-direction duplicates (ids at +40M, plus a
+    planted duplicate of the base vector at id 50M), then
+    ``delete_from_ivf_index`` removes the flagged subset (every 5th
+    appended id) as a literal id list — parquet row-group stats prune
+    the hit scan, and ONLY the partitions containing hits are
+    rewritten (the compaction pattern; cold lists stay byte-identical,
+    asserted from a pre-delete file snapshot).
+
+    Invariants: ``rows_conserved`` — count == distinct ids == standing
+    + appended + plant - deleted; ``deleted_absent`` — zero flagged
+    ids remain; ``only_affected_rewritten`` — every file outside the
+    report's affected partitions is byte-identical (path+size+mtime);
+    ``stats_exact`` — the running stats record equals the exact
+    post-delete count AND its mean matches a full re-score of the
+    survivors to 1e-9 (the fold is the exact inverse of the append
+    fold); ``plant_refound`` — the KEPT planted duplicate still
+    surfaces at cosine 1.0 through an indexed probe after the rewrite
+    (deletes must not perturb surviving neighbors)."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        _assign_to_lists,
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_indexed,
+        read_index_stats,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = standing.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 400).alias("ns"),
+        F.count_if(F.col("vec_id") < 100).alias("na"),
+        F.count_if(
+            (F.col("vec_id") < 100) & (F.col("vec_id") % 5 == 0)
+        ).alias("nd"),
+    ).collect()[0]
+    n_deleted = int(cnt["nd"])
+    n_expected = int(cnt["ns"]) + int(cnt["na"]) + 1 - n_deleted
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_del_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    batch = (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .unionByName(
+            base.select(
+                F.lit(50_000_000).cast("long").alias("vec_id"), "embedding"
+            )
+        )
+    )
+    append_ivf_index(batch, "vec_id", "embedding", idx_path)
+
+    flagged = [40_000_000 + i for i in range(0, 100, 5)]
+
+    def snapshot(exclude):
+        out = set()
+        lists_dir = os.path.join(idx_path, "lists")
+        for root, _, files in os.walk(lists_dir):
+            part = os.path.basename(root)
+            if any(part == f"list_id={lid}" for lid in exclude):
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.add((os.path.relpath(p, lists_dir), st.st_size,
+                         st.st_mtime_ns))
+        return out
+
+    pre_all = snapshot([])
+    rep = delete_from_ivf_index(spark, idx_path, flagged)
+    cold_before = {
+        t for t in pre_all
+        if not any(
+            t[0].startswith(f"list_id={lid}/") or t[0].startswith(
+                f"list_id={lid}{os.sep}"
+            )
+            for lid in rep["affected_list_ids"]
+        )
+    }
+    cold_after = snapshot(rep["affected_list_ids"])
+
+    lists = spark.read.parquet(idx_path + "/lists")
+    agg = lists.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nid"),
+        F.sum(F.col("vec_id").isin(flagged).cast("long")).alias("hit"),
+    ).collect()[0]
+    stats_n, stats_mean = read_index_stats(spark, idx_path)
+    cents = spark.read.parquet(idx_path + "/centroids")
+    rescored = (
+        _assign_to_lists(lists, "vec_id", "__v", cents)
+        .agg(F.avg("__best_cos").alias("m"))
+        .collect()[0]
+    )
+    top = (
+        ivf_topk_indexed(
+            spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
+        )
+        .filter(F.col("neighbor_id") >= 50_000_000)
+        .orderBy(F.desc("cos"))
+        .limit(1)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                rep["n_deleted"],
+                int(agg["n"]) == n_expected
+                and int(agg["nid"]) == n_expected
+                and stats_n == n_expected,
+                int(agg["hit"]) == 0,
+                cold_after == cold_before,
+                rep["n_deleted"] == n_deleted
+                and abs(stats_mean - float(rescored["m"])) < 1e-9,
+                bool(top) and float(top[0]["cos"]) >= 1.0,
+            )
+        ],
+        "n_rows long, n_deleted long, rows_conserved boolean,"
+        " deleted_absent boolean, only_affected_rewritten boolean,"
+        " stats_exact boolean, plant_refound boolean",
+    )
