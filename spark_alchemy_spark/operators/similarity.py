@@ -1043,6 +1043,7 @@ def make_streaming_ivf_maintainer(
     split_ratio: float = 2.0,
     compact_files_per_list: int | None = None,
     compact_target_bytes: int = 128 * 1024 * 1024,
+    op_col: str | None = None,
 ) -> tuple:
     """The SELF-MAINTAINING streaming index: compose the three index
     lifecycle legs (build → :func:`append_ivf_index` per micro-batch →
@@ -1090,6 +1091,26 @@ def make_streaming_ivf_maintainer(
     exceeds the threshold, so a long-running ingest never accretes the
     thousands-of-small-files tail (VERDICT r7 task 3).  Log entries
     gain {compacted, compaction_report}.
+
+    ``op_col`` (opt-in) turns the maintainer into a CDC SINK: each
+    micro-batch row carries 'I' (insert — vector required) or 'D'
+    (delete by id), the shape a change-feed of a curated corpus emits.
+    Within a batch, inserts apply FIRST and deletes SECOND (a key both
+    inserted and deleted in the same batch ends deleted — the delete
+    is the curation verdict).  Exactly-once composes from three
+    idempotent layers, committed in order: the insert leg is
+    :func:`append_ivf_index`'s own txn idempotence; the delete leg is
+    :func:`delete_from_ivf_index` (a replayed delete's re-scan finds
+    no hits — visible no-op — and a crashed one resumes from its
+    intent); and a ``last_cdc_batch_id`` marker on the commit record,
+    written LAST, makes a fully-committed batch skip wholesale.  A
+    crash between the insert commit and the marker replays the batch:
+    the append skips internally (its log entry keeps
+    ``skipped_replay=True`` for the INSERT leg), the delete re-runs
+    idempotently, the marker lands.  Log entries gain {n_deleted,
+    delete_report}; per-batch driver cost is ONE extra bounded job
+    (op validation + delete-id collect, fused into one aggregate —
+    delete ids are assumed batch-bounded, the CDC contract).
     """
     if trigger_ratio < split_ratio:
         raise ValueError(
@@ -1116,7 +1137,7 @@ def make_streaming_ivf_maintainer(
         total = sum(sizes.values())
         return max(sizes.values()) * 1_000_000 // total if total else 0
 
-    def maintain(batch_df, batch_id) -> None:
+    def _maintain_inserts(batch_df, batch_id) -> None:
         if batch_df.isEmpty():
             return
         rep = append_ivf_index(
@@ -1213,6 +1234,117 @@ def make_streaming_ivf_maintainer(
             entry["compacted"] = cp["n_compacted"] > 0
             entry["compaction_report"] = cp
         log.append(entry)
+
+    def maintain(batch_df, batch_id) -> None:
+        if op_col is None:
+            _maintain_inserts(batch_df, batch_id)
+            return
+        b = int(batch_id)
+        txn = _read_index_json(path, "txn.json")
+        if txn is not None and int(txn.get("last_cdc_batch_id", -1)) >= b:
+            # the whole batch (inserts AND deletes) committed before a
+            # crash: wholesale skip — the CDC exactly-once guarantee
+            log.append(
+                {
+                    "batch_id": b,
+                    "n_appended": 0,
+                    "max_share_ppm": _max_share_ppm(),
+                    "rebalanced": False,
+                    "rebalance_report": None,
+                    "compacted": False,
+                    "compaction_report": None,
+                    "skipped_replay": True,
+                    "n_deleted": 0,
+                    "delete_report": None,
+                }
+            )
+            return
+        if batch_df.isEmpty():
+            return
+        # ONE bounded job: ops present + the delete-id set (collect_set
+        # skips the when()'s NULLs, so insert ids never reach the
+        # driver — only the batch-bounded delete ids do)
+        per_op = (
+            batch_df.groupBy(F.col(op_col).alias("__op"))
+            .agg(
+                F.collect_set(
+                    F.when(F.col(op_col) == "D", F.col(id_col))
+                ).alias("ids")
+            )
+            .collect()
+        )
+        opset = {r["__op"] for r in per_op}
+        if not opset <= {"I", "D"}:
+            raise ValueError(
+                f"op column {op_col!r} must contain only 'I'/'D', got "
+                f"{sorted(map(str, opset))}"
+            )
+        if "I" in opset:
+            _maintain_inserts(
+                batch_df.filter(F.col(op_col) == "I").drop(op_col),
+                batch_id,
+            )
+        delta = {"n_deleted": 0, "delete_report": None}
+        if "D" in opset:
+            del_ids = sorted(
+                int(x)
+                for r in per_op
+                if r["__op"] == "D"
+                for x in r["ids"]
+            )
+            drep = delete_from_ivf_index(spark, path, del_ids, id_col=id_col)
+            if drep["resumed"]:
+                # crash-mid-delete replay: this maintainer's sizes were
+                # seeded from the PARTIALLY-deleted index, so applying
+                # the intent's full fold would over-subtract — re-seed
+                # (one bounded job, on the rare resume path only)
+                sizes.clear()
+                sizes.update(_list_sizes(spark, path))
+            else:
+                for lid, n in drep["list_counts"].items():
+                    left = sizes.get(lid, 0) - n
+                    if left > 0:
+                        sizes[lid] = left
+                    else:
+                        sizes.pop(lid, None)
+            for lid in drep["dropped_list_ids"]:
+                fcounts.pop(lid, None)
+                unsplittable.pop(lid, None)
+            if compact_files_per_list is not None and drep["affected_list_ids"]:
+                # the delete rewrote the affected partitions: re-survey
+                # (driver metadata scan, zero Spark jobs)
+                fcounts.clear()
+                fcounts.update(_ivf_list_files(path)[0])
+            delta = {"n_deleted": drep["n_deleted"], "delete_report": drep}
+        # batch-complete marker LAST: a crash anywhere above replays
+        # the batch through the idempotent insert/delete legs
+        txn2 = _read_index_json(path, "txn.json")
+        if txn2 is None:
+            st = read_index_stats(spark, path)
+            txn2 = {
+                "last_batch_id": -1,
+                "n": st[0],
+                "mean_assigned_cos": st[1],
+            }
+        _write_index_json_atomic(
+            path, "txn.json", {**txn2, "last_cdc_batch_id": b}
+        )
+        if log and int(log[-1].get("batch_id", -2)) == b:
+            log[-1].update(delta)  # fold onto the insert leg's entry
+        else:
+            log.append(
+                {
+                    "batch_id": b,
+                    "n_appended": 0,
+                    "max_share_ppm": _max_share_ppm(),
+                    "rebalanced": False,
+                    "rebalance_report": None,
+                    "compacted": False,
+                    "compaction_report": None,
+                    "skipped_replay": False,
+                    **delta,
+                }
+            )
 
     return maintain, log
 
@@ -1781,6 +1913,7 @@ def delete_from_ivf_index(
         affected = [int(x) for x in live["affected"]]
         d_n = int(live["d_n"])
         post_n, post_mean = int(live["post_n"]), float(live["post_mean"])
+        list_counts = {int(k): int(v) for k, v in live["list_counts"].items()}
     else:
         # re-score the hits against their assigned centroid (broadcast
         # n_centroids rows) so the stats fold can subtract exactly what
@@ -1804,6 +1937,7 @@ def delete_from_ivf_index(
             .collect()  # bounded: one row per AFFECTED list
         )
         affected = sorted(int(r["list_id"]) for r in per)
+        list_counts = {int(r["list_id"]): int(r["n"]) for r in per}
         d_n = sum(int(r["n"]) for r in per)
         if d_n == 0:
             st = read_index_stats(spark, path)
@@ -1811,6 +1945,7 @@ def delete_from_ivf_index(
                 "n_deleted": 0,
                 "affected_list_ids": [],
                 "dropped_list_ids": [],
+                "list_counts": {},
                 "n_after": st[0] if st else None,
                 "mean_after": st[1] if st else None,
                 "resumed": False,
@@ -1843,6 +1978,10 @@ def delete_from_ivf_index(
                 "d_n": d_n,
                 "post_n": post_n,
                 "post_mean": post_mean,
+                # per-list deleted counts: what lets the streaming
+                # maintainer keep its driver-side size map exact
+                # across a CDC delete (and its resume)
+                "list_counts": {str(k): v for k, v in list_counts.items()},
             },
         )
 
@@ -1900,6 +2039,7 @@ def delete_from_ivf_index(
         "n_deleted": d_n,
         "affected_list_ids": affected,
         "dropped_list_ids": sorted(dropped),
+        "list_counts": list_counts,
         "n_after": post_n,
         "mean_after": post_mean,
         "resumed": resumed,

@@ -695,3 +695,171 @@ def ann_ivf_delete(spark, sf_dir):
         " deleted_absent boolean, only_affected_rewritten boolean,"
         " stats_exact boolean, plant_refound boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC sink: op-tagged insert/delete ingest into the IVF index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_ivf_cdc",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 300)
+                + (SELECT count(*) FROM embeddings WHERE vec_id < 100)
+                - (SELECT count(*) FROM embeddings
+                   WHERE vec_id < 300 AND vec_id % 10 = 1) - 1
+                AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST((SELECT count(*) FROM embeddings
+                 WHERE vec_id < 300 AND vec_id % 10 = 1) + 1
+                AS BIGINT) AS n_deleted,
+           TRUE AS rows_conserved,
+           TRUE AS deleted_absent,
+           TRUE AS same_batch_delete_wins,
+           TRUE AS stats_exact,
+           TRUE AS stateless
+    """,
+)
+def stream_ivf_cdc(spark, sf_dir):
+    """The index as a CDC SINK — the lifecycle composed end to end the
+    way a curated corpus actually changes: a change feed of op-tagged
+    rows ('I' insert with vector, 'D' delete by id) streams into
+    ``make_streaming_ivf_maintainer(op_col=...)``, which applies
+    inserts first, deletes second, and lands a ``last_cdc_batch_id``
+    marker LAST, so every leg composes exactly-once (the insert leg is
+    the append txn, the delete leg is ``delete_from_ivf_index``'s
+    idempotent partition rewrite, and a fully-committed batch skips
+    wholesale on replay — kill/restart proof in
+    ``tests/test_r8_cdc.py``).
+
+    Two mtime-ordered micro-batches: batch 0 inserts 50 new vectors;
+    batch 1 inserts 50 more AND deletes every 10th-residue-1 standing
+    id plus ONE id inserted in batch 1 itself.  Invariants:
+    ``rows_conserved`` — count == distinct ids == standing + inserted
+    - deleted; ``deleted_absent`` — zero flagged ids remain;
+    ``same_batch_delete_wins`` — the insert+delete-in-one-batch id is
+    gone (deletes apply after inserts: the delete is the curation
+    verdict); ``stats_exact`` — the commit record's n equals the exact
+    row count and its cdc marker is batch 1; ``stateless`` — zero
+    state-store operators (the index directory + txn log ARE the
+    state)."""
+    import glob
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        _read_index_json,
+        build_ivf_index,
+        make_streaming_ivf_maintainer,
+        read_index_stats,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 300).alias("ns"),
+        F.count_if(F.col("vec_id") < 100).alias("ni"),
+        F.count_if(
+            (F.col("vec_id") < 300) & (F.col("vec_id") % 10 == 1)
+        ).alias("nd"),
+    ).collect()[0]
+    n_deleted = int(cnt["nd"]) + 1
+    n_expected = int(cnt["ns"]) + int(cnt["ni"]) - n_deleted
+    same_batch_id = 40_000_000 + 60
+
+    ins = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+        (F.col("vec_id") >= 50).cast("int").alias("r"),
+    )
+    dels = (
+        emb.filter((F.col("vec_id") < 300) & (F.col("vec_id") % 10 == 1))
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("D").alias("op"),
+            F.lit(1).alias("r"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(same_batch_id, None, "D", 1)],
+                "vec_id long, embedding array<double>, op string, r int",
+            )
+        )
+    )
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("ivf_cdc_arrivals")
+    )
+    # ONE partitioned write => two mtime-ordered micro-batch files
+    # (the stream_ivf_rebalance job-count pattern)
+    ins.unionByName(dels).repartition("r").write.mode(
+        "overwrite"
+    ).partitionBy("r").parquet(arrivals_dir)
+    for i in range(2):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_cdc_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, idx_path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    arrivals = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    progress: list = []
+    _drain_foreach_batch(
+        arrivals, maintain, state_partitions=8, progress_out=progress,
+        checkpoint=idx_path + "_chk",
+    )
+
+    conserve = (
+        spark.read.parquet(idx_path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+            F.count_if(
+                (F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300)
+            ).alias("hit"),
+            F.count_if(F.col("vec_id") == same_batch_id).alias("sb"),
+        )
+        .collect()[0]
+    )
+    stats_n = read_index_stats(spark, idx_path)[0]
+    txn = _read_index_json(idx_path, "txn.json")
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                len(log),
+                sum(e["n_deleted"] for e in log),
+                int(conserve["n"]) == n_expected
+                and int(conserve["nid"]) == n_expected,
+                int(conserve["hit"]) == 0,
+                int(conserve["sb"]) == 0,
+                stats_n == n_expected
+                and int(txn["last_cdc_batch_id"]) == 1,
+                all(p["stateOperators"] == [] for p in progress),
+            )
+        ],
+        "n_rows long, n_batches long, n_deleted long,"
+        " rows_conserved boolean, deleted_absent boolean,"
+        " same_batch_delete_wins boolean, stats_exact boolean,"
+        " stateless boolean",
+    )

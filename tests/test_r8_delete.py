@@ -183,6 +183,9 @@ def test_delete_resume_completes_crashed_attempt(spark, tmp_path):
             "d_n": want["n_deleted"],
             "post_n": want["n_after"],
             "post_mean": want["mean_after"],
+            "list_counts": {
+                str(k): v for k, v in want["list_counts"].items()
+            },
         },
     )
     # every other writer refuses while the intent is live
