@@ -1,7 +1,5 @@
-"""Battery extension, round 8: the VERDICT-r7 task list — exactly-once
-streaming index appends proven through an engine-real kill/restart,
-IVF small-file compaction composed into the index lifecycle, and
-exact-integer fit diagnostics (R² from the same moment sums).
+"""Battery extension, round 8: the VERDICT-r7 task list plus the two
+index lifecycle legs that complete CRUD on the vector index.
 
 * ``stream_ivf_recovery`` — the restart-recovery contract made real:
   the maintainer commits a micro-batch to the index's JSON transaction
@@ -9,6 +7,17 @@ exact-integer fit diagnostics (R² from the same moment sums).
   the restarted stream replays that batch — which the log turns into a
   visible no-op skip, leaving every row exactly once
   (``operators/similarity.py`` txn note; VERDICT r7 task 1).
+* ``ann_ivf_compaction`` — the fourth lifecycle leg: hot-partition-only
+  small-file compaction composed into the index (VERDICT r7 task 3).
+* ``quality_probe_r2`` — exact-integer R² from the same moment sums,
+  parameterized over OLS / weighted / weighted-ridge fits (VERDICT r7
+  tasks 4 + 5, hygiene per task 8).
+* ``media_wav_decode`` — the pure-stdlib WAV codec through the
+  multimodal tier, the audio twin of ``media_png_decode`` (task 6).
+* ``ann_ivf_delete`` — the fifth lifecycle leg: id-based deletes with
+  a partition-bounded rewrite and crash-safe resume.
+* ``stream_ivf_cdc`` — the maintainer as a CDC sink: op-tagged
+  insert/delete micro-batches applied exactly-once.
 
 Same determinism conventions as queries.py.
 """
