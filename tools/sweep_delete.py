@@ -54,15 +54,15 @@ warm = fresh()
 delete_from_ivf_index(spark, warm, [0, 1])
 
 pa = fresh()
-one_list = [
-    int(r["vec_id"])
-    for r in spark.read.parquet(pa + "/lists")
+hot_row = (
+    spark.read.parquet(pa + "/lists")
     .groupBy("list_id")
     .agg(F.count(F.lit(1)).alias("c"), F.collect_list("vec_id").alias("ids"))
     .orderBy(F.desc("c"))
     .limit(1)
-    .collect()[0]["ids"]
-][:100]
+    .collect()[0]
+)
+one_list = [int(x) for x in hot_row["ids"]][:100]
 t0 = time.time()
 ra = delete_from_ivf_index(spark, pa, one_list)
 wa = time.time() - t0
