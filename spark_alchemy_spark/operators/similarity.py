@@ -1093,11 +1093,16 @@ def make_streaming_ivf_maintainer(
     gain {compacted, compaction_report}.
 
     ``op_col`` (opt-in) turns the maintainer into a CDC SINK: each
-    micro-batch row carries 'I' (insert — vector required) or 'D'
-    (delete by id), the shape a change-feed of a curated corpus emits.
-    Within a batch, inserts apply FIRST and deletes SECOND (a key both
-    inserted and deleted in the same batch ends deleted — the delete
-    is the curation verdict).  Exactly-once composes from three
+    micro-batch row carries 'I' (insert — vector required), 'U'
+    (upsert — replace the id's standing vector, the re-embedded-
+    document case), or 'D' (delete by id) — the shape a change-feed
+    of a curated corpus emits.  Within a batch, three ordered phases:
+    upserts drop their OLD versions first (scoped by the batch tag so
+    a replay never eats the new versions), inserts + replacements
+    land second, and plain deletes apply LAST (a key inserted or
+    upserted and deleted in the same batch ends deleted — the delete
+    is the curation verdict).  'I' is an insert of a NEW id (an 'I'
+    on an existing id duplicates it — use 'U').  Exactly-once composes from three
     idempotent layers, committed in order: the insert leg is
     :func:`append_ivf_index`'s own txn idempotence; the delete leg is
     :func:`delete_from_ivf_index` (a replayed delete's re-scan finds
@@ -1256,43 +1261,38 @@ def make_streaming_ivf_maintainer(
                     "skipped_replay": True,
                     "n_deleted": 0,
                     "delete_report": None,
+                    "n_upserted": 0,
+                    "upsert_delete_report": None,
                 }
             )
             return
         if batch_df.isEmpty():
             return
-        # ONE bounded job: ops present + the delete-id set (collect_set
-        # skips the when()'s NULLs, so insert ids never reach the
-        # driver — only the batch-bounded delete ids do)
+        # ONE bounded job: ops present + the delete/upsert id sets
+        # (collect_set skips the when()'s NULLs, so plain-insert ids
+        # never reach the driver — only the batch-bounded D/U ids do)
         per_op = (
             batch_df.groupBy(F.col(op_col).alias("__op"))
             .agg(
                 F.collect_set(
-                    F.when(F.col(op_col) == "D", F.col(id_col))
+                    F.when(
+                        F.col(op_col).isin("D", "U"), F.col(id_col)
+                    )
                 ).alias("ids")
             )
             .collect()
         )
         opset = {r["__op"] for r in per_op}
-        if not opset <= {"I", "D"}:
+        if not opset <= {"I", "D", "U"}:
             raise ValueError(
-                f"op column {op_col!r} must contain only 'I'/'D', got "
-                f"{sorted(map(str, opset))}"
+                f"op column {op_col!r} must contain only 'I'/'D'/'U', "
+                f"got {sorted(map(str, opset))}"
             )
-        if "I" in opset:
-            _maintain_inserts(
-                batch_df.filter(F.col(op_col) == "I").drop(op_col),
-                batch_id,
-            )
-        delta = {"n_deleted": 0, "delete_report": None}
-        if "D" in opset:
-            del_ids = sorted(
-                int(x)
-                for r in per_op
-                if r["__op"] == "D"
-                for x in r["ids"]
-            )
-            drep = delete_from_ivf_index(spark, path, del_ids, id_col=id_col)
+        by_op = {r["__op"]: sorted(int(x) for x in r["ids"]) for r in per_op}
+        u_ids = by_op.get("U", [])
+        d_ids = by_op.get("D", [])
+
+        def _apply_delete_report(drep):
             if drep["resumed"]:
                 # crash-mid-delete replay: this maintainer's sizes were
                 # seeded from the PARTIALLY-deleted index, so applying
@@ -1315,7 +1315,49 @@ def make_streaming_ivf_maintainer(
                 # (driver metadata scan, zero Spark jobs)
                 fcounts.clear()
                 fcounts.update(_ivf_list_files(path)[0])
-            delta = {"n_deleted": drep["n_deleted"], "delete_report": drep}
+
+        # THREE phases, committed in order, each idempotent:
+        #   1. upserts drop their OLD versions (scoped to rows NOT
+        #      tagged with this batch — a crashed-then-replayed batch
+        #      must never eat the new versions it already appended);
+        #   2. inserts land (I and the U replacements; the append txn
+        #      gives this leg its own replay skip);
+        #   3. plain deletes apply LAST (delete-wins: a key inserted
+        #      or upserted and deleted in the same batch ends deleted).
+        # A live phase-3 del intent proves phases 1-2 committed (it is
+        # only written after them), so a replay jumps straight there —
+        # running phase 1 under it would trip the digest guard.
+        live = _read_index_json(path, "del_intent.json")
+        skip_to_phase3 = (
+            live is not None
+            and bool(d_ids)
+            and live["digest"] == _delete_ids_digest(d_ids)
+        )
+        delta = {
+            "n_deleted": 0,
+            "delete_report": None,
+            "n_upserted": len(u_ids),
+            "upsert_delete_report": None,
+        }
+        if not skip_to_phase3:
+            if u_ids:
+                urep = delete_from_ivf_index(
+                    spark, path, u_ids, id_col=id_col, exclude_batch=b
+                )
+                _apply_delete_report(urep)
+                delta["upsert_delete_report"] = urep
+            if "I" in opset or "U" in opset:
+                _maintain_inserts(
+                    batch_df.filter(
+                        F.col(op_col).isin("I", "U")
+                    ).drop(op_col),
+                    batch_id,
+                )
+        if d_ids:
+            drep = delete_from_ivf_index(spark, path, d_ids, id_col=id_col)
+            _apply_delete_report(drep)
+            delta["n_deleted"] = drep["n_deleted"]
+            delta["delete_report"] = drep
         # batch-complete marker LAST: a crash anywhere above replays
         # the batch through the idempotent insert/delete legs
         txn2 = _read_index_json(path, "txn.json")
@@ -1778,18 +1820,25 @@ def compact_ivf_index(
     return report
 
 
-def _delete_ids_digest(ids) -> dict:
-    """Order-free digest of a delete's id set, stored in the intent so
-    a resume can verify it is completing the SAME delete (a different
-    id set under a live intent is a logic error, not a resume).  For a
-    driver-side list the digest is a sha256 over the sorted ids; for a
-    DataFrame it is (count, xor of xxhash64) over the distinct ids —
-    one tiny job, no collect of the id set."""
+def _delete_ids_digest(ids, exclude_batch: int | None = None) -> dict:
+    """Order-free digest of a delete's id set (plus its
+    ``exclude_batch`` scope — two deletes of the same ids with
+    different scopes are DIFFERENT operations), stored in the intent
+    so a resume can verify it is completing the SAME delete (a
+    different id set under a live intent is a logic error, not a
+    resume).  For a driver-side list the digest is a sha256 over the
+    sorted ids; for a DataFrame it is (count, xor of xxhash64) over
+    the distinct ids — one tiny job, no collect of the id set."""
     import hashlib
 
+    xb = None if exclude_batch is None else int(exclude_batch)
     if isinstance(ids, (list, tuple, set, frozenset)):
         ser = ",".join(str(int(x)) for x in sorted({int(x) for x in ids}))
-        return {"kind": "list", "sha": hashlib.sha256(ser.encode()).hexdigest()}
+        return {
+            "kind": "list",
+            "sha": hashlib.sha256(ser.encode()).hexdigest(),
+            "exclude_batch": xb,
+        }
     d = ids.select(F.col(ids.columns[0]).cast("long").alias("__del_id"))
     r = (
         d.distinct()
@@ -1799,7 +1848,12 @@ def _delete_ids_digest(ids) -> dict:
         )
         .collect()[0]
     )
-    return {"kind": "df", "count": int(r["c"]), "xor": int(r["x"] or 0)}
+    return {
+        "kind": "df",
+        "count": int(r["c"]),
+        "xor": int(r["x"] or 0),
+        "exclude_batch": xb,
+    }
 
 
 def delete_from_ivf_index(
@@ -1807,6 +1861,7 @@ def delete_from_ivf_index(
     path: str,
     ids,
     id_col: str = "vec_id",
+    exclude_batch: int | None = None,
 ) -> dict:
     """DELETE vectors by id from a persisted IVF index — the FIFTH
     lifecycle leg (build → append → rebalance → compact → delete), and
@@ -1848,8 +1903,15 @@ def delete_from_ivf_index(
     this is that pattern on the local-fs JSON log the index already
     uses for exactly-once appends.
 
-    Returns {n_deleted, affected_list_ids, dropped_list_ids, n_after,
-    mean_after, resumed}."""
+    ``exclude_batch`` scopes the delete to rows NOT written by the
+    given ``__batch`` tag — the replay-safety hook the CDC upsert leg
+    needs: an upsert's delete-the-old-version phase must never eat the
+    new version a crashed-then-replayed batch already appended.  The
+    scope is part of the intent digest (same ids, different scope =
+    different operation).
+
+    Returns {n_deleted, affected_list_ids, dropped_list_ids,
+    list_counts, n_after, mean_after, resumed}."""
     import os
     import shutil
 
@@ -1871,7 +1933,7 @@ def delete_from_ivf_index(
             "race the repair's partition rewrite"
         )
 
-    digest = _delete_ids_digest(ids)
+    digest = _delete_ids_digest(ids, exclude_batch)
     live = _read_index_json(path, "del_intent.json")
     resumed = False
     if live is not None:
@@ -1886,10 +1948,20 @@ def delete_from_ivf_index(
     lists = spark.read.parquet(path + "/lists")
     if isinstance(ids, (list, tuple, set, frozenset)):
         idlist = [int(x) for x in ids]
-        hits = lists.filter(F.col(id_col).isin(idlist))
+        hit_pred = F.col(id_col).isin(idlist)
+        if exclude_batch is not None:
+            hit_pred = hit_pred & ~F.col("__batch").eqNullSafe(
+                F.lit(int(exclude_batch))
+            )
+        hits = lists.filter(hit_pred)
 
         def keep(df):
-            return df.filter(~F.col(id_col).isin(idlist))
+            return df.filter(~(
+                F.col(id_col).isin(idlist)
+                if exclude_batch is None
+                else F.col(id_col).isin(idlist)
+                & ~F.col("__batch").eqNullSafe(F.lit(int(exclude_batch)))
+            ))
 
     else:
         bids = F.broadcast(
@@ -1901,10 +1973,24 @@ def delete_from_ivf_index(
         def _on(df):
             return df[id_col] == bids["__del_id"]
 
-        hits = lists.join(bids, _on(lists), "left_semi")
+        if exclude_batch is None:
+            hits = lists.join(bids, _on(lists), "left_semi")
 
-        def keep(df):
-            return df.join(bids, _on(df), "left_anti")
+            def keep(df):
+                return df.join(bids, _on(df), "left_anti")
+
+        else:
+            xb = F.lit(int(exclude_batch))
+            hits = lists.filter(
+                ~F.col("__batch").eqNullSafe(xb)
+            ).join(bids, _on(lists), "left_semi")
+
+            def keep(df):
+                # keep = NOT (id matches AND batch differs): split the
+                # frame so the anti-join applies only to other-batch rows
+                own = df.filter(F.col("__batch").eqNullSafe(xb))
+                rest = df.filter(~F.col("__batch").eqNullSafe(xb))
+                return rest.join(bids, _on(rest), "left_anti").unionByName(own)
 
     if resumed:
         # the intent's fold is authoritative: rows the crashed attempt

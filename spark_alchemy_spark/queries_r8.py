@@ -17,7 +17,7 @@ index lifecycle legs that complete CRUD on the vector index.
 * ``ann_ivf_delete`` — the fifth lifecycle leg: id-based deletes with
   a partition-bounded rewrite and crash-safe resume.
 * ``stream_ivf_cdc`` — the maintainer as a CDC sink: op-tagged
-  insert/delete micro-batches applied exactly-once.
+  insert/upsert/delete micro-batches applied exactly-once.
 
 Same determinism conventions as queries.py.
 """
@@ -723,9 +723,13 @@ def ann_ivf_delete(spark, sf_dir):
            CAST((SELECT count(*) FROM embeddings
                  WHERE vec_id < 300 AND vec_id % 10 = 1) + 1
                 AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM embeddings
+                 WHERE vec_id < 300 AND vec_id % 10 = 2)
+                AS BIGINT) AS n_upserted,
            TRUE AS rows_conserved,
            TRUE AS deleted_absent,
            TRUE AS same_batch_delete_wins,
+           TRUE AS upserts_replaced,
            TRUE AS stats_exact,
            TRUE AS stateless
     """,
@@ -743,13 +747,19 @@ def stream_ivf_cdc(spark, sf_dir):
     ``tests/test_r8_cdc.py``).
 
     Two mtime-ordered micro-batches: batch 0 inserts 50 new vectors;
-    batch 1 inserts 50 more AND deletes every 10th-residue-1 standing
-    id plus ONE id inserted in batch 1 itself.  Invariants:
-    ``rows_conserved`` — count == distinct ids == standing + inserted
-    - deleted; ``deleted_absent`` — zero flagged ids remain;
+    batch 1 inserts 50 more, UPSERTS every 10th-residue-2 standing id
+    (replacement = the id's own vector scaled 2x — same direction, so
+    the list assignment is stable and the replacement is detectable by
+    value), AND deletes every 10th-residue-1 standing id plus ONE id
+    inserted in batch 1 itself.  Invariants: ``rows_conserved`` —
+    count == distinct ids == standing + inserted - deleted (upserts
+    are count-neutral: old version out, new version in);
+    ``deleted_absent`` — zero flagged ids remain;
     ``same_batch_delete_wins`` — the insert+delete-in-one-batch id is
-    gone (deletes apply after inserts: the delete is the curation
-    verdict); ``stats_exact`` — the commit record's n equals the exact
+    gone (plain deletes apply last: the delete is the curation
+    verdict); ``upserts_replaced`` — every upserted id is present
+    EXACTLY once and carries the 2x replacement vector, never the
+    original; ``stats_exact`` — the commit record's n equals the exact
     row count and its cdc marker is batch 1; ``stateless`` — zero
     state-store operators (the index directory + txn log ARE the
     state)."""
@@ -777,8 +787,12 @@ def stream_ivf_cdc(spark, sf_dir):
         F.count_if(
             (F.col("vec_id") < 300) & (F.col("vec_id") % 10 == 1)
         ).alias("nd"),
+        F.count_if(
+            (F.col("vec_id") < 300) & (F.col("vec_id") % 10 == 2)
+        ).alias("nu"),
     ).collect()[0]
     n_deleted = int(cnt["nd"]) + 1
+    n_upserted = int(cnt["nu"])
     n_expected = int(cnt["ns"]) + int(cnt["ni"]) - n_deleted
     same_batch_id = 40_000_000 + 60
 
@@ -803,12 +817,22 @@ def stream_ivf_cdc(spark, sf_dir):
             )
         )
     )
+    ups = emb.filter(
+        (F.col("vec_id") < 300) & (F.col("vec_id") % 10 == 2)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("embedding"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("r"),
+    )
     arrivals_dir = os.path.join(
         tempfile.gettempdir(), _sink_name("ivf_cdc_arrivals")
     )
     # ONE partitioned write => two mtime-ordered micro-batch files
     # (the stream_ivf_rebalance job-count pattern)
-    ins.unionByName(dels).repartition("r").write.mode(
+    ins.unionByName(dels).unionByName(ups).repartition("r").write.mode(
         "overwrite"
     ).partitionBy("r").parquet(arrivals_dir)
     for i in range(2):
@@ -838,15 +862,29 @@ def stream_ivf_cdc(spark, sf_dir):
         checkpoint=idx_path + "_chk",
     )
 
-    conserve = (
-        spark.read.parquet(idx_path + "/lists")
+    lists = spark.read.parquet(idx_path + "/lists")
+    conserve = lists.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nid"),
+        F.count_if(
+            (F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300)
+        ).alias("hit"),
+        F.count_if(F.col("vec_id") == same_batch_id).alias("sb"),
+    ).collect()[0]
+    # upsert check: every residue-2 standing id present exactly once
+    # and carrying EXACTLY its 2x-scaled original vector (one
+    # broadcast join against the standing slice)
+    ucheck = (
+        lists.filter(
+            (F.col("vec_id") % 10 == 2) & (F.col("vec_id") < 300)
+        )
+        .join(F.broadcast(standing.withColumnRenamed("embedding", "__o")),
+              "vec_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("vec_id").alias("nid"),
             F.count_if(
-                (F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300)
-            ).alias("hit"),
-            F.count_if(F.col("vec_id") == same_batch_id).alias("sb"),
+                F.col("__v") == F.transform("__o", lambda x: x * 2.0)
+            ).alias("ok"),
         )
         .collect()[0]
     )
@@ -858,17 +896,20 @@ def stream_ivf_cdc(spark, sf_dir):
                 n_expected,
                 len(log),
                 sum(e["n_deleted"] for e in log),
+                sum(e["n_upserted"] for e in log),
                 int(conserve["n"]) == n_expected
                 and int(conserve["nid"]) == n_expected,
                 int(conserve["hit"]) == 0,
                 int(conserve["sb"]) == 0,
+                int(ucheck["n"]) == n_upserted
+                and int(ucheck["ok"]) == n_upserted,
                 stats_n == n_expected
                 and int(txn["last_cdc_batch_id"]) == 1,
                 all(p["stateOperators"] == [] for p in progress),
             )
         ],
-        "n_rows long, n_batches long, n_deleted long,"
+        "n_rows long, n_batches long, n_deleted long, n_upserted long,"
         " rows_conserved boolean, deleted_absent boolean,"
-        " same_batch_delete_wins boolean, stats_exact boolean,"
-        " stateless boolean",
+        " same_batch_delete_wins boolean, upserts_replaced boolean,"
+        " stats_exact boolean, stateless boolean",
     )

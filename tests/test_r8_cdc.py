@@ -135,8 +135,8 @@ def test_cdc_rejects_unknown_ops(spark, tmp_path):
     maintain, _ = make_streaming_ivf_maintainer(
         spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
     )
-    bad = _with_op(_mk_corpus(spark, 100, 105), "U")
-    with pytest.raises(ValueError, match="'I'/'D'"):
+    bad = _with_op(_mk_corpus(spark, 100, 105), "X")
+    with pytest.raises(ValueError, match="'I'/'D'/'U'"):
         maintain(bad, 0)
 
 
@@ -208,3 +208,157 @@ def test_cdc_kill_restart_through_engine(spark, tmp_path):
     lists = spark.read.parquet(path + "/lists")
     assert lists.count() == lists.select("vec_id").distinct().count() == len(want)
     assert all(p["stateOperators"] == [] for p in progress)  # stateless
+
+
+def _ups(spark, ids, dim=8, shift=100.0):
+    """Upsert rows: REPLACEMENT vectors clearly different from the
+    originals (constant direction + shift so the new version is
+    detectable by value)."""
+    return spark.createDataFrame(
+        [(int(x), [shift + i for i in range(dim)], "U") for x in ids],
+        "vec_id long, embedding array<double>, op string",
+    )
+
+
+def test_cdc_upsert_replaces_vector(spark, tmp_path):
+    """'U' replaces the standing vector: membership unchanged for
+    upserted ids (no duplicates), and the stored vector is the NEW
+    one; same-batch U + D ends deleted (delete-wins)."""
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    b0 = (
+        _with_op(_mk_corpus(spark, 100, 110), "I")
+        .unionByName(_ups(spark, [3, 17, 105]))  # 105 inserted same batch
+        .unionByName(_dels(spark, [17]))  # U+D same batch: D wins
+    )
+    maintain(b0, 0)
+    want = (set(range(60)) | set(range(100, 110))) - {17}
+    assert _ids(spark, path) == want
+    lists = spark.read.parquet(path + "/lists")
+    assert lists.count() == len(want)  # no duplicate versions
+    # upserted ids carry the REPLACEMENT vector
+    for vid in (3, 105):
+        v = lists.filter(F.col("vec_id") == vid).select("__v").collect()
+        assert len(v) == 1 and v[0][0][0] == 100.0
+    # non-upserted ids untouched
+    v5 = lists.filter(F.col("vec_id") == 5).select("__v").collect()
+    assert v5[0][0][0] != 100.0
+    n, _ = read_index_stats(spark, path)
+    assert n == len(want)
+    assert log[-1]["n_upserted"] == 3 and log[-1]["n_deleted"] == 1
+
+
+def test_cdc_upsert_replay_after_insert_commit_keeps_new_version(
+    spark, tmp_path
+):
+    """THE upsert crash window: the insert leg committed (new versions
+    appended, txn high-water mark moved) but the batch marker never
+    landed.  The replay's phase-1 delete is scoped to rows NOT tagged
+    with this batch, so it must NOT eat the new versions — final state
+    identical to the no-crash run."""
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    # no-crash reference on a twin
+    twin = str(tmp_path / "twin")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", twin, n_centroids=4
+    )
+    b0 = _ups(spark, [3, 17])
+    mt, _ = make_streaming_ivf_maintainer(
+        spark, twin, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    mt(b0, 0)
+    # victim: simulate the crash state by running phases 1-2 directly
+    from spark_alchemy_spark.operators.similarity import (
+        delete_from_ivf_index,
+    )
+
+    delete_from_ivf_index(spark, path, [3, 17], exclude_batch=0)
+    append_ivf_index(
+        b0.drop("op"), "vec_id", "embedding", path, batch_id=0
+    )
+    assert "last_cdc_batch_id" not in _read_index_json(path, "txn.json")
+    # restart: fresh maintainer replays batch 0
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    maintain(b0, 0)
+    assert int(_read_index_json(path, "txn.json")["last_cdc_batch_id"]) == 0
+    lists = spark.read.parquet(path + "/lists")
+    assert _ids(spark, path) == set(range(60))
+    assert lists.count() == 60  # new versions kept, old ones gone
+    for vid in (3, 17):
+        v = lists.filter(F.col("vec_id") == vid).select("__v").collect()
+        assert len(v) == 1 and v[0][0][0] == 100.0
+    # state identical to the no-crash twin
+    tw = spark.read.parquet(twin + "/lists")
+    assert sorted(
+        (int(r["vec_id"]), tuple(r["__v"])) for r in lists.collect()
+    ) == sorted((int(r["vec_id"]), tuple(r["__v"])) for r in tw.collect())
+    assert read_index_stats(spark, path) == read_index_stats(spark, twin)
+
+
+def test_cdc_phase3_intent_replay_skips_to_phase3(spark, tmp_path):
+    """Crash mid-phase-3 (the plain-delete leg's intent is live): the
+    replay must NOT re-run phases 1-2 (the phase-1 delete would trip
+    the digest guard) — it resumes phase 3 and lands the marker."""
+    from spark_alchemy_spark.operators.similarity import (
+        _delete_ids_digest,
+        _write_index_json_atomic,
+        delete_from_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    b0 = _ups(spark, [3]).unionByName(_dels(spark, [7, 11]))
+    # run phases 1-2 for real, then forge a live phase-3 intent from a
+    # twin's completed delete
+    delete_from_ivf_index(spark, path, [3], exclude_batch=0)
+    append_ivf_index(
+        b0.filter("op = 'U'").drop("op"), "vec_id", "embedding", path,
+        batch_id=0,
+    )
+    twin = str(tmp_path / "twin")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", twin, n_centroids=4
+    )
+    delete_from_ivf_index(spark, twin, [3], exclude_batch=0)
+    append_ivf_index(
+        b0.filter("op = 'U'").drop("op"), "vec_id", "embedding", twin,
+        batch_id=0,
+    )
+    want = delete_from_ivf_index(spark, twin, [7, 11])
+    _write_index_json_atomic(
+        path,
+        "del_intent.json",
+        {
+            "digest": _delete_ids_digest([7, 11]),
+            "affected": want["affected_list_ids"],
+            "d_n": want["n_deleted"],
+            "post_n": want["n_after"],
+            "post_mean": want["mean_after"],
+            "list_counts": {
+                str(k): v for k, v in want["list_counts"].items()
+            },
+        },
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    maintain(b0, 0)  # the replay
+    assert log[-1]["delete_report"]["resumed"] is True
+    assert log[-1]["upsert_delete_report"] is None  # phase 1 skipped
+    assert _ids(spark, path) == set(range(60)) - {7, 11}
+    assert read_index_stats(spark, path) == (
+        want["n_after"], want["mean_after"],
+    )
+    assert int(_read_index_json(path, "txn.json")["last_cdc_batch_id"]) == 0
