@@ -481,6 +481,14 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int, int]:
         cid = buf[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + csize]
+        if cid in (b"fmt ", b"data") and len(body) < csize:
+            # a load-bearing chunk whose declared size runs past the
+            # buffer is a truncated file: fail loud (ValueError, the
+            # dirty-media contract) instead of struct.error from a
+            # short unpack or silently dropping tail samples
+            raise ValueError(
+                f"truncated {cid.decode(errors='replace').strip()} chunk"
+            )
         if cid == b"fmt ":
             if csize < 16:
                 raise ValueError("fmt chunk too short")
@@ -589,7 +597,13 @@ def _decode_audio_any(buf: bytes) -> tuple[np.ndarray, int, int]:
         import soundfile  # noqa: F401
 
         data, rate = soundfile.read(io.BytesIO(buf), dtype="int16")
-        return np.atleast_2d(data.astype(np.int32)).T, int(rate), 16
+        arr = data.astype(np.int32)
+        # soundfile returns (frames,) mono or (frames, channels): add
+        # the channel axis for mono, never transpose (a .T here would
+        # flip stereo into (channels, frames) — review finding)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return arr, int(rate), 16
     except ImportError as e:
         raise NotImplementedError(
             "non-WAV audio decoding needs soundfile, not available here"

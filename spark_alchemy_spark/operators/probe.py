@@ -251,6 +251,22 @@ def r2_ppm_from_sums(r: dict, d: int, ridge_lambda: int = 0) -> int | None:
     sweep wants), so it is monotonically non-increasing in lambda
     (pytest law)."""
     n, det, dks = _solve_dets(r, d, ridge_lambda)
+    return _r2_ppm_from_dets(r, d, ridge_lambda, n, det, dks)
+
+
+def _r2_ppm_from_dets(
+    r: dict,
+    d: int,
+    ridge_lambda: int,
+    n: int,
+    det: int,
+    dks: list[int] | None,
+) -> int | None:
+    """R^2 from an ALREADY-EXPANDED system — the shared tail of
+    :func:`r2_ppm_from_sums` that lets the fit paths reuse their own
+    :func:`_solve_dets` expansion instead of running the exact-bigint
+    determinants twice per fit/lambda/group (review finding, round
+    8)."""
     if dks is None:
         return None
     syy = int(r["syy"])
@@ -290,13 +306,13 @@ def fit_linear_probe_ppm(
         .asDict()
     )
     d = len(x_cols)
-    n, coeffs = _solve_ppm(row, d, ridge_lambda)
-    if coeffs is None:
+    n, det, dks = _solve_dets(row, d, ridge_lambda)
+    if dks is None:
         raise ZeroDivisionError("singular normal-equation system")
     return {
         "n": n,
-        "coeffs_ppm": coeffs,
-        "r2_ppm": r2_ppm_from_sums(row, d, ridge_lambda),
+        "coeffs_ppm": [_trunc_div_ppm(dk, det) for dk in dks],
+        "r2_ppm": _r2_ppm_from_dets(row, d, ridge_lambda, n, det, dks),
     }
 
 
@@ -346,17 +362,17 @@ def fit_ridge_path_ppm(
     d = len(x_cols)
     out = []
     for lam in lambdas:
-        n, coeffs = _solve_ppm(row, d, lam)
+        n, det, dks = _solve_dets(row, d, lam)
         out.append(
             {
                 "ridge_lambda": int(lam),
                 "n": n,
-                "coeffs_ppm": coeffs,
-                "r2_ppm": (
+                "coeffs_ppm": (
                     None
-                    if coeffs is None
-                    else r2_ppm_from_sums(row, d, lam)
+                    if dks is None
+                    else [_trunc_div_ppm(dk, det) for dk in dks]
                 ),
+                "r2_ppm": _r2_ppm_from_dets(row, d, lam, n, det, dks),
             }
         )
     return out
@@ -381,15 +397,17 @@ def fit_grouped_probes_ppm(
     out = []
     for row in linear_probe_sums(df, x_cols, y_col, group_cols).collect():
         r = row.asDict()
-        n, coeffs = _solve_ppm(r, d)
+        n, det, dks = _solve_dets(r, d)
         out.append(
             {
                 "group": tuple(r[g] for g in group_cols),
                 "n": n,
-                "coeffs_ppm": coeffs,
-                "r2_ppm": (
-                    None if coeffs is None else r2_ppm_from_sums(r, d)
+                "coeffs_ppm": (
+                    None
+                    if dks is None
+                    else [_trunc_div_ppm(dk, det) for dk in dks]
                 ),
+                "r2_ppm": _r2_ppm_from_dets(r, d, 0, n, det, dks),
             }
         )
     return out

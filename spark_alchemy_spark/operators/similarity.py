@@ -729,7 +729,7 @@ def build_ivf_index(
         import contextlib
         import os
 
-        for name in ("txn.json", "txn_intent.json"):
+        for name in ("txn.json", "txn_intent.json", "del_intent.json"):
             with contextlib.suppress(FileNotFoundError):
                 os.remove(_txn_local_path(path, name))
     cents = centroids if centroids is not None else train_ivf_centroids(
@@ -761,17 +761,26 @@ def build_ivf_index(
 
 
 def _assign_to_lists(
-    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """(id, __v, list_id, __best_cos): nearest-centroid assignment —
     the shared core of the one-off index build and incremental
     appends.  ``__best_cos`` (the winning cosine) doubles as the
-    assignment-quality signal the drift detector aggregates."""
+    assignment-quality signal the drift detector aggregates.
+    ``passthrough`` columns ride along unchanged (constant per id, so
+    the max-struct pick is unaffected) — how the rebalance carries
+    each row's ``__batch`` tag through the reassignment."""
     bc = F.broadcast(
         cents.select(F.col("__list").alias("__cent_id"), F.col("__cent"))
     )
     v = df.select(
-        F.col(id_col).alias(id_col), _as_double(vec_col).alias("__v")
+        F.col(id_col).alias(id_col),
+        _as_double(vec_col).alias("__v"),
+        *[F.col(c) for c in passthrough],
     ).repartition(id_col)
     scored = v.crossJoin(bc).withColumn(
         "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
@@ -784,6 +793,7 @@ def _assign_to_lists(
                     F.col("__csim"),
                     (-F.col("__cent_id")).alias("__nc"),
                     F.col("__v"),
+                    *[F.col(c) for c in passthrough],
                 )
             ).alias("__b")
         )
@@ -792,6 +802,7 @@ def _assign_to_lists(
             F.col("__b.__v").alias("__v"),
             (-F.col("__b.__nc")).alias("list_id"),
             F.col("__b.__csim").alias("__best_cos"),
+            *[F.col(f"__b.{c}").alias(c) for c in passthrough],
         )
     )
 
@@ -1291,6 +1302,19 @@ def make_streaming_ivf_maintainer(
         by_op = {r["__op"]: sorted(int(x) for x in r["ids"]) for r in per_op}
         u_ids = by_op.get("U", [])
         d_ids = by_op.get("D", [])
+        if u_ids:
+            # duplicate 'U' rows for one id would land duplicate
+            # versions (phase 1 deletes the ONE old version, phase 2
+            # appends EVERY row) — fail loud; a CDC feed must compact
+            # per key upstream.  One bounded job (count of U rows).
+            n_u_rows = batch_df.filter(F.col(op_col) == "U").count()
+            if n_u_rows != len(u_ids):
+                raise ValueError(
+                    f"CDC batch carries {n_u_rows} 'U' rows for "
+                    f"{len(u_ids)} distinct ids — duplicate upserts "
+                    "for one id in a single micro-batch are ambiguous; "
+                    "compact the feed per key upstream"
+                )
 
         def _apply_delete_report(drep):
             if drep["resumed"]:
@@ -1567,7 +1591,7 @@ def rebalance_ivf_index(
     new_sizes = dict(sizes)
     for lid in hot:
         hot_rows = lists.filter(F.col("list_id") == lid).select(
-            id_col, "__v"
+            id_col, "__v", "__batch"
         )
         sub = train_ivf_centroids(
             hot_rows, "__v", n_centroids=2, iters=sub_iters, seed=seed + lid
@@ -1581,7 +1605,7 @@ def rebalance_ivf_index(
             sorted(subs.items()), "__list long, __cent array<double>"
         )
         assigned = _assign_to_lists(
-            hot_rows, id_col, "__v", sub_ids
+            hot_rows, id_col, "__v", sub_ids, passthrough=("__batch",)
         ).localCheckpoint(eager=False)
         # ONE bounded job per hot list: child sizes + the incremental
         # /stats sums (new assigned cosine, and the split rows' OLD
@@ -1631,14 +1655,19 @@ def rebalance_ivf_index(
     old_mode = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
     try:
-        # re-tag as BASE rows: every row a rebalance moves belongs to
-        # a committed batch (the maintainer commits the batch BEFORE
-        # its rebalance), so no replay repair will ever target them
-        moved.withColumn("__batch", F.lit(_BASE_BATCH)).repartition(
-            "list_id"
-        ).write.mode("overwrite").partitionBy(
-            "list_id"
-        ).parquet(path + "/lists")
+        # PRESERVE each moved row's __batch tag: the CDC upsert
+        # replay path scopes its old-version delete by the tag of the
+        # batch being replayed, so re-tagging here would let a
+        # crashed-then-replayed upsert batch delete the very versions
+        # an in-batch rebalance had just moved (review finding, round
+        # 8).  Preserving tags is safe for the append replay repair
+        # too: a repair only ever targets a batch id NEWER than the
+        # committed high-water mark, and every moved row's tag is at
+        # or below it (the maintainer commits the batch before its
+        # rebalance runs).
+        moved.repartition("list_id").write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(path + "/lists")
     finally:
         spark.conf.set(conf_key, old_mode)
 

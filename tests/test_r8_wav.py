@@ -116,13 +116,24 @@ def test_fail_loud_error_paths():
     struct.pack_into("<H", w, 34, 24)
     with pytest.raises(NotImplementedError, match="24-bit"):
         wav_decode(bytes(w))
-    # truncated fmt chunk
+    # truncated fmt chunk (declared size < 16)
     short = (
         b"RIFF" + struct.pack("<I", 14) + b"WAVEfmt "
         + struct.pack("<I", 2) + b"\x01\x00"
     )
     with pytest.raises(ValueError, match="fmt chunk"):
         wav_decode(short)
+    # fmt chunk declaring 16 bytes but the buffer ENDS mid-chunk: must
+    # be the dirty-media ValueError, never struct.error (review
+    # finding — audio_features' except clause would not catch it)
+    cut = wav_encode(np.array([[1], [2]], dtype=np.int64), 8000, 16)[:24]
+    with pytest.raises(ValueError, match="truncated fmt"):
+        wav_decode(cut)
+    # data chunk declaring more bytes than remain: fail loud, never
+    # silently truncate samples
+    full = wav_encode(np.array([[1], [2], [3]], dtype=np.int64), 8000, 16)
+    with pytest.raises(ValueError, match="truncated data"):
+        wav_decode(full[:-2])
     # missing data chunk
     nodata = wav_encode(arr, 8000, 16)[: 12 + 8 + 16]
     with pytest.raises(ValueError, match="missing"):
