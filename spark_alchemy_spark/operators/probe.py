@@ -60,17 +60,38 @@ PPM = 1_000_000
 
 
 def exact_int_det(m: list[list[int]]) -> int:
-    """Determinant of a small integer matrix in EXACT arithmetic
-    (cofactor expansion — d <= 5 by construction, so O(d!) is a
-    constant; Python ints never overflow)."""
-    n = len(m)
-    if n == 1:
-        return m[0][0]
-    det = 0
-    for j in range(n):
-        minor = [row[:j] + row[j + 1 :] for row in m[1:]]
-        det += (-1) ** j * m[0][j] * exact_int_det(minor)
-    return det
+    """Determinant of an integer matrix in EXACT arithmetic via the
+    Bareiss fraction-free elimination — O(d^3) integer ops whose every
+    intermediate division is exact (each is by the previous pivot, a
+    minor of the original matrix), so Python bigints stay exact and
+    intermediate magnitudes stay polynomial.  Replaces the original
+    O(d!) cofactor expansion (round-8 review follow-up): with Bareiss,
+    wide quality probes (d in the tens of features) solve in
+    milliseconds driver-side instead of factorial blow-up — the
+    practical d cap moves from ~5 to wherever the moment-sum shuffle
+    (d^2 longs) stops being tiny.  Checked against an independent
+    Leibniz-formula reference in pytest."""
+    a = [row[:] for row in m]
+    n = len(a)
+    sign = 1
+    prev = 1
+    for k in range(n - 1):
+        if a[k][k] == 0:
+            # pivot: swap in a row with a nonzero entry in column k
+            for r in range(k + 1, n):
+                if a[r][k] != 0:
+                    a[k], a[r] = a[r], a[k]
+                    sign = -sign
+                    break
+            else:
+                return 0  # entire column is zero -> singular
+        for i in range(k + 1, n):
+            for j in range(k + 1, n):
+                # exact by construction (Sylvester's identity)
+                a[i][j] = (a[i][j] * a[k][k] - a[i][k] * a[k][j]) // prev
+            a[i][k] = 0
+        prev = a[k][k]
+    return sign * a[n - 1][n - 1]
 
 
 def _trunc_div_ppm(num: int, den: int) -> int:

@@ -37,12 +37,16 @@ def test_exact_int_det_matches_leibniz():
     from spark_alchemy_spark.operators.probe import exact_int_det
 
     rng = random.Random(11)
-    for n in (1, 2, 3, 4):
+    for n in (1, 2, 3, 4, 5, 6):
         for _ in range(5):
             m = [
                 [rng.randint(-9, 9) for _ in range(n)] for _ in range(n)
             ]
             assert exact_int_det(m) == _perm_det(m)
+    # singular and pivot-swap paths of the Bareiss elimination
+    assert exact_int_det([[0, 0], [0, 0]]) == 0
+    assert exact_int_det([[0, 1], [1, 0]]) == -1  # needs the row swap
+    assert exact_int_det([[1, 2], [2, 4]]) == 0  # rank-deficient
 
 
 def test_fit_recovers_planted_integer_relation(spark):
@@ -451,3 +455,25 @@ def test_r2_none_on_constant_label(spark):
     res = fit_linear_probe_ppm(df, ["x1", "x2"], "y")
     assert res["r2_ppm"] is None
     assert res["coeffs_ppm"] == [9_000_000, 0, 0]
+
+
+def test_wide_probe_recovers_planted_relation(spark):
+    """d=8 features — factorial cofactor expansion would be hopeless
+    here; the Bareiss elimination makes wide probes practical.  An
+    exact planted relation must come back bit-exact with r2 == 1e6."""
+    import random
+
+    from spark_alchemy_spark.operators.probe import fit_linear_probe_ppm
+
+    rng = random.Random(42)
+    coefs = [3, -2, 5, 1, -4, 2, 7, -1]
+    rows = []
+    for _ in range(400):
+        xs = [rng.randint(0, 9) for _ in range(8)]
+        y = 11 + sum(c * x for c, x in zip(coefs, xs))
+        rows.append((*xs, y))
+    schema = ", ".join(f"x{i} int" for i in range(8)) + ", y int"
+    df = spark.createDataFrame(rows, schema)
+    res = fit_linear_probe_ppm(df, [f"x{i}" for i in range(8)], "y")
+    assert res["coeffs_ppm"] == [11_000_000] + [c * 1_000_000 for c in coefs]
+    assert res["r2_ppm"] == 1_000_000
