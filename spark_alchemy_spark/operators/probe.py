@@ -12,7 +12,8 @@ live here:
   combinable aggregate over integer features (the d(d+3)/2 moment sums
   are the sufficient statistics; d is tiny, rows are not).  The solve
   is Cramer's rule in EXACT Python integer arithmetic on the driver
-  (O(d!) on a d<=5 system — constant), and coefficients are pinned to
+  (Bareiss fraction-free determinants, O(d^3) — wide probes with tens
+  of features stay driver-millisecond), and coefficients are pinned to
   integer ppm with truncation toward zero, so any SQL engine replays
   the fit bit-for-bit from the same sums (DuckDB: HUGEINT).  At scale
   the cost is the aggregate's shuffle of ~d^2 longs per partition —
@@ -50,6 +51,7 @@ __all__ = [
     "fit_ridge_path_ppm",
     "moment_sum_keys",
     "merge_moment_sums",
+    "subtract_moment_sums",
     "r2_ppm_from_sums",
     "probe_score_ppm",
     "rank_auc_ppm",
@@ -358,6 +360,22 @@ def merge_moment_sums(rows: list[dict], d: int) -> dict:
     law).  NULL sums (empty batches) fold as zero."""
     return {
         k: sum(int(r.get(k) or 0) for r in rows) for k in moment_sum_keys(d)
+    }
+
+
+def subtract_moment_sums(a: dict, b: dict, d: int) -> dict:
+    """a - b, exactly: the moment sums are not just a monoid but a
+    GROUP (integer adds have exact inverses), so a streaming quality
+    model can be maintained under DELETES too — subtract the sums of
+    the removed rows (a CDC delete's before-image re-featurized) and
+    the re-solve is BIT-IDENTICAL to a from-scratch fit over the
+    surviving corpus (pytest law; an update is delete(old image) +
+    insert(new image)).  This is what sketch-based state can never do
+    (HLL/CMS are monoids only); the probe's sufficient statistics
+    delete cleanly.  NULL sums fold as zero."""
+    return {
+        k: int(a.get(k) or 0) - int(b.get(k) or 0)
+        for k in moment_sum_keys(d)
     }
 
 

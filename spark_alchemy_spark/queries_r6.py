@@ -537,12 +537,16 @@ _PROBE_COEF_SQL = (
 _PROBE_CACHE: dict = {}
 
 
-def _probe_feats(documents):
+def _probe_feats(documents, extra=()):
+    """The probe feature projection; ``extra`` columns ride along
+    unchanged (e.g. a CDC op tag, so one grouped aggregate folds both
+    sides of a change batch)."""
     words = F.split(F.col("text"), " ")
     return documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "lang",
         "n_chars",
+        *extra,
         F.size(words).alias("x1"),
         F.size(F.filter(words, lambda w: F.length(w) >= 5)).alias("x2"),
     )

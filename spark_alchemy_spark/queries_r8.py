@@ -913,3 +913,162 @@ def stream_ivf_cdc(spark, sf_dir):
         " same_batch_delete_wins boolean, upserts_replaced boolean,"
         " stats_exact boolean, stateless boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC quality-model maintenance: moment sums are a GROUP
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_probe_cdc_fit",
+    f"""
+    WITH {_PROBE_FEATS_SQL},
+    fs AS (SELECT * FROM feats WHERE
+        (doc_id % 3 = 0 AND doc_id % 5 <> 0)
+        OR (doc_id % 3 = 1 AND doc_id % 7 <> 0)
+        OR doc_id % 3 = 2),
+    {_probe_sums_sql(src="fs")},
+    {_probe_dets_sql()}
+    SELECT CAST(3 AS BIGINT) AS n_batches,
+           CAST(n AS BIGINT) AS n_rows,
+           {_probe_pin_sql("d0")} AS b0_ppm,
+           {_probe_pin_sql("d1")} AS b1_ppm,
+           {_probe_pin_sql("d2")} AS b2_ppm,
+           {_PROBE_R2_SQL} AS r2_ppm,
+           TRUE AS matches_batch_fit
+    FROM dets
+    """,
+)
+def stream_probe_cdc_fit(spark, sf_dir):
+    """The quality model maintained under a CHANGE feed — the probe
+    twin of ``stream_ivf_cdc``: the moment sums are not just a monoid
+    but a GROUP (exact integer adds have exact inverses), so DELETES
+    maintain the fit exactly too — subtract the removed rows' sums
+    (the CDC delete's before-image, re-featurized) and re-solve; an
+    update is delete(old image) + insert(new image)
+    (``operators/probe.py::subtract_moment_sums``).  Sketch state
+    (HLL/CMS) can never do this — monoids don't subtract; sufficient
+    statistics do.
+
+    Three mtime-ordered micro-batches over the documents table: batch
+    0 inserts the residue-0 third; batch 1 inserts the residue-1 third
+    AND deletes (with before-images) every 5th of batch 0's docs;
+    batch 2 inserts the residue-2 third and deletes every 7th of batch
+    1's.  Each batch costs ONE grouped aggregate (per-op moment sums,
+    <= 2 rows collected); the driver folds +insert / -delete and the
+    final exact-integer Cramer solve + R^2 must be BIT-IDENTICAL to a
+    from-scratch batch fit over the surviving corpus — which is
+    exactly what the oracle computes (the batch fit's own CTEs over
+    the membership predicate), and what ``matches_batch_fit``
+    re-asserts engine-side against ``fit_linear_probe_ppm`` on the
+    filtered table.  At 100 TB this is a live quality gate tracking a
+    curated corpus as curation both ADDS and REMOVES documents: d^2
+    longs per micro-batch cross the wire, no state store, no corpus
+    rescan, deletes exact."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .operators.probe import (
+        _solve_ppm,
+        fit_linear_probe_ppm,
+        linear_probe_sums,
+        merge_moment_sums,
+        r2_ppm_from_sums,
+        subtract_moment_sums,
+    )
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d3 = F.col("doc_id") % 3
+    ins = documents.withColumn("op", F.lit("I")).withColumn(
+        "r", (d3 % 3).cast("int")
+    )
+    dels = (
+        documents.filter((d3 == 0) & (F.col("doc_id") % 5 == 0))
+        .withColumn("op", F.lit("D"))
+        .withColumn("r", F.lit(1))
+        .unionByName(
+            documents.filter((d3 == 1) & (F.col("doc_id") % 7 == 0))
+            .withColumn("op", F.lit("D"))
+            .withColumn("r", F.lit(2))
+        )
+    )
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("probe_cdc_arrivals")
+    )
+    ins.unionByName(dels).repartition("r").write.mode(
+        "overwrite"
+    ).partitionBy("r").parquet(arrivals_dir)
+    for i in range(3):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    running: list[dict] = [merge_moment_sums([], d=2)]
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # ONE grouped aggregate per micro-batch: both sides of the
+        # change fold from the same pass (<= 2 bounded rows)
+        rows = linear_probe_sums(
+            _probe_feats(batch_df, extra=("op",)),
+            ["x1", "x2"],
+            "n_chars",
+            group_cols=["op"],
+        ).collect()
+        ops = {r["op"] for r in rows}
+        if not ops <= {"I", "D"}:
+            raise ValueError(
+                f"op column must contain only 'I'/'D', got {sorted(ops)}"
+            )
+        for r in rows:
+            rd = r.asDict()
+            if rd["op"] == "I":
+                running[0] = merge_moment_sums([running[0], rd], d=2)
+            else:
+                running[0] = subtract_moment_sums(running[0], rd, d=2)
+
+    schema = T.StructType(
+        documents.schema.fields + [T.StructField("op", T.StringType())]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    _drain_foreach_batch(arrivals, fold)
+
+    n, coeffs = _solve_ppm(running[0], d=2)
+    if coeffs is None:
+        raise ZeroDivisionError("singular normal-equation system")
+    r2 = r2_ppm_from_sums(running[0], d=2)
+    surviving = documents.filter(
+        ((d3 == 0) & (F.col("doc_id") % 5 != 0))
+        | ((d3 == 1) & (F.col("doc_id") % 7 != 0))
+        | (d3 == 2)
+    )
+    batch_fit = fit_linear_probe_ppm(
+        _probe_feats(surviving), ["x1", "x2"], "n_chars"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                3,
+                n,
+                *coeffs,
+                r2,
+                batch_fit["n"] == n
+                and batch_fit["coeffs_ppm"] == coeffs
+                and batch_fit["r2_ppm"] == r2,
+            )
+        ],
+        "n_batches long, n_rows long, b0_ppm long, b1_ppm long,"
+        " b2_ppm long, r2_ppm long, matches_batch_fit boolean",
+    )

@@ -477,3 +477,54 @@ def test_wide_probe_recovers_planted_relation(spark):
     res = fit_linear_probe_ppm(df, [f"x{i}" for i in range(8)], "y")
     assert res["coeffs_ppm"] == [11_000_000] + [c * 1_000_000 for c in coefs]
     assert res["r2_ppm"] == 1_000_000
+
+
+def test_moment_sums_subtract_exactly(spark):
+    """The sums are a GROUP: sums(A) + sums(B) - sums(B) == sums(A)
+    bit-exactly, and the fit over folded(+B, -B, +C) equals the
+    from-scratch fit over A ∪ C — the law the streaming CDC fit
+    entry rides (deletes maintain the model exactly)."""
+    from spark_alchemy_spark.operators.probe import (
+        _solve_ppm,
+        fit_linear_probe_ppm,
+        linear_probe_sums,
+        merge_moment_sums,
+        r2_ppm_from_sums,
+        subtract_moment_sums,
+    )
+
+    rows = [
+        (x1, x2, 3 + 2 * x1 + 5 * x2 + (x1 * x2) % 7)
+        for x1 in range(0, 18)
+        for x2 in range(0, 6)
+    ]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    a = df.filter("x1 % 3 = 0")
+    b = df.filter("x1 % 3 = 1")
+    c = df.filter("x1 % 3 = 2")
+
+    def sums(p):
+        return linear_probe_sums(p, ["x1", "x2"], "y").collect()[0].asDict()
+
+    sa, sb, sc = sums(a), sums(b), sums(c)
+    # exact inverse
+    assert subtract_moment_sums(
+        merge_moment_sums([sa, sb], d=2), sb, d=2
+    ) == {k: int(sa[k]) for k in subtract_moment_sums(sa, sa, 2)}
+    # CDC fold: insert A, insert B, delete B, insert C == fit(A ∪ C)
+    folded = merge_moment_sums([sa, sb], d=2)
+    folded = subtract_moment_sums(folded, sb, d=2)
+    folded = merge_moment_sums([folded, sc], d=2)
+    n, coeffs = _solve_ppm(folded, d=2)
+    direct = fit_linear_probe_ppm(
+        df.filter("x1 % 3 <> 1"), ["x1", "x2"], "y"
+    )
+    assert n == direct["n"] and coeffs == direct["coeffs_ppm"]
+    assert r2_ppm_from_sums(folded, d=2) == direct["r2_ppm"]
+    # subtracting down to the empty corpus gives the zero element
+    empty = subtract_moment_sums(
+        subtract_moment_sums(subtract_moment_sums(folded, sa, 2), sc, 2),
+        merge_moment_sums([], 2),
+        2,
+    )
+    assert all(v == 0 for v in empty.values())
