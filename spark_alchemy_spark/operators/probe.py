@@ -49,6 +49,7 @@ __all__ = [
     "fit_linear_probe_ppm",
     "fit_grouped_probes_ppm",
     "fit_ridge_path_ppm",
+    "ridge_validation_sweep",
     "moment_sum_keys",
     "merge_moment_sums",
     "subtract_moment_sums",
@@ -414,6 +415,94 @@ def fit_ridge_path_ppm(
                 "r2_ppm": _r2_ppm_from_dets(row, d, lam, n, det, dks),
             }
         )
+    return out
+
+
+def _moment_system(r: dict, d: int) -> tuple[list[list[int]], list[int]]:
+    """(S, b) of the normal equations from a moment-sum row — the
+    UNSHIFTED (d+1)x(d+1) moment matrix and the label moments, shared
+    by the validation scorer."""
+    n = int(r["n"])
+    s = [[0] * (d + 1) for _ in range(d + 1)]
+    b = [0] * (d + 1)
+    s[0][0] = n
+    b[0] = int(r["sy"])
+    for i in range(d):
+        s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
+        b[i + 1] = int(r[f"s{i}y"])
+        for j in range(i, d):
+            s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
+    return s, b
+
+
+def ridge_validation_sweep(
+    train_df: DataFrame,
+    val_df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    lambdas: list[int],
+) -> list[dict]:
+    """REAL model selection for the ridge path: training R^2 is
+    monotone in lambda (OLS always wins on its own data), so picking
+    lambda needs HELD-OUT evaluation — and both halves are exact-
+    integer functions of TWO moment-sum rows.  The corpus is scanned
+    twice total (train sums once, validation sums once) no matter how
+    many lambdas are swept; per lambda, the train fit's exact rational
+    coefficients beta = d_k/det score the validation split through the
+    general quadratic form
+
+        SSE_val*det^2 = Syy_v*det^2 - 2*det*sum_k(d_k*b_vk)
+                        + sum_ij d_i*d_j*Sv_ij
+
+    (no normal-equation shortcut here — beta solves the TRAIN system,
+    not the validation one), all in Python bigints.  Returns one
+    {ridge_lambda, n_train, n_val, coeffs_ppm, r2_train_ppm,
+    r2_val_ppm} dict per lambda; the caller picks
+    max(out, key=lambda r: r["r2_val_ppm"]).  Validation R^2 is NOT
+    monotone in lambda — on noisy/collinear data it peaks at a
+    positive lambda, which is the whole point (pytest law).  Singular
+    train systems come back with None coefficients/R^2 (possible only
+    at lambda=0).  The det^2 intermediates exceed 128-bit engines, so
+    this sweep is Python-exact and law-tested rather than
+    SQL-oracle-replayed (same note as ridge R^2)."""
+    d = len(x_cols)
+    tr = linear_probe_sums(train_df, x_cols, y_col).collect()[0].asDict()
+    vr = linear_probe_sums(val_df, x_cols, y_col).collect()[0].asDict()
+    sv, bv = _moment_system(vr, d)
+    n_val = int(vr["n"])
+    syy_v = int(vr["syy"])
+    sy_v = int(vr["sy"])
+    sst_v_n = n_val * syy_v - sy_v * sy_v
+    out = []
+    for lam in lambdas:
+        n_train, det, dks = _solve_dets(tr, d, lam)
+        entry = {
+            "ridge_lambda": int(lam),
+            "n_train": n_train,
+            "n_val": n_val,
+            "coeffs_ppm": None,
+            "r2_train_ppm": None,
+            "r2_val_ppm": None,
+        }
+        if dks is not None:
+            entry["coeffs_ppm"] = [_trunc_div_ppm(dk, det) for dk in dks]
+            entry["r2_train_ppm"] = _r2_ppm_from_dets(
+                tr, d, int(lam), n_train, det, dks
+            )
+            if sst_v_n != 0:
+                dot_db = sum(dk * bk for dk, bk in zip(dks, bv))
+                quad = sum(
+                    dks[i] * dks[j] * sv[i][j]
+                    for i in range(d + 1)
+                    for j in range(d + 1)
+                )
+                sse_val_det2 = (
+                    syy_v * det * det - 2 * det * dot_db + quad
+                )
+                entry["r2_val_ppm"] = PPM - _trunc_div_ppm(
+                    n_val * sse_val_det2, det * det * sst_v_n
+                )
+        out.append(entry)
     return out
 
 

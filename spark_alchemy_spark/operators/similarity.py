@@ -1124,9 +1124,11 @@ def make_streaming_ivf_maintainer(
     the append skips internally (its log entry keeps
     ``skipped_replay=True`` for the INSERT leg), the delete re-runs
     idempotently, the marker lands.  Log entries gain {n_deleted,
-    delete_report}; per-batch driver cost is ONE extra bounded job
-    (op validation + delete-id collect, fused into one aggregate —
-    delete ids are assumed batch-bounded, the CDC contract).
+    delete_report, n_upserted, upsert_delete_report}; per-batch driver
+    cost is one extra bounded job (op validation + delete/upsert-id
+    collect, fused into one aggregate — D/U ids are assumed
+    batch-bounded, the CDC contract) plus, only when upserts are
+    present, one count that rejects duplicate 'U' rows per id.
     """
     if trigger_ratio < split_ratio:
         raise ValueError(

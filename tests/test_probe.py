@@ -528,3 +528,86 @@ def test_moment_sums_subtract_exactly(spark):
         2,
     )
     assert all(v == 0 for v in empty.values())
+
+
+def test_ridge_validation_sweep_exact_and_selects(spark):
+    """Held-out model selection: validation R^2 at lambda=0 must match
+    an exact Fraction reference of the definitional 1 - SSE_val/SST_val
+    with the train fit's rational coefficients, and on noisy
+    near-collinear training data the validation curve must PEAK at a
+    positive lambda (training R^2 stays monotone non-increasing — OLS
+    always wins on its own data, which is why selection needs the
+    held-out split)."""
+    import random
+
+    from spark_alchemy_spark.operators.probe import (
+        exact_int_det,
+        ridge_validation_sweep,
+    )
+
+    rng = random.Random(19)
+    # truth: y = 5 + 3*x1 + 3*x2, but x2 ~ x1 (near-collinear) and the
+    # tiny train split carries heavy noise -> OLS overfits the noise
+    # along the ill-determined direction; ridge shrinks back toward it
+    def mk(n, noise):
+        rows = []
+        for _ in range(n):
+            x1 = rng.randint(0, 40)
+            x2 = x1 + rng.randint(-1, 1)
+            y = 5 + 3 * x1 + 3 * x2 + rng.randint(-noise, noise)
+            rows.append((x1, x2, y))
+        return rows
+
+    train_rows = mk(12, 60)
+    val_rows = mk(400, 2)
+    train = spark.createDataFrame(train_rows, "x1 int, x2 int, y int")
+    val = spark.createDataFrame(val_rows, "x1 int, x2 int, y int")
+    lambdas = [0, 10, 1_000, 100_000, 10_000_000]
+    out = ridge_validation_sweep(train, val, ["x1", "x2"], "y", lambdas)
+    assert [r["ridge_lambda"] for r in out] == lambdas
+    assert all(isinstance(r["r2_val_ppm"], int) for r in out)
+
+    # exact reference at lambda=0 via Fractions
+    n = len(train_rows)
+    s1 = sum(r[0] for r in train_rows)
+    s2 = sum(r[1] for r in train_rows)
+    sy = sum(r[2] for r in train_rows)
+    s11 = sum(r[0] * r[0] for r in train_rows)
+    s12 = sum(r[0] * r[1] for r in train_rows)
+    s22 = sum(r[1] * r[1] for r in train_rows)
+    s1y = sum(r[0] * r[2] for r in train_rows)
+    s2y = sum(r[1] * r[2] for r in train_rows)
+    a = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    det = exact_int_det(a)
+    beta = [
+        Fraction(
+            exact_int_det(
+                [
+                    [b[p] if c == k else a[p][c] for c in range(3)]
+                    for p in range(3)
+                ]
+            ),
+            det,
+        )
+        for k in range(3)
+    ]
+    sse_v = sum(
+        (Fraction(y) - beta[0] - beta[1] * x1 - beta[2] * x2) ** 2
+        for x1, x2, y in val_rows
+    )
+    nv = len(val_rows)
+    syv = sum(r[2] for r in val_rows)
+    sst_v = Fraction(sum(r[2] ** 2 for r in val_rows)) - Fraction(
+        syv * syv, nv
+    )
+    want = 1_000_000 - int(sse_v / sst_v * 1_000_000)
+    assert out[0]["r2_val_ppm"] == want
+
+    # training R^2 monotone non-increasing; validation peaks at lam>0
+    tr2 = [r["r2_train_ppm"] for r in out]
+    for hi, lo in zip(tr2, tr2[1:]):
+        assert lo <= hi + 1
+    best = max(out, key=lambda r: r["r2_val_ppm"])
+    assert best["ridge_lambda"] > 0
+    assert best["r2_val_ppm"] > out[0]["r2_val_ppm"]

@@ -234,3 +234,20 @@ def test_delete_refuses_under_uncommitted_append_intent(spark, tmp_path):
 def test_delete_rejects_object_store_paths(spark):
     with pytest.raises(ValueError, match="local filesystem"):
         delete_from_ivf_index(spark, "s3://bucket/idx", [1])
+
+
+def test_delete_hit_scan_pushes_id_predicate(spark, tmp_path):
+    """A literal id list must reach the parquet scan as a pushed
+    filter (row-group min/max pruning — the claim the 100 TB scan
+    cost rests on): assert the optimized plan of the same hit scan
+    shape carries the In() pushdown."""
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark), "vec_id", "embedding", path, n_centroids=4
+    )
+    ids = [3, 17, 44]
+    scan = spark.read.parquet(path + "/lists").filter(
+        F.col("vec_id").isin(ids)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(vec_id" in plan
