@@ -178,7 +178,7 @@ def _moment_aggs(
             aggs.append(
                 F.sum(
                     w * (F.col(xi).cast("long") * F.col(xj).cast("long"))
-                ).alias(f"s{i}{j}")
+                ).alias(f"s{i}_{j}")
             )
         aggs.append(
             F.sum(
@@ -186,6 +186,23 @@ def _moment_aggs(
             ).alias(f"s{i}y")
         )
     return aggs
+
+
+def _moment_system(r: dict, d: int) -> tuple[list[list[int]], list[int]]:
+    """(S, b) of the normal equations from a moment-sum row — the
+    UNSHIFTED (d+1)x(d+1) moment matrix and the label moments: the ONE
+    assembly the solver and the validation scorer share."""
+    n = int(r["n"])
+    s = [[0] * (d + 1) for _ in range(d + 1)]
+    b = [0] * (d + 1)
+    s[0][0] = n
+    b[0] = int(r["sy"])
+    for i in range(d):
+        s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
+        b[i + 1] = int(r[f"s{i}y"])
+        for j in range(i, d):
+            s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}_{j}"])
+    return s, b
 
 
 def _solve_dets(
@@ -208,15 +225,8 @@ def _solve_dets(
     if ridge_lambda < 0:
         raise ValueError(f"ridge_lambda must be >= 0, got {ridge_lambda}")
     n = int(r["n"])
-    s = [[0] * (d + 1) for _ in range(d + 1)]
-    b = [0] * (d + 1)
-    s[0][0] = n
-    b[0] = int(r["sy"])
+    s, b = _moment_system(r, d)  # the ONE assembly (review finding)
     for i in range(d):
-        s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
-        b[i + 1] = int(r[f"s{i}y"])
-        for j in range(i, d):
-            s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
         s[i + 1][i + 1] += int(ridge_lambda)
     det = exact_int_det(s)
     if det == 0:
@@ -348,7 +358,10 @@ def moment_sum_keys(d: int) -> list[str]:
         keys.append(f"s{i}")
         keys.append(f"s{i}y")
         for j in range(i, d):
-            keys.append(f"s{i}{j}")
+            # "_" separator: f"s{i}{j}" collides with the first
+            # moment f"s{i}" at d >= 12 ("s11" = x11's first moment
+            # AND x1*x1's cross moment — review finding, round 8)
+            keys.append(f"s{i}_{j}")
     return keys
 
 
@@ -416,23 +429,6 @@ def fit_ridge_path_ppm(
             }
         )
     return out
-
-
-def _moment_system(r: dict, d: int) -> tuple[list[list[int]], list[int]]:
-    """(S, b) of the normal equations from a moment-sum row — the
-    UNSHIFTED (d+1)x(d+1) moment matrix and the label moments, shared
-    by the validation scorer."""
-    n = int(r["n"])
-    s = [[0] * (d + 1) for _ in range(d + 1)]
-    b = [0] * (d + 1)
-    s[0][0] = n
-    b[0] = int(r["sy"])
-    for i in range(d):
-        s[0][i + 1] = s[i + 1][0] = int(r[f"s{i}"])
-        b[i + 1] = int(r[f"s{i}y"])
-        for j in range(i, d):
-            s[i + 1][j + 1] = s[j + 1][i + 1] = int(r[f"s{i}{j}"])
-    return s, b
 
 
 def ridge_validation_sweep(

@@ -1281,9 +1281,11 @@ def make_streaming_ivf_maintainer(
             return
         if batch_df.isEmpty():
             return
-        # ONE bounded job: ops present + the delete/upsert id sets
-        # (collect_set skips the when()'s NULLs, so plain-insert ids
-        # never reach the driver — only the batch-bounded D/U ids do)
+        # ONE bounded job: ops present + the delete/upsert id sets +
+        # per-op row counts (collect_set skips the when()'s NULLs, so
+        # plain-insert ids never reach the driver — only the
+        # batch-bounded D/U ids do; the row count rides the same agg,
+        # review finding: a separate count() was a second batch scan)
         per_op = (
             batch_df.groupBy(F.col(op_col).alias("__op"))
             .agg(
@@ -1291,7 +1293,8 @@ def make_streaming_ivf_maintainer(
                     F.when(
                         F.col(op_col).isin("D", "U"), F.col(id_col)
                     )
-                ).alias("ids")
+                ).alias("ids"),
+                F.count(F.lit(1)).alias("n_rows"),
             )
             .collect()
         )
@@ -1302,21 +1305,20 @@ def make_streaming_ivf_maintainer(
                 f"got {sorted(map(str, opset))}"
             )
         by_op = {r["__op"]: sorted(int(x) for x in r["ids"]) for r in per_op}
+        row_counts = {r["__op"]: int(r["n_rows"]) for r in per_op}
         u_ids = by_op.get("U", [])
         d_ids = by_op.get("D", [])
-        if u_ids:
+        if u_ids and row_counts.get("U", 0) != len(u_ids):
             # duplicate 'U' rows for one id would land duplicate
             # versions (phase 1 deletes the ONE old version, phase 2
             # appends EVERY row) — fail loud; a CDC feed must compact
-            # per key upstream.  One bounded job (count of U rows).
-            n_u_rows = batch_df.filter(F.col(op_col) == "U").count()
-            if n_u_rows != len(u_ids):
-                raise ValueError(
-                    f"CDC batch carries {n_u_rows} 'U' rows for "
-                    f"{len(u_ids)} distinct ids — duplicate upserts "
-                    "for one id in a single micro-batch are ambiguous; "
-                    "compact the feed per key upstream"
-                )
+            # per key upstream
+            raise ValueError(
+                f"CDC batch carries {row_counts['U']} 'U' rows for "
+                f"{len(u_ids)} distinct ids — duplicate upserts "
+                "for one id in a single micro-batch are ambiguous; "
+                "compact the feed per key upstream"
+            )
 
         def _apply_delete_report(drep):
             if drep["resumed"]:
@@ -1359,6 +1361,18 @@ def make_streaming_ivf_maintainer(
             and bool(d_ids)
             and live["digest"] == _delete_ids_digest(d_ids)
         )
+        # a live APPEND intent for THIS batch proves phase 1 already
+        # committed before a crash inside phase 2: skip phase 1 on the
+        # replay (it would otherwise refuse under the append intent —
+        # the repair that clears it lives inside phase 2's append;
+        # review finding: the old order wedged the stream permanently)
+        app_intent = _read_index_json(path, "txn_intent.json")
+        phase1_done = (
+            app_intent is not None
+            and int(app_intent["batch_id"]) == b
+            and (txn is None or int(app_intent["batch_id"])
+                 > int(txn.get("last_batch_id", -1)))
+        )
         delta = {
             "n_deleted": 0,
             "delete_report": None,
@@ -1366,7 +1380,7 @@ def make_streaming_ivf_maintainer(
             "upsert_delete_report": None,
         }
         if not skip_to_phase3:
-            if u_ids:
+            if u_ids and not phase1_done:
                 urep = delete_from_ivf_index(
                     spark, path, u_ids, id_col=id_col, exclude_batch=b
                 )
@@ -1593,7 +1607,16 @@ def rebalance_ivf_index(
     new_sizes = dict(sizes)
     for lid in hot:
         hot_rows = lists.filter(F.col("list_id") == lid).select(
-            id_col, "__v", "__batch"
+            id_col,
+            "__v",
+            # pre-tag index vintage (no __batch column): stamp BASE,
+            # the old behavior — review finding: a hard select here
+            # regressed a path the repair code still defends
+            (
+                F.col("__batch")
+                if "__batch" in lists.columns
+                else F.lit(_BASE_BATCH).alias("__batch")
+            ),
         )
         sub = train_ivf_centroids(
             hot_rows, "__v", n_centroids=2, iters=sub_iters, seed=seed + lid
@@ -1987,12 +2010,9 @@ def delete_from_ivf_index(
         hits = lists.filter(hit_pred)
 
         def keep(df):
-            return df.filter(~(
-                F.col(id_col).isin(idlist)
-                if exclude_batch is None
-                else F.col(id_col).isin(idlist)
-                & ~F.col("__batch").eqNullSafe(F.lit(int(exclude_batch)))
-            ))
+            # the exact complement of the hit predicate — one
+            # definition, no drift (review finding)
+            return df.filter(~hit_pred)
 
     else:
         bids = F.broadcast(

@@ -611,3 +611,31 @@ def test_ridge_validation_sweep_exact_and_selects(spark):
     best = max(out, key=lambda r: r["r2_val_ppm"])
     assert best["ridge_lambda"] > 0
     assert best["r2_val_ppm"] > out[0]["r2_val_ppm"]
+
+
+def test_very_wide_probe_no_key_collision(spark):
+    """d=13 crosses the old f's{i}{j}' naming collision ('s11' was both
+    x11's first moment and x1*x1's cross moment — review finding); the
+    underscore-separated keys must keep the fit exact."""
+    import random
+
+    from spark_alchemy_spark.operators.probe import (
+        fit_linear_probe_ppm,
+        moment_sum_keys,
+    )
+
+    ks = moment_sum_keys(13)
+    assert len(ks) == len(set(ks))
+    rng = random.Random(7)
+    coefs = [((-1) ** i) * (i + 1) for i in range(13)]
+    rows = []
+    for _ in range(600):
+        xs = [rng.randint(0, 5) for _ in range(13)]
+        rows.append((*xs, 9 + sum(c * x for c, x in zip(coefs, xs))))
+    schema = ", ".join(f"x{i} int" for i in range(13)) + ", y int"
+    df = spark.createDataFrame(rows, schema)
+    res = fit_linear_probe_ppm(df, [f"x{i}" for i in range(13)], "y")
+    assert res["coeffs_ppm"] == [9_000_000] + [
+        c * 1_000_000 for c in coefs
+    ]
+    assert res["r2_ppm"] == 1_000_000

@@ -362,3 +362,64 @@ def test_cdc_phase3_intent_replay_skips_to_phase3(spark, tmp_path):
         want["n_after"], want["mean_after"],
     )
     assert int(_read_index_json(path, "txn.json")["last_cdc_batch_id"]) == 0
+
+
+def test_cdc_upsert_replay_after_crash_mid_append(spark, tmp_path, monkeypatch):
+    """THE wedge window (review finding): phase 1's old-version delete
+    committed, phase 2's append wrote its intent + rows but CRASHED
+    before the txn commit.  The replay must not re-run phase 1 (the
+    live append intent would make the delete refuse — permanently
+    wedging the stream); it must let phase 2's repair clear the
+    intent, re-append, and complete the batch."""
+    import spark_alchemy_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    twin = str(tmp_path / "twin")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", twin, n_centroids=4
+    )
+    b0 = _ups(spark, [3, 17]).unionByName(_dels(spark, [7]))
+    mt, _ = make_streaming_ivf_maintainer(
+        spark, twin, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    mt(b0, 0)  # the no-crash reference
+
+    # inject a crash on the FIRST append commit (txn.json write) —
+    # after phase 1's delete and phase 2's intent + rows landed
+    orig = sim._write_index_json_atomic
+    crashed = []
+
+    def crashing(p, name, obj):
+        if name == "txn.json" and not crashed:
+            crashed.append(1)
+            raise RuntimeError("injected crash before append commit")
+        return orig(p, name, obj)
+
+    monkeypatch.setattr(sim, "_write_index_json_atomic", crashing)
+    m1, _ = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        m1(b0, 0)
+    assert crashed  # the crash really landed mid-phase-2
+    intent = _read_index_json(path, "txn_intent.json")
+    assert intent is not None and int(intent["batch_id"]) == 0
+
+    # restart: fresh maintainer, same batch — must complete, not wedge
+    monkeypatch.setattr(sim, "_write_index_json_atomic", orig)
+    m2, log2 = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding", op_col="op"
+    )
+    m2(b0, 0)
+    assert int(_read_index_json(path, "txn.json")["last_cdc_batch_id"]) == 0
+    lists = spark.read.parquet(path + "/lists")
+    tw = spark.read.parquet(twin + "/lists")
+    assert sorted(
+        (int(r["vec_id"]), tuple(r["__v"])) for r in lists.collect()
+    ) == sorted((int(r["vec_id"]), tuple(r["__v"])) for r in tw.collect())
+    assert read_index_stats(spark, path) == read_index_stats(spark, twin)
