@@ -956,15 +956,21 @@ def stream_probe_cdc_fit(spark, sf_dir):
     AND deletes (with before-images) every 5th of batch 0's docs;
     batch 2 inserts the residue-2 third and deletes every 7th of batch
     1's.  Each batch costs ONE grouped aggregate (per-op moment sums,
-    <= 2 rows collected); the driver folds +insert / -delete and the
-    final exact-integer Cramer solve + R^2 must be BIT-IDENTICAL to a
-    from-scratch batch fit over the surviving corpus — which is
+    <= 2 rows collected); the RESTART-RECOVERABLE maintainer
+    (``make_streaming_probe_maintainer`` — per-batch atomic
+    ``probe_txn.json`` commits, the probe twin of the IVF transaction
+    log; round-9: the fold used to be a bare dict a crash would lose)
+    folds +insert / -delete under a threaded engine CHECKPOINT, and
+    the final exact-integer Cramer solve + R^2 must be BIT-IDENTICAL
+    to a from-scratch batch fit over the surviving corpus — which is
     exactly what the oracle computes (the batch fit's own CTEs over
     the membership predicate), and what ``matches_batch_fit``
     re-asserts engine-side against ``fit_linear_probe_ppm`` on the
-    filtered table.  At 100 TB this is a live quality gate tracking a
-    curated corpus as curation both ADDS and REMOVES documents: d^2
-    longs per micro-batch cross the wire, no state store, no corpus
+    filtered table; the kill/restart bit-identity proof is
+    ``tests/test_r9_probe_recovery.py``.  At 100 TB this is a live
+    quality gate tracking a curated corpus as curation both ADDS and
+    REMOVES documents: d^2 longs per micro-batch cross the wire, one
+    d^2-integer JSON record per commit, no state store, no corpus
     rescan, deletes exact."""
     import glob
     import os
@@ -975,10 +981,8 @@ def stream_probe_cdc_fit(spark, sf_dir):
     from .operators.probe import (
         _solve_ppm,
         fit_linear_probe_ppm,
-        linear_probe_sums,
-        merge_moment_sums,
+        make_streaming_probe_maintainer,
         r2_ppm_from_sums,
-        subtract_moment_sums,
     )
     from .queries_ext import _sink_name
     from .streaming import _drain_foreach_batch
@@ -1010,30 +1014,16 @@ def stream_probe_cdc_fit(spark, sf_dir):
         ):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
-    running: list[dict] = [merge_moment_sums([], d=2)]
-
-    def fold(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        # ONE grouped aggregate per micro-batch: both sides of the
-        # change fold from the same pass (<= 2 bounded rows)
-        rows = linear_probe_sums(
-            _probe_feats(batch_df, extra=("op",)),
-            ["x1", "x2"],
-            "n_chars",
-            group_cols=["op"],
-        ).collect()
-        ops = {r["op"] for r in rows}
-        if not ops <= {"I", "D"}:
-            raise ValueError(
-                f"op column must contain only 'I'/'D', got {sorted(ops)}"
-            )
-        for r in rows:
-            rd = r.asDict()
-            if rd["op"] == "I":
-                running[0] = merge_moment_sums([running[0], rd], d=2)
-            else:
-                running[0] = subtract_moment_sums(running[0], rd, d=2)
+    txn_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("probe_cdc_txn")
+    )
+    fold, st = make_streaming_probe_maintainer(
+        txn_dir,
+        ["x1", "x2"],
+        "n_chars",
+        op_col="op",
+        prepare=lambda df: _probe_feats(df, extra=("op",)),
+    )
 
     schema = T.StructType(
         documents.schema.fields + [T.StructField("op", T.StringType())]
@@ -1043,12 +1033,12 @@ def stream_probe_cdc_fit(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals_dir + "/*")
     )
-    _drain_foreach_batch(arrivals, fold)
+    _drain_foreach_batch(arrivals, fold, checkpoint=txn_dir + "_chk")
 
-    n, coeffs = _solve_ppm(running[0], d=2)
+    n, coeffs = _solve_ppm(st["sums"], d=2)
     if coeffs is None:
         raise ZeroDivisionError("singular normal-equation system")
-    r2 = r2_ppm_from_sums(running[0], d=2)
+    r2 = r2_ppm_from_sums(st["sums"], d=2)
     surviving = documents.filter(
         ((d3 == 0) & (F.col("doc_id") % 5 != 0))
         | ((d3 == 1) & (F.col("doc_id") % 7 != 0))
