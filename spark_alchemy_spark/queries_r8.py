@@ -1062,3 +1062,7 @@ def stream_probe_cdc_fit(spark, sf_dir):
         "n_batches long, n_rows long, b0_ppm long, b1_ppm long,"
         " b2_ppm long, r2_ppm long, matches_batch_fit boolean",
     )
+
+
+# Round-9 battery (model selection, batch upsert) registers on import.
+from . import queries_r9  # noqa: E402,F401  (registration side effect)
