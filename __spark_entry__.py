@@ -115,6 +115,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: four other head slots incl. chained-stateful coverage via
 #: stream_stateful_user_counters; the self-maintaining streaming IVF
 #: index is the round-7 flagship the head did not yet cover).
+#: Round-9 rotation (VERDICT r8 task 5; same coverage-not-correctness
+#: policy — both swapped-out entries were driver-green in r8 and stay
+#: in the full sweep): dedup_incremental_batch -> stream_ivf_recovery
+#: (the dedup family still holds FIVE head slots and the incremental
+#: ingest shape stays gated via stream_dedup_at_ingest; the
+#: exactly-once kill/restart tier gets gated directly) and
+#: cms_join_size_estimate -> stream_ivf_cdc (CMS keeps
+#: cms_user_frequencies in the head; the CDC sink composes the whole
+#: index lifecycle — append txn, scoped upsert deletes, delete-wins
+#: ordering, batch-complete marker — and is the round-8 flagship the
+#: head did not yet cover).
 _GATE_HEAD = [
     "hll_init_agg_cardinality", "hll_merge_reaggregate", "dedup_semantic_docs",
     "hll_intersect_brands", "prep_decontaminate_bloom", "hll_convert_accuracy",
@@ -126,8 +137,8 @@ _GATE_HEAD = [
     "asof_last_click_before_error", "range_join_close_events",
     "skew_salted_join_priority_revenue", "bucketed_colocated_join",
     "stream_dedup_at_ingest", "quality_probe_ridge", "dedup_minhash_lsh",
-    "quality_linear_probe", "dedup_incremental_batch", "dedup_cluster_components",
-    "cms_join_size_estimate", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "quality_linear_probe", "stream_ivf_recovery", "dedup_cluster_components",
+    "stream_ivf_cdc", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "curate_corpus_report", "prep_decontaminate", "prep_pack_greedy",
     "prep_contamination_containment", "text_quality", "bpe_train_merges",
     "quality_unigram_logprob", "media_dedup_components",
