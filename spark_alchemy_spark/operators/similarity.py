@@ -541,6 +541,13 @@ def ivf_topk(
 #   removed as the delete's last step.  The digest makes a resume
 #   verifiably the SAME delete; the absolute stats make the commit
 #   idempotent under any partial re-run.
+# * ``retrain_intent.json`` — the RETRAIN intent: the absolute
+#   post-retrain stats + centroid count, written only AFTER the staged
+#   trees (``lists_stage`` / ``centroids_stage``) are complete and
+#   removed after the swap + stats refresh — a live intent means the
+#   stage is whole and a re-run finishes the swap idempotently; a
+#   crash before the intent leaves only garbage stage dirs the next
+#   retrain overwrites.
 #   (``probe_txn.json`` — operators/probe.py's
 #   ``make_streaming_probe_maintainer`` — is the single-record twin
 #   for moment-sum state: fold → atomic replace → in-memory update;
@@ -548,8 +555,8 @@ def ivf_topk(
 #
 # WHO WRITES WHAT, IN WHAT ORDER
 #
-# * build: fresh history — removes all three records, writes rows
-#   (``__batch`` = -1) + ``/centroids`` + ``/stats``.
+# * build: fresh history — removes every record and stage/trash dir,
+#   writes rows (``__batch`` = -1) + ``/centroids`` + ``/stats``.
 # * append(batch_id): skip if batch_id <= last_batch_id; repair if a
 #   newer intent is live (see CRASH MAP); then intent → rows (tagged
 #   ``__batch`` = batch_id) → commit (atomic txn.json replace).
@@ -575,6 +582,14 @@ def ivf_topk(
 #   2; with batch_id it inherits every streaming guarantee, without it
 #   a RETRY self-heals (unscoped phase-1 delete eats the crashed
 #   attempt's half-appended new versions along with the old ones).
+# * retrain (:func:`retrain_ivf_index`): stage both sidecars next to
+#   the live trees → intent (absolute stats) → swap live→trash→
+#   stage→live per sidecar → stats refresh (``last_batch_id`` /
+#   ``last_cdc_batch_id`` CARRY OVER — a live stream keeps its replay
+#   protection across the re-tiling, which a fresh-history rebuild
+#   would destroy) → intent removal → trash drop; every writer
+#   refuses under a live retrain intent and retrain refuses under
+#   live append/delete intents.
 #
 # CRASH MAP (append leg; every point covered)
 #
@@ -752,6 +767,20 @@ def _assert_no_uncommitted_delete(path: str) -> None:
         )
 
 
+def _assert_no_uncommitted_retrain(path: str) -> None:
+    """Refuse to write into an index mid-retrain: a live
+    ``retrain_intent.json`` means a crashed :func:`retrain_ivf_index`
+    owns the WHOLE index (its staged swap may have moved either
+    sidecar) until a re-run completes the swap."""
+    if not _txn_possible(path):
+        return
+    if _read_index_json(path, "retrain_intent.json") is not None:
+        raise RuntimeError(
+            "ivf index has an uncommitted retrain intent: re-run "
+            "retrain_ivf_index so its staged swap completes first"
+        )
+
+
 def _assert_no_uncommitted_append(path: str) -> dict | None:
     """Refuse to rewrite index partitions while an APPEND intent newer
     than the commit record is live: the crashed append's replay repair
@@ -802,10 +831,21 @@ def build_ivf_index(
         # read_index_stats but describe the PREVIOUS index's contents
         import contextlib
         import os
+        import shutil
 
-        for name in ("txn.json", "txn_intent.json", "del_intent.json"):
+        for name in (
+            "txn.json",
+            "txn_intent.json",
+            "del_intent.json",
+            "retrain_intent.json",
+        ):
             with contextlib.suppress(FileNotFoundError):
                 os.remove(_txn_local_path(path, name))
+        for name in (
+            "lists_stage", "centroids_stage", "lists_trash",
+            "centroids_trash",
+        ):
+            shutil.rmtree(_txn_local_path(path, name), ignore_errors=True)
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
     )
@@ -932,6 +972,7 @@ def append_ivf_index(
     """
     spark = new_batch.sparkSession
     _assert_no_uncommitted_delete(path)
+    _assert_no_uncommitted_retrain(path)
     txn: dict | None = None
     if batch_id is not None:
         batch_id = int(batch_id)
@@ -1700,6 +1741,7 @@ def rebalance_ivf_index(
     Writer mutual exclusion and ``__batch``-tag preservation: INDEX
     COMMIT PROTOCOL, the module section above."""
     _assert_no_uncommitted_delete(path)
+    _assert_no_uncommitted_retrain(path)
     # refuse under an uncommitted APPEND intent too (round-8 ADVICE):
     # the streaming maintainer only rebalances post-commit, but a
     # direct-API rebalance after a crashed append would move the dead
@@ -1947,6 +1989,7 @@ def compact_ivf_index(
             "object stores"
         )
     _assert_no_uncommitted_delete(path)
+    _assert_no_uncommitted_retrain(path)
     _assert_no_uncommitted_append(path)
 
     counts, sizes = _ivf_list_files(path)
@@ -1996,6 +2039,171 @@ def compact_ivf_index(
     after, _ = _ivf_list_files(path)
     report["files_after"] = sum(after.values())
     return report
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    train_iters: int = 4,
+    seed: int = 43,
+) -> dict:
+    """RETRAIN a persisted IVF index in place — the SIXTH lifecycle leg
+    (build → append → rebalance → compact → delete/upsert → retrain),
+    and the one the drift detector exists to trigger: once appended
+    batches report ``retrain_recommended`` (their vectors sit far from
+    every centroid, so probe recall degrades), splitting hot lists no
+    longer helps — the centroids must be RE-TRAINED on what the index
+    now contains.  :func:`build_ivf_index` cannot serve a LIVE index
+    here: a rebuild starts a fresh transaction history, so a streaming
+    ingest that crashes right after a mid-stream rebuild loses the
+    replay-skip protection for its in-flight batch.  Retrain preserves
+    the commit record (``last_batch_id`` / ``last_cdc_batch_id`` carry
+    over; only the stats fold is refreshed), so exactly-once
+    continuity survives the re-tiling.
+
+    Mechanics — a STAGED SWAP, because this is the one leg that
+    rewrites O(index) rather than O(affected partitions), and an
+    in-place overwrite of the tree being read is not crash-safe at
+    that size:
+
+    * centroids re-train on the index's current rows
+      (:func:`train_ivf_centroids` — parameter-bounded sample, one
+      pass), every row reassigns (``__batch`` tags ride through), and
+      the new layout lands in ``lists_stage`` / ``centroids_stage``
+      NEXT TO the live tree — readers are untouched while the
+      expensive work runs;
+    * ``retrain_intent.json`` (the absolute post-retrain stats) is
+      written only after the stage is COMPLETE, then the swap renames
+      live → trash → stage → live per sidecar, refreshes the stats
+      records from the intent, removes the intent, and drops the
+      trash — every step idempotent, so a re-run after a crash at ANY
+      point completes the swap (a live intent means the stage is
+      whole; a crash before the intent leaves only garbage stage dirs
+      the next retrain overwrites);
+    * every other writer refuses under a live retrain intent
+      (:func:`_assert_no_uncommitted_retrain`), and retrain refuses
+      under live append/delete intents — full mutual exclusion.
+
+    At deployment scale the staged swap is REPLACE TABLE AS SELECT /
+    ``rewrite_data_files`` on the table format; crash/resume rules:
+    INDEX COMMIT PROTOCOL, the module section above.
+
+    ``n_centroids`` defaults to the index's current centroid count.
+    Returns {n, n_centroids, mean_before, mean_after, resumed}
+    (``mean_before`` is ``None`` on a resume — the pre-swap baseline
+    is gone by then)."""
+    import os
+
+    if not _txn_possible(path):
+        raise ValueError(
+            "retrain_ivf_index's staged swap assumes a local "
+            f"filesystem (got {path!r}) — use REPLACE TABLE AS SELECT "
+            "(Delta/Iceberg) on object stores"
+        )
+    intent = _read_index_json(path, "retrain_intent.json")
+    if intent is not None:
+        # crashed mid-swap: the intent proves the stage was complete —
+        # finish the swap with the intent's absolute stats
+        rep = _finish_retrain_swap(spark, path, intent)
+        rep["resumed"] = True
+        rep["mean_before"] = None
+        return rep
+    _assert_no_uncommitted_delete(path)
+    _assert_no_uncommitted_append(path)
+
+    st = read_index_stats(spark, path)
+    mean_before = st[1] if st is not None else None
+    lists = spark.read.parquet(path + "/lists")
+    rows = lists.select(
+        id_col,
+        "__v",
+        (
+            F.col("__batch")
+            if "__batch" in lists.columns
+            else F.lit(_BASE_BATCH).alias("__batch")
+        ),
+    )
+    k = (
+        int(n_centroids)
+        if n_centroids is not None
+        else spark.read.parquet(path + "/centroids").count()
+    )
+    cents = train_ivf_centroids(
+        rows, "__v", n_centroids=k, iters=train_iters, seed=seed
+    )
+    assigned = _assign_to_lists(
+        rows, id_col, "__v", cents, passthrough=("__batch",)
+    ).localCheckpoint(eager=False)
+    root = path.removeprefix("file://")
+    import shutil
+
+    for name in ("lists_stage", "centroids_stage"):
+        # garbage from a retrain that crashed BEFORE its intent
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    assigned.drop("__best_cos").repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path + "/lists_stage")
+    cents.write.mode("overwrite").parquet(path + "/centroids_stage")
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__best_cos").alias("m"),
+    ).collect()[0]
+    intent = {
+        "n": int(agg["n"]),
+        "mean_assigned_cos": float(agg["m"]),
+        "n_centroids": k,
+    }
+    # intent AFTER the stage is complete: from here the swap is owed
+    _write_index_json_atomic(path, "retrain_intent.json", intent)
+    rep = _finish_retrain_swap(spark, path, intent)
+    rep["resumed"] = False
+    rep["mean_before"] = mean_before
+    return rep
+
+
+def _finish_retrain_swap(spark, path: str, intent: dict) -> dict:
+    """Complete a retrain's staged swap — IDEMPOTENT per step, so a
+    crashed swap re-runs to completion: per sidecar, move the live
+    tree to ``*_trash`` (skipped when a prior attempt already did),
+    rename the stage in (skipped when already in), then refresh the
+    stats records from the intent's ABSOLUTE numbers (idempotent
+    rewrite; ``last_batch_id`` / ``last_cdc_batch_id`` carry over),
+    remove the intent LAST, and drop the trash."""
+    import contextlib
+    import os
+    import shutil
+
+    root = path.removeprefix("file://")
+    for name in ("lists", "centroids"):
+        stage = os.path.join(root, name + "_stage")
+        live = os.path.join(root, name)
+        trash = os.path.join(root, name + "_trash")
+        if os.path.exists(stage):
+            if os.path.exists(live):
+                shutil.rmtree(trash, ignore_errors=True)
+                os.rename(live, trash)
+            os.rename(stage, live)
+        # else: a crashed attempt already swapped this sidecar in
+    n, mean = int(intent["n"]), float(intent["mean_assigned_cos"])
+    spark.createDataFrame(
+        [(n, mean)], "n long, mean_assigned_cos double"
+    ).write.mode("overwrite").parquet(path + "/stats")
+    txn = _read_index_json(path, "txn.json")
+    if txn is not None:
+        _write_index_json_atomic(
+            path, "txn.json", {**txn, "n": n, "mean_assigned_cos": mean}
+        )
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_txn_local_path(path, "retrain_intent.json"))
+    for name in ("lists_trash", "centroids_trash"):
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return {
+        "n": n,
+        "n_centroids": int(intent["n_centroids"]),
+        "mean_after": mean,
+    }
 
 
 def _delete_ids_digest(ids, exclude_batch: int | None = None) -> dict:
@@ -2107,6 +2315,7 @@ def delete_from_ivf_index(
             "(Delta deletion vectors / Iceberg positional deletes) on "
             "object stores"
         )
+    _assert_no_uncommitted_retrain(path)
     txn = _assert_no_uncommitted_append(path)
 
     digest = _delete_ids_digest(ids, exclude_batch)

@@ -390,3 +390,122 @@ def ann_ivf_upsert(spark, sf_dir):
         " vectors_replaced boolean, only_affected_rewritten boolean,"
         " stats_exact boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered retrain: the sixth index lifecycle leg (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_retrain",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 300)
+                + (SELECT count(*) FROM embeddings WHERE vec_id < 100)
+                AS BIGINT) AS n_rows,
+           TRUE AS drift_flagged,
+           TRUE AS rows_conserved,
+           TRUE AS recall_restored,
+           TRUE AS txn_continuity,
+           TRUE AS stats_exact
+    """,
+)
+def ann_ivf_retrain(spark, sf_dir):
+    """The SIXTH lifecycle leg, closing the drift loop the append
+    report opens (``operators/similarity.py::retrain_ivf_index``): a
+    NEGATED batch (every appended vector points away from every
+    centroid — the worst-case embedding-model swap) trips the drift
+    detector, and the retrain re-trains the centroids on what the
+    index NOW contains through a crash-safe staged swap — lists and
+    centroids are staged next to the live trees, an intent with the
+    absolute post-retrain stats arms the swap, and the rename sequence
+    is idempotent (kill/resume proof: ``tests/test_r9_retrain.py``).
+    Unlike a fresh ``build_ivf_index`` rebuild, the transaction record
+    CARRIES OVER — proven here behaviorally: a replay of the already-
+    committed drift batch is still a no-op skip AFTER the retrain
+    (``txn_continuity``), which a fresh-history rebuild would turn
+    into a double-insert.
+
+    Invariants: ``drift_flagged`` — the negated batch's append report
+    recommends retrain; ``rows_conserved`` — count == distinct ids ==
+    standing + appended, unchanged by the retrain AND by the replayed
+    batch; ``recall_restored`` — the post-retrain mean assigned cosine
+    exceeds the drifted pre-retrain mean (the re-tiling gives the
+    negated cluster its own centroids); ``txn_continuity`` — the
+    post-retrain replay of batch 0 reports ``skipped_replay``;
+    ``stats_exact`` — the stats record equals the exact row count and
+    its mean matches a full re-score against the NEW centroids to
+    1e-9.  At 100 TB this is the one O(index) leg — the staged swap is
+    REPLACE TABLE AS SELECT on a table format — and it runs only when
+    the per-batch drift ratio (zero extra scans) says the cheap legs
+    stopped helping."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        _assign_to_lists,
+        append_ivf_index,
+        build_ivf_index,
+        read_index_stats,
+        retrain_ivf_index,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 300).alias("ns"),
+        F.count_if(F.col("vec_id") < 100).alias("nb"),
+    ).collect()[0]
+    n_expected = int(cnt["ns"]) + int(cnt["nb"])
+
+    idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_rt_idx"))
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    drifted = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    arep = append_ivf_index(drifted, "vec_id", "embedding", idx_path,
+                            batch_id=0)
+    rep = retrain_ivf_index(spark, idx_path, id_col="vec_id")
+    replay = append_ivf_index(drifted, "vec_id", "embedding", idx_path,
+                              batch_id=0)
+
+    lists = spark.read.parquet(idx_path + "/lists")
+    agg = lists.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nid"),
+    ).collect()[0]
+    stats_n, stats_mean = read_index_stats(spark, idx_path)
+    cents = spark.read.parquet(idx_path + "/centroids")
+    rescored = (
+        _assign_to_lists(lists, "vec_id", "__v", cents)
+        .agg(F.avg("__best_cos").alias("m"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                bool(arep["retrain_recommended"]),
+                int(agg["n"]) == n_expected
+                and int(agg["nid"]) == n_expected
+                and rep["n"] == n_expected,
+                rep["mean_after"] > rep["mean_before"],
+                bool(replay["skipped_replay"]) and not rep["resumed"],
+                stats_n == n_expected
+                and abs(stats_mean - float(rescored["m"])) < 1e-9,
+            )
+        ],
+        "n_rows long, drift_flagged boolean, rows_conserved boolean,"
+        " recall_restored boolean, txn_continuity boolean,"
+        " stats_exact boolean",
+    )

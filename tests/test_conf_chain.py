@@ -85,6 +85,7 @@ def test_index_commit_protocol_doc_is_authoritative():
         "txn.json",
         "txn_intent.json",
         "del_intent.json",
+        "retrain_intent.json",
         "probe_txn.json",
         "build:",
         "append(batch_id)",
@@ -92,6 +93,7 @@ def test_index_commit_protocol_doc_is_authoritative():
         "rebalance / compact:",
         "CDC batch",
         "batch upsert",
+        "retrain (",
         "CRASH MAP",
     ):
         assert token in section, f"protocol section missing {token!r}"
