@@ -1172,6 +1172,8 @@ def make_streaming_ivf_maintainer(
     compact_target_bytes: int = 128 * 1024 * 1024,
     op_col: str | None = None,
     cdc_driver_id_cap: int = 10_000,
+    retrain_after_drift_batches: int | None = None,
+    drift_ratio_threshold: float = 0.8,
 ) -> tuple:
     """The SELF-MAINTAINING streaming index: compose the three index
     lifecycle legs (build → :func:`append_ivf_index` per micro-batch →
@@ -1208,6 +1210,23 @@ def make_streaming_ivf_maintainer(
     ``split_ratio`` — a trigger below the selector would fire
     rebalances that select nothing and mis-mark genuinely splittable
     lists as unsplittable (round-8 ADVICE; validated here).
+
+    ``retrain_after_drift_batches`` (opt-in) arms the SIXTH lifecycle
+    leg: when that many CONSECUTIVE appends report drift (batch mean
+    assigned cosine / standing mean below ``drift_ratio_threshold`` —
+    the signal splitting hot lists cannot fix, because the centroids
+    no longer tile the data), the maintainer runs
+    :func:`retrain_ivf_index` INSIDE the batch — post-commit, so the
+    staged swap never races the append txn — then re-seeds its
+    driver-side size map (one bounded count; the re-tiling moved every
+    row), clears the unsplittable markers, and re-surveys file counts.
+    The streak is IN-MEMORY: a restart starts it at zero, so a crashed
+    retrain trigger re-arms after ``retrain_after_drift_batches`` more
+    drifted batches rather than replaying — the retrain itself stays
+    crash-safe through its own intent (a restart mid-swap completes it
+    on the next trigger or direct call).  A retrain subsumes any
+    rebalance the same batch would have fired.  Log entries gain
+    {retrained, retrain_report}.
 
     ``compact_files_per_list`` (opt-in) arms the FOURTH lifecycle leg:
     every append adds one file per touched list, so the maintainer
@@ -1270,6 +1289,9 @@ def make_streaming_ivf_maintainer(
         else {}
     )  # driver-side metadata scan, zero Spark jobs
     log: list = []
+    #: consecutive drifted-append count for the retrain trigger —
+    #: in-memory by design (see the docstring's restart note)
+    drift_streak = [0]
     #: lists whose split attempt degenerated, recorded at the size the
     #: attempt saw: a (near-)identical-vector hot list cannot split
     #: (Lloyd yields one nonempty child), and without this marker the
@@ -1287,7 +1309,8 @@ def make_streaming_ivf_maintainer(
         if batch_df.isEmpty():
             return
         rep = append_ivf_index(
-            batch_df, id_col, vec_col, path, batch_id=int(batch_id)
+            batch_df, id_col, vec_col, path, batch_id=int(batch_id),
+            drift_ratio_threshold=drift_ratio_threshold,
         )
         if rep["skipped_replay"]:
             # engine replay of a batch the index already committed
@@ -1304,6 +1327,8 @@ def make_streaming_ivf_maintainer(
                     "rebalance_report": None,
                     "compacted": False,
                     "compaction_report": None,
+                    "retrained": False,
+                    "retrain_report": None,
                     "skipped_replay": True,
                 }
             )
@@ -1322,8 +1347,34 @@ def make_streaming_ivf_maintainer(
             "rebalance_report": None,
             "compacted": False,
             "compaction_report": None,
+            "retrained": False,
+            "retrain_report": None,
             "skipped_replay": False,
         }
+        if retrain_after_drift_batches is not None:
+            drift_streak[0] = (
+                drift_streak[0] + 1 if rep["retrain_recommended"] else 0
+            )
+            if drift_streak[0] >= int(retrain_after_drift_batches):
+                # the SIXTH leg, in-stream: the append above COMMITTED,
+                # so the staged swap runs post-commit (the same
+                # discipline as the rebalance) and the txn record —
+                # replay protection included — carries over the swap
+                rt = retrain_ivf_index(spark, path, id_col=id_col)
+                drift_streak[0] = 0
+                sizes.clear()
+                sizes.update(_list_sizes(spark, path))  # re-tiled:
+                # one bounded re-seed count (rare, on the retrain only)
+                unsplittable.clear()
+                if compact_files_per_list is not None:
+                    fcounts.clear()
+                    fcounts.update(_ivf_list_files(path)[0])
+                entry["retrained"] = True
+                entry["retrain_report"] = rt
+                entry["max_share_ppm"] = _max_share_ppm()
+                log.append(entry)
+                return  # a full re-tiling subsumes this batch's
+                # rebalance/compaction triggers
         total = sum(sizes.values())
         mean = total / max(len(sizes), 1)
         hot = {
@@ -1399,6 +1450,8 @@ def make_streaming_ivf_maintainer(
                     "rebalance_report": None,
                     "compacted": False,
                     "compaction_report": None,
+                    "retrained": False,
+                    "retrain_report": None,
                     "skipped_replay": True,
                     "n_deleted": 0,
                     "delete_report": None,
@@ -1587,6 +1640,8 @@ def make_streaming_ivf_maintainer(
                     "rebalance_report": None,
                     "compacted": False,
                     "compaction_report": None,
+                    "retrained": False,
+                    "retrain_report": None,
                     "skipped_replay": False,
                     **delta,
                 }

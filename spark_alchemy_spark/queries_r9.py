@@ -509,3 +509,150 @@ def ann_ivf_retrain(spark, sf_dir):
         " recall_restored boolean, txn_continuity boolean,"
         " stats_exact boolean",
     )
+
+
+@query(
+    "stream_ivf_drift_retrain",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 300)
+                + 3 * (SELECT count(*) FROM embeddings WHERE vec_id < 100)
+                AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_batches,
+           TRUE AS retrained_in_stream,
+           TRUE AS streak_gated,
+           TRUE AS post_retrain_healthy,
+           TRUE AS rows_conserved,
+           TRUE AS txn_continuity,
+           TRUE AS stateless
+    """,
+)
+def stream_ivf_drift_retrain(spark, sf_dir):
+    """The drift loop CLOSED IN-STREAM — the full self-maintaining
+    story: an embedding-model swap starts shipping NEGATED vectors
+    into a live ingest, the per-batch drift ratio (zero extra scans)
+    flags two consecutive batches, and the maintainer runs the sixth
+    lifecycle leg inside the second batch
+    (``make_streaming_ivf_maintainer(retrain_after_drift_batches=2)``
+    → ``retrain_ivf_index``'s crash-safe staged swap) — so the THIRD
+    drifted batch lands on re-trained centroids and reports healthy
+    drift, no human in the loop.
+
+    Invariants: ``retrained_in_stream`` — batch 1's log entry carries
+    the retrain report over the exact pre-batch-2 corpus;
+    ``streak_gated`` — batch 0 (streak 1 < 2) did NOT retrain;
+    ``post_retrain_healthy`` — batch 2, same drifted direction, no
+    longer trips the detector (the re-tiling gave that region its own
+    centroids) and fires no second retrain; ``rows_conserved`` —
+    count == distinct ids == standing + 3 batches; ``txn_continuity``
+    — the commit record's high-water mark reads batch 2 after the
+    drain (the staged swap carried the log across the re-tiling);
+    ``stateless`` — zero state-store operators (the index + its JSON
+    log ARE the state)."""
+    import glob
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        _read_index_json,
+        build_ivf_index,
+        make_streaming_ivf_maintainer,
+        read_index_stats,
+    )
+    from .queries import _ivf_centroids_cached
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cnt = emb.agg(
+        F.count_if(F.col("vec_id") < 300).alias("ns"),
+        F.count_if(F.col("vec_id") < 100).alias("nb"),
+    ).collect()[0]
+    n_expected = int(cnt["ns"]) + 3 * int(cnt["nb"])
+
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("ivf_drift_arrivals")
+    )
+    base = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    batches = None
+    for r in range(3):
+        b = base.select(
+            (F.col("vec_id") + F.lit(40_000_000 + r * 1_000_000)).alias(
+                "vec_id"
+            ),
+            "embedding",
+            F.lit(r).alias("r"),
+        )
+        batches = b if batches is None else batches.unionByName(b)
+    batches.repartition("r").write.mode("overwrite").partitionBy(
+        "r"
+    ).parquet(arrivals_dir)
+    for i in range(3):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    idx_path = os.path.join(
+        tempfile.gettempdir(), _sink_name("ivf_drift_idx")
+    )
+    build_ivf_index(
+        standing, "vec_id", "embedding", idx_path, n_centroids=16,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, idx_path, id_col="vec_id", vec_col="embedding",
+        retrain_after_drift_batches=2,
+    )
+    arrivals = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    progress: list = []
+    _drain_foreach_batch(
+        arrivals, maintain, state_partitions=8, progress_out=progress
+    )
+
+    conserve = (
+        spark.read.parquet(idx_path + "/lists")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
+        )
+        .collect()[0]
+    )
+    stats_n = read_index_stats(spark, idx_path)[0]
+    rt = log[1]["retrain_report"]
+    return spark.createDataFrame(
+        [
+            (
+                n_expected,
+                len(log),
+                log[1]["retrained"] is True
+                and rt is not None
+                and rt["n"] == int(cnt["ns"]) + 2 * int(cnt["nb"])
+                and rt["mean_after"] > rt["mean_before"],
+                log[0]["retrained"] is False,
+                log[2]["retrained"] is False,
+                int(conserve["n"]) == n_expected
+                and int(conserve["nid"]) == n_expected
+                and stats_n == n_expected,
+                int(
+                    _read_index_json(idx_path, "txn.json")["last_batch_id"]
+                ) == 2,
+                all(p["stateOperators"] == [] for p in progress),
+            )
+        ],
+        "n_rows long, n_batches long, retrained_in_stream boolean,"
+        " streak_gated boolean, post_retrain_healthy boolean,"
+        " rows_conserved boolean, txn_continuity boolean,"
+        " stateless boolean",
+    )

@@ -176,3 +176,46 @@ def test_build_clears_retrain_machinery(spark, tmp_path):
     )
     assert _read_index_json(path, "retrain_intent.json") is None
     assert not os.path.exists(os.path.join(path, "centroids_stage"))
+
+
+def test_maintainer_in_stream_retrain_trigger(spark, tmp_path):
+    """retrain_after_drift_batches=2: two consecutive drifted batches
+    fire the in-stream retrain; the size map re-seeds from the
+    re-tiled layout, the streak resets, and a post-retrain clean batch
+    reports healthy drift."""
+    from spark_alchemy_spark.operators.similarity import (
+        _list_sizes,
+        make_streaming_ivf_maintainer,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding",
+        retrain_after_drift_batches=2,
+    )
+    maintain(_mk_corpus(spark, 100, 120, sign=-1.0), 0)
+    assert log[-1]["retrained"] is False  # streak 1 < 2
+    maintain(_mk_corpus(spark, 120, 140, sign=-1.0), 1)
+    assert log[-1]["retrained"] is True
+    rt = log[-1]["retrain_report"]
+    assert rt["n"] == 100 and rt["mean_after"] > rt["mean_before"]
+    sizes_after_retrain = _list_sizes(spark, path)
+    assert sum(sizes_after_retrain.values()) == 100
+    # post-retrain batch: same-direction vectors now have centroids,
+    # so the streak stays reset and no second retrain fires
+    maintain(_mk_corpus(spark, 140, 160, sign=-1.0), 2)
+    assert log[-1]["retrained"] is False
+    # the re-seeded size map advanced exactly by the batch's counts
+    assert sum(_list_sizes(spark, path).values()) == 120
+    rows = spark.read.parquet(path + "/lists")
+    assert rows.count() == 120
+    assert rows.select("vec_id").distinct().count() == 120
+    n, _ = read_index_stats(spark, path)
+    assert n == 120
+    # replay protection survived the in-stream retrain
+    maintain(_mk_corpus(spark, 140, 160, sign=-1.0), 2)
+    assert log[-1]["skipped_replay"] is True
+    assert spark.read.parquet(path + "/lists").count() == 120
