@@ -709,6 +709,58 @@ def _ivf_centroids_cached(spark, sf_dir) -> DataFrame:
     return cents
 
 
+_IVF_INDEX_CACHE: dict[tuple[str, str, int | None], str] = {}
+
+
+def _ivf_standing_index(spark, sf_dir, hi: int | None, dest: str | None = None) -> str:
+    """A session-cached GOLDEN standing index over ``embeddings``
+    (``vec_id < hi``, or the whole table when ``hi is None``; 16
+    lists, the session's shared centroids) — the shared build
+    scaffolding of the index lifecycle entries (VERDICT r8 task 8:
+    twelve entries each paid a full ``build_ivf_index``; each distinct
+    standing set now builds ONCE per (session, sf dir)).
+
+    With ``dest`` the golden tree is COPIED there (local-fs
+    ``copytree``, milliseconds) so a mutating entry (append / delete /
+    upsert / retrain / CDC) starts from a pristine index without
+    touching the shared copy; without ``dest`` the golden path itself
+    is returned for READ-ONLY consumers.  Builds are deterministic
+    (seeded centroids, hash-clustered writes), so sharing changes
+    nothing but cost."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.similarity import build_ivf_index
+    from .queries_ext import _sink_name
+
+    key = (spark.sparkContext.applicationId, sf_dir, hi)
+    src = _IVF_INDEX_CACHE.get(key)
+    if src is None:
+        src = os.path.join(
+            tempfile.gettempdir(), _sink_name(f"ivf_golden_{hi}")
+        )
+        (embeddings,) = _t(spark, sf_dir, "embeddings")
+        standing = (
+            embeddings
+            if hi is None
+            else embeddings.filter(F.col("vec_id") < int(hi))
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        build_ivf_index(
+            standing, "vec_id", "embedding", src, n_centroids=16,
+            centroids=_ivf_centroids_cached(spark, sf_dir),
+        )
+        _IVF_INDEX_CACHE[key] = src
+    if dest is None:
+        return src
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src, dest)
+    return dest
+
+
 def _ann_exact_cached(spark, sf_dir) -> DataFrame:
     """The exact cosine top-10 for the standard 5-query set (vec_id <
     5), materialized once per (session, sf dir): it is the entry
@@ -826,20 +878,13 @@ def ann_ivf_indexed_topk(spark, sf_dir):
     partition pruning (only probed list partitions are scanned —
     asserted in tests).  Probing all lists must reduce exactly to brute
     force, so build + layout + probe + re-rank is held to the exact
-    top-k oracle; this entry times the full build+query cycle."""
-    import os
-    import tempfile
-
-    from .operators.similarity import build_ivf_index, ivf_topk_indexed
-    from .queries_ext import _sink_name
+    top-k oracle; the index build is the session-shared golden copy
+    (``_ivf_standing_index``), queried READ-ONLY here."""
+    from .operators.similarity import ivf_topk_indexed
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 5)
-    path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_index"))
-    build_ivf_index(
-        embeddings, "vec_id", "embedding", path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    path = _ivf_standing_index(spark, sf_dir, None)
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16
     )

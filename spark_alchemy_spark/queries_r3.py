@@ -1408,7 +1408,6 @@ def ann_ivf_index_append(spark, sf_dir):
     assignments."""
     from .operators.similarity import (
         append_ivf_index,
-        build_ivf_index,
         ivf_topk_indexed,
     )
 
@@ -1417,12 +1416,9 @@ def ann_ivf_index_append(spark, sf_dir):
     new_batch = embeddings.filter(F.col("vec_id") >= 250)
     queries_df = embeddings.filter(F.col("vec_id") < 5)
     path = os.path.join(tempfile.gettempdir(), f"ivf_append_{os.getpid()}")
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
 
-    build_ivf_index(
-        standing, "vec_id", "embedding", path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 250, dest=path)
     append_ivf_index(new_batch, "vec_id", "embedding", path)
     return ivf_topk_indexed(
         spark, path, queries_df, "vec_id", "embedding", k=10, nprobe=16

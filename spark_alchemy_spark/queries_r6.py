@@ -1255,20 +1255,16 @@ def stream_ivf_append(spark, sf_dir):
 
     from .operators.similarity import (
         append_ivf_index,
-        build_ivf_index,
         ivf_topk_indexed,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
     from .streaming import read_table_stream
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     standing = embeddings.filter(F.col("vec_id") < 250)
     path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_stream"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 250, dest=path)
     arrivals = read_table_stream(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") >= 250
     )

@@ -290,11 +290,10 @@ def stream_ivf_rebalance(spark, sf_dir):
     import tempfile
 
     from .operators.similarity import (
-        build_ivf_index,
         ivf_topk_indexed,
         make_streaming_ivf_maintainer,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
     from .streaming import _drain_foreach_batch
 
@@ -364,10 +363,7 @@ def stream_ivf_rebalance(spark, sf_dir):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_rebal_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 2000, dest=idx_path)
     # trigger 2.5 / split 2.0: the selector cleans to <=2x the OLD
     # mean, but splitting grows the list count and LOWERS the mean, so
     # survivors can sit at ~2.1x the new mean — a trigger equal to the

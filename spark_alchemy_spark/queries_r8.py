@@ -81,10 +81,9 @@ def stream_ivf_recovery(spark, sf_dir):
     import tempfile
 
     from .operators.similarity import (
-        build_ivf_index,
         make_streaming_ivf_maintainer,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
     from .streaming import _drain_foreach_batch
 
@@ -128,10 +127,7 @@ def stream_ivf_recovery(spark, sf_dir):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_recov_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 300, dest=idx_path)
     chk = idx_path + "_chk"
 
     def read_arrivals():
@@ -253,12 +249,11 @@ def ann_ivf_compaction(spark, sf_dir):
     from .operators.similarity import (
         _ivf_list_files,
         append_ivf_index,
-        build_ivf_index,
         compact_ivf_index,
         ivf_topk_indexed,
         read_index_stats,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -275,10 +270,7 @@ def ann_ivf_compaction(spark, sf_dir):
     n_expected = int(cnt["ns"]) + int(cnt["na"]) + 1
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_cmp_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 400, dest=idx_path)
     for i, (lo, hi) in enumerate(((0, 100), (100, 200), (200, 300))):
         sl = emb.filter(
             (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
@@ -592,12 +584,11 @@ def ann_ivf_delete(spark, sf_dir):
     from .operators.similarity import (
         _assign_to_lists,
         append_ivf_index,
-        build_ivf_index,
         delete_from_ivf_index,
         ivf_topk_indexed,
         read_index_stats,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -616,10 +607,7 @@ def ann_ivf_delete(spark, sf_dir):
     n_expected = int(cnt["ns"]) + int(cnt["na"]) + 1 - n_deleted
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_del_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 400, dest=idx_path)
     batch = (
         emb.filter(F.col("vec_id") < 100)
         .select(
@@ -769,11 +757,10 @@ def stream_ivf_cdc(spark, sf_dir):
 
     from .operators.similarity import (
         _read_index_json,
-        build_ivf_index,
         make_streaming_ivf_maintainer,
         read_index_stats,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
     from .streaming import _drain_foreach_batch
 
@@ -842,10 +829,7 @@ def stream_ivf_cdc(spark, sf_dir):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_cdc_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 300, dest=idx_path)
     maintain, log = make_streaming_ivf_maintainer(
         spark, idx_path, id_col="vec_id", vec_col="embedding", op_col="op"
     )

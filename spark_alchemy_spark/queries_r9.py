@@ -270,11 +270,10 @@ def ann_ivf_upsert(spark, sf_dir):
 
     from .operators.similarity import (
         _assign_to_lists,
-        build_ivf_index,
         read_index_stats,
         upsert_ivf_index,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -291,10 +290,7 @@ def ann_ivf_upsert(spark, sf_dir):
     n_expected = n_standing + 10
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_ups_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 400, dest=idx_path)
 
     scaled = F.transform("embedding", lambda x: x * 2.0)
     batch = (
@@ -445,11 +441,10 @@ def ann_ivf_retrain(spark, sf_dir):
     from .operators.similarity import (
         _assign_to_lists,
         append_ivf_index,
-        build_ivf_index,
         read_index_stats,
         retrain_ivf_index,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -463,10 +458,7 @@ def ann_ivf_retrain(spark, sf_dir):
     n_expected = int(cnt["ns"]) + int(cnt["nb"])
 
     idx_path = os.path.join(tempfile.gettempdir(), _sink_name("ivf_rt_idx"))
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 300, dest=idx_path)
     drifted = emb.filter(F.col("vec_id") < 100).select(
         (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"),
         F.transform(
@@ -554,11 +546,10 @@ def stream_ivf_drift_retrain(spark, sf_dir):
 
     from .operators.similarity import (
         _read_index_json,
-        build_ivf_index,
         make_streaming_ivf_maintainer,
         read_index_stats,
     )
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
     from .queries_ext import _sink_name
     from .streaming import _drain_foreach_batch
 
@@ -603,10 +594,7 @@ def stream_ivf_drift_retrain(spark, sf_dir):
     idx_path = os.path.join(
         tempfile.gettempdir(), _sink_name("ivf_drift_idx")
     )
-    build_ivf_index(
-        standing, "vec_id", "embedding", idx_path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 300, dest=idx_path)
     maintain, log = make_streaming_ivf_maintainer(
         spark, idx_path, id_col="vec_id", vec_col="embedding",
         retrain_after_drift_batches=2,
