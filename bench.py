@@ -98,6 +98,12 @@ def main():
         Q._ngram_pairs_cached(spark, sf_dir).count()
         Q._ivf_centroids_cached(spark, sf_dir).count()
         Q._ann_exact_cached(spark, sf_dir).count()
+        for hi in (None, 250, 300, 400, 2000):
+            # round-9 golden standing indexes: one build per distinct
+            # standing set, shared by the 11 index lifecycle entries
+            # (each copies or reads; building lazily would land the
+            # cost on whichever lifecycle entry runs first)
+            Q._ivf_standing_index(spark, sf_dir, hi)
         for corpus in ("plain", "punct"):
             QR5._trained_merges(spark, sf_dir, corpus)
             QR5._encoded_words(spark, sf_dir, corpus).count()
