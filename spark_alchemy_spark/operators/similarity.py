@@ -1283,6 +1283,12 @@ def make_streaming_ivf_maintainer(
             f"split_ratio={split_ratio} — a lower trigger fires "
             "rebalances whose hot-list selector finds nothing"
         )
+    if cdc_driver_id_cap < 1:
+        raise ValueError(
+            f"cdc_driver_id_cap={cdc_driver_id_cap} must be >= 1 (the "
+            "capped id sample's slice length; use 1 to force the "
+            "DataFrame route for every non-trivial D/U set)"
+        )
     sizes = _list_sizes(spark, path)  # bounded: one row per list
     fcounts: dict = (
         _ivf_list_files(path)[0] if compact_files_per_list is not None

@@ -191,3 +191,17 @@ def test_cdc_retry_log_totals_exact(spark, tmp_path, monkeypatch):
     ids, (n, _) = _state(spark, path)
     want = (set(range(40)) | set(range(100, 120))) - {3, 7}
     assert ids == want and n == len(want)
+
+
+def test_cdc_driver_id_cap_validated(spark, tmp_path):
+    """cap < 1 would hand the capped-sample slice a non-positive
+    length — reject at construction, like the trigger-ratio guard."""
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 40), "vec_id", "embedding", path, n_centroids=4
+    )
+    with pytest.raises(ValueError, match="cdc_driver_id_cap"):
+        make_streaming_ivf_maintainer(
+            spark, path, id_col="vec_id", vec_col="embedding",
+            op_col="op", cdc_driver_id_cap=0,
+        )
