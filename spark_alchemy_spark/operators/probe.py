@@ -51,6 +51,8 @@ __all__ = [
     "fit_ridge_path_ppm",
     "ridge_validation_sweep",
     "make_streaming_probe_maintainer",
+    "isotonic_calibration_ppm",
+    "isotonic_transform_ppm",
     "moment_sum_keys",
     "merge_moment_sums",
     "subtract_moment_sums",
@@ -640,6 +642,95 @@ def fit_grouped_probes_ppm(
             }
         )
     return out
+
+
+def isotonic_calibration_ppm(
+    df: DataFrame, score_col: str, label_col: str
+) -> list[dict]:
+    """MONOTONE (isotonic) calibration of an integer score against a
+    0/1 label — the step a curation pipeline runs between fitting a
+    quality probe and thresholding on it: raw scores rank documents,
+    but gating/mixing needs calibrated PROBABILITIES, and isotonic
+    regression is the standard distribution-free calibrator (the same
+    role scikit-learn's ``IsotonicRegression`` plays after a
+    classifier).
+
+    Shape: ONE aggregate builds the per-distinct-score histogram
+    (n, n_pos) — map-side combinable, bounded by distinct scores, the
+    ``rank_auc_ppm`` discipline — then the pool-adjacent-violators
+    algorithm runs on the driver over the bounded histogram in EXACT
+    integer arithmetic (violations compared by cross-multiplication,
+    never floats).  The corpus never leaves the executors; at 100 TB
+    the only distributed work is the histogram's shuffle of one row
+    per distinct score.
+
+    Each distinct score's calibrated rate is its PAVA block's pooled
+    mean, pinned to trunc-toward-zero ppm.  Because truncation is
+    monotone it commutes with min/max, so the pinned rates satisfy the
+    classical minimax identity EXACTLY:
+
+        rate_ppm(k) = max_{i<=k} min_{j>=k}
+                      (pos(i..j) * 1e6) // n(i..j)
+
+    — which is what lets a SQL engine replay the fit bit-for-bit with
+    three bounded joins over cumulative sums, no iterative PAVA needed
+    (the ``quality_probe_isotonic`` oracle).  Returns one
+    ``{"score", "n", "n_pos", "rate_ppm"}`` dict per distinct score in
+    ascending score order; ``rate_ppm`` is non-decreasing (pytest
+    law), and equals the Fraction-exact minimax reference (pytest)."""
+    hist = sorted(
+        (int(r["s"]), int(r["n"]), int(r["np"]))
+        for r in df.groupBy(F.col(score_col).cast("long").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("np"),
+        )
+        .collect()  # bounded: one row per distinct score
+    )
+    # PAVA: merge while the previous block's mean STRICTLY exceeds the
+    # next's (cross-multiplied — exact; ties need no merge, the pooled
+    # value would be identical).  Each block is [n_scores, n, pos].
+    blocks: list[list[int]] = []
+    for _s, n, np_ in hist:
+        blocks.append([1, n, np_])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][2] * blocks[-1][1]
+            > blocks[-1][2] * blocks[-2][1]
+        ):
+            k2, n2, p2 = blocks.pop()
+            blocks[-1][0] += k2
+            blocks[-1][1] += n2
+            blocks[-1][2] += p2
+    out = []
+    i = 0
+    for n_scores, n_b, p_b in blocks:
+        rate = _trunc_div_ppm(p_b, n_b)
+        for _ in range(n_scores):
+            s, n, np_ = hist[i]
+            out.append({"score": s, "n": n, "n_pos": np_, "rate_ppm": rate})
+            i += 1
+    return out
+
+
+def isotonic_transform_ppm(fit: list[dict], score_col: str) -> Column:
+    """The fitted calibrator as a pure-codegen integer Column: the
+    step function 'rate of the greatest fitted score <= this score'
+    (scores below the smallest breakpoint take the first rate), built
+    as a chained CASE over the bounded breakpoint list — applying the
+    calibrator to a corpus is map-only, zero Python, the
+    ``probe_score_ppm`` discipline.  Consecutive equal rates are
+    collapsed so the CASE carries one arm per DISTINCT rate step."""
+    steps = []
+    for row in fit:
+        if not steps or int(row["rate_ppm"]) != steps[-1][1]:
+            steps.append((int(row["score"]), int(row["rate_ppm"])))
+    col: Column = F.lit(steps[0][1]).cast("long")
+    for s, r in steps[1:]:
+        col = F.when(
+            F.col(score_col).cast("long") >= s, F.lit(r).cast("long")
+        ).otherwise(col)
+    return col
 
 
 def probe_score_ppm(coeffs_ppm: list[int], x_cols: list[str]) -> Column:

@@ -644,3 +644,92 @@ def stream_ivf_drift_retrain(spark, sf_dir):
         " rows_conserved boolean, txn_continuity boolean,"
         " stateless boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic score calibration (round 9): probe -> calibrated probability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_probe_isotonic",
+    """
+    WITH feats AS MATERIALIZED (
+      SELECT least(len(string_split(text, ' ')) // 16, 63) AS score,
+             CAST(2 * n_chars > 11 * len(string_split(text, ' '))
+                  AS INT) AS label
+      FROM documents WHERE text IS NOT NULL),
+    hist AS MATERIALIZED (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS np
+      FROM feats GROUP BY score),
+    c AS MATERIALIZED (
+      SELECT score, n, np,
+             sum(n) OVER (ORDER BY score) AS cn,
+             sum(np) OVER (ORDER BY score) AS cp
+      FROM hist),
+    pairs AS MATERIALIZED (
+      SELECT a.score AS si, b.score AS sj,
+             (b.cp - a.cp + a.np) * 1000000
+               // (b.cn - a.cn + a.n) AS r
+      FROM c a JOIN c b ON b.score >= a.score),
+    tri AS (
+      SELECT k.score AS score, p.si, min(p.r) AS mr
+      FROM c k JOIN pairs p ON p.si <= k.score AND p.sj >= k.score
+      GROUP BY k.score, p.si),
+    rates AS MATERIALIZED (
+      SELECT score, CAST(max(mr) AS BIGINT) AS rate_ppm
+      FROM tri GROUP BY score)
+    SELECT h.score, h.n, h.np AS n_pos, r.rate_ppm,
+           (SELECT bool_and(ok) FROM (
+              SELECT rate_ppm >= coalesce(
+                       lag(rate_ppm) OVER (ORDER BY score), 0) AS ok
+              FROM rates)) AS monotone,
+           ((SELECT count(DISTINCT rate_ppm) FROM rates)
+              < (SELECT count(*) FROM rates)) AS pooled
+    FROM hist h JOIN rates r USING (score)
+    """,
+)
+def quality_probe_isotonic(spark, sf_dir):
+    """ISOTONIC (monotone) calibration of a quality score — the step
+    between fitting a probe and gating on it: ranking needs raw
+    scores, but sampling/mixing decisions need calibrated
+    PROBABILITIES, and isotonic regression is the standard
+    distribution-free calibrator.  Score = capped length bucket
+    (words div 16, <= 63 buckets); label = long-words indicator
+    (chars-per-word > 5.5, all-integer).  The engine runs
+    ``operators/probe.py::isotonic_calibration_ppm``: ONE bounded
+    histogram aggregate, then exact-integer pool-adjacent-violators on
+    the driver.
+
+    The ORACLE never runs PAVA: because trunc-ppm is monotone it
+    commutes with min/max, so the pinned rates satisfy the classical
+    minimax identity rate(k) = max_{i<=k} min_{j>=k}
+    (pos(i..j)*1e6)//n(i..j) EXACTLY — three bounded joins over
+    cumulative sums replay the whole fit bit-for-bit (the identity is
+    also pytest-law-tested against a Fraction reference).  The
+    ``monotone`` and ``pooled`` invariants (PAVA actually merged at
+    least one violating pair on this data) are computed by BOTH
+    engines from their own rates.  At 100 TB the distributed cost is
+    one histogram row per distinct score; the calibrator applies back
+    to the corpus as a pure-codegen step-function column
+    (``isotonic_transform_ppm``, map-only)."""
+    from .operators.probe import isotonic_calibration_ppm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = documents.filter(F.col("text").isNotNull()).selectExpr(
+        "least(size(split(text, ' ')) div 16, 63) AS score",
+        "CAST(2 * n_chars > 11 * size(split(text, ' ')) AS INT) AS label",
+    )
+    fit = isotonic_calibration_ppm(feats, "score", "label")
+    rates = [r["rate_ppm"] for r in fit]
+    mono = rates == sorted(rates)
+    pooled = len(set(rates)) < len(rates)
+    return spark.createDataFrame(
+        [
+            (r["score"], r["n"], r["n_pos"], r["rate_ppm"], mono, pooled)
+            for r in fit
+        ],
+        "score long, n long, n_pos long, rate_ppm long,"
+        " monotone boolean, pooled boolean",
+    )
