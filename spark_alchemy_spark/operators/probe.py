@@ -687,10 +687,20 @@ def isotonic_calibration_ppm(
         )
         .collect()  # bounded: one row per distinct score
     )
-    # PAVA: merge while the previous block's mean STRICTLY exceeds the
-    # next's (cross-multiplied — exact; ties need no merge, the pooled
-    # value would be identical).  Each block is [n_scores, n, pos].
-    blocks: list[list[int]] = []
+    return [
+        {"score": s, "n": n, "n_pos": np_, "rate_ppm": rate}
+        for (s, n, np_), rate in zip(hist, _pava_rates_ppm(hist))
+    ]
+
+
+def _pava_rates_ppm(hist: list[tuple[int, int, int]]) -> list[int]:
+    """The pure PAVA core over a score-ascending (score, n, n_pos)
+    histogram — one trunc-ppm rate per input row.  Merges while the
+    previous block's mean STRICTLY exceeds the next's (cross-
+    multiplied, exact; ties need no merge, the pooled value would be
+    identical).  Hypothesis-law-tested against the Fraction minimax
+    identity on arbitrary histograms (tests/test_properties.py)."""
+    blocks: list[list[int]] = []  # [n_scores, n, pos]
     for _s, n, np_ in hist:
         blocks.append([1, n, np_])
         while (
@@ -702,14 +712,9 @@ def isotonic_calibration_ppm(
             blocks[-1][0] += k2
             blocks[-1][1] += n2
             blocks[-1][2] += p2
-    out = []
-    i = 0
+    out: list[int] = []
     for n_scores, n_b, p_b in blocks:
-        rate = _trunc_div_ppm(p_b, n_b)
-        for _ in range(n_scores):
-            s, n, np_ = hist[i]
-            out.append({"score": s, "n": n, "n_pos": np_, "rate_ppm": rate})
-            i += 1
+        out.extend([_trunc_div_ppm(p_b, n_b)] * n_scores)
     return out
 
 

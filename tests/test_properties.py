@@ -867,3 +867,43 @@ def test_cross_kernel_equals_hof_reference(spark, na, nb, dim, seed):
         )
     }
     assert got == want
+
+
+# --- round-9: isotonic PAVA == Fraction minimax on ARBITRARY histograms ---
+
+_hist_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=9),   # n per score
+        st.integers(min_value=0, max_value=9),   # pos per score (capped below)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_hist_rows)
+def test_pava_equals_fraction_minimax(rows):
+    """The driver PAVA core's trunc-ppm rates equal the classical
+    minimax identity computed in exact Fractions on ANY histogram —
+    the identity the quality_probe_isotonic oracle replays in SQL.
+    Pure driver arithmetic: no Spark, so hypothesis can be generous."""
+    from fractions import Fraction
+
+    from spark_alchemy_spark.operators.probe import PPM, _pava_rates_ppm
+
+    hist = [(s, n, min(p, n)) for s, (n, p) in enumerate(rows)]
+    got = _pava_rates_ppm(hist)
+    assert got == sorted(got)  # monotone non-decreasing
+    b = len(hist)
+    for k in range(b):
+        best = None
+        for i in range(k + 1):
+            worst = None
+            for j in range(k, b):
+                n = sum(h[1] for h in hist[i:j + 1])
+                p = sum(h[2] for h in hist[i:j + 1])
+                f = Fraction(p, n)
+                worst = f if worst is None or f < worst else worst
+            best = worst if best is None or worst > best else best
+        assert got[k] == best.numerator * PPM // best.denominator
