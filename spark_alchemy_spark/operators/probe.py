@@ -52,7 +52,9 @@ __all__ = [
     "ridge_validation_sweep",
     "make_streaming_probe_maintainer",
     "isotonic_calibration_ppm",
+    "isotonic_fit_from_hist",
     "isotonic_transform_ppm",
+    "make_streaming_isotonic_maintainer",
     "moment_sum_keys",
     "merge_moment_sums",
     "subtract_moment_sums",
@@ -716,6 +718,116 @@ def _pava_rates_ppm(hist: list[tuple[int, int, int]]) -> list[int]:
     for n_scores, n_b, p_b in blocks:
         out.extend([_trunc_div_ppm(p_b, n_b)] * n_scores)
     return out
+
+
+def isotonic_fit_from_hist(hist: dict) -> list[dict]:
+    """The isotonic fit from an ALREADY-MAINTAINED histogram
+    ``{score: (n, n_pos)}`` — the driver tail
+    :func:`isotonic_calibration_ppm` runs after its aggregate, exposed
+    so a streaming maintainer can re-fit its running histogram without
+    a corpus pass."""
+    rows = sorted((int(s), int(n), int(p)) for s, (n, p) in hist.items())
+    return [
+        {"score": s, "n": n, "n_pos": p, "rate_ppm": r}
+        for (s, n, p), r in zip(rows, _pava_rates_ppm(rows))
+    ]
+
+
+def make_streaming_isotonic_maintainer(
+    path: str,
+    score_col: str,
+    label_col: str,
+    op_col: str | None = None,
+    prepare=None,
+) -> tuple:
+    """The isotonic calibrator maintained under a CHANGE feed, restart-
+    recoverable — the histogram twin of
+    :func:`make_streaming_probe_maintainer`: the per-score (n, n_pos)
+    counts are a GROUP (integer adds with exact inverses), so a CDC
+    delete subtracts its before-image's histogram and the re-fit is
+    BIT-IDENTICAL to a from-scratch calibration over the surviving
+    corpus; an update is delete(old image) + insert(new image).
+
+    Per micro-batch: ONE grouped aggregate (op × score — bounded by
+    ops times distinct scores), fold +I / -D into a candidate
+    histogram, atomically replace ``<path>/iso_txn.json`` =
+    {last_batch_id, hist} (the probe maintainer's commit protocol:
+    commit BEFORE the in-memory update; replays at or below the
+    high-water mark skip as visible no-ops, a restarted maintainer
+    re-seeds from the record).  A 'D' whose subtraction would drive
+    any count negative fails LOUD — the feed deleted rows it never
+    inserted.  Re-fit any time with
+    :func:`isotonic_fit_from_hist`(state["hist"]) — driver-only, no
+    corpus pass.  Returns ``(fold, state)`` with state =
+    {"last_batch_id", "hist", "log"}."""
+    from .similarity import _read_index_json, _write_index_json_atomic
+
+    committed = _read_index_json(path, "iso_txn.json")
+    state = {
+        "last_batch_id": (
+            int(committed["last_batch_id"]) if committed is not None else -1
+        ),
+        "hist": (
+            {int(s): (int(v[0]), int(v[1]))
+             for s, v in committed["hist"].items()}
+            if committed is not None
+            else {}
+        ),
+        "log": [],
+    }
+
+    def fold(batch_df, batch_id) -> None:
+        b = int(batch_id)
+        if b <= state["last_batch_id"]:
+            state["log"].append({"batch_id": b, "skipped_replay": True})
+            return
+        df = prepare(batch_df) if prepare is not None else batch_df
+        keys = ([op_col] if op_col is not None else []) + [score_col]
+        rows = (
+            df.groupBy(*[F.col(k) for k in keys])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(label_col).cast("long")).alias("np"),
+            )
+            .collect()  # bounded: ops x distinct scores
+        )
+        if op_col is not None:
+            ops = {r[op_col] for r in rows}
+            if not ops <= {"I", "D"}:
+                raise ValueError(
+                    f"op column {op_col!r} must contain only 'I'/'D', "
+                    f"got {sorted(map(str, ops))}"
+                )
+        hist = dict(state["hist"])
+        for r in rows:
+            s = int(r[score_col])
+            sign = -1 if op_col is not None and r[op_col] == "D" else 1
+            n0, p0 = hist.get(s, (0, 0))
+            n1 = n0 + sign * int(r["n"])
+            p1 = p0 + sign * int(r["np"])
+            if n1 < 0 or p1 < 0 or p1 > n1:
+                raise ValueError(
+                    f"CDC isotonic fold underflow at score {s}: the "
+                    "feed deleted rows (or positives) it never "
+                    "inserted — before-images must match"
+                )
+            if n1 == 0:
+                hist.pop(s, None)
+            else:
+                hist[s] = (n1, p1)
+        _write_index_json_atomic(
+            path,
+            "iso_txn.json",
+            {
+                "last_batch_id": b,
+                "hist": {str(s): list(v) for s, v in hist.items()},
+            },
+        )
+        state["hist"] = hist
+        state["last_batch_id"] = b
+        state["log"].append({"batch_id": b, "skipped_replay": False})
+
+    return fold, state
 
 
 def isotonic_transform_ppm(fit: list[dict], score_col: str) -> Column:

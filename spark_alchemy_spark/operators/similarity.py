@@ -548,10 +548,12 @@ def ivf_topk(
 #   stage is whole and a re-run finishes the swap idempotently; a
 #   crash before the intent leaves only garbage stage dirs the next
 #   retrain overwrites.
-#   (``probe_txn.json`` — operators/probe.py's
-#   ``make_streaming_probe_maintainer`` — is the single-record twin
-#   for moment-sum state: fold → atomic replace → in-memory update;
-#   no intent needed because a fold has no partial side effects.)
+#   (``probe_txn.json`` / ``iso_txn.json`` — operators/probe.py's
+#   ``make_streaming_probe_maintainer`` /
+#   ``make_streaming_isotonic_maintainer`` — are the single-record
+#   twins for moment-sum and histogram state: fold → atomic replace →
+#   in-memory update; no intent needed because a driver-state fold has
+#   no partial side effects.)
 #
 # WHO WRITES WHAT, IN WHAT ORDER
 #

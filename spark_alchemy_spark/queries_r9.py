@@ -651,14 +651,19 @@ def stream_ivf_drift_retrain(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "quality_probe_isotonic",
-    """
+def _iso_oracle_sql(where: str, tail: str) -> str:
+    """The isotonic-fit oracle: histogram + cumulative sums + the
+    minimax identity (three bounded joins — trunc-ppm commutes with
+    min/max, so this replays PAVA exactly; pytest/hypothesis law).
+    ONE generator feeds the batch and CDC-membership variants so the
+    formulas cannot drift; ``where`` narrows the corpus, ``tail``
+    appends entry-specific invariant columns."""
+    return f"""
     WITH feats AS MATERIALIZED (
       SELECT least(len(string_split(text, ' ')) // 16, 63) AS score,
              CAST(2 * n_chars > 11 * len(string_split(text, ' '))
                   AS INT) AS label
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents WHERE text IS NOT NULL{where}),
     hist AS MATERIALIZED (
       SELECT score, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(label) AS BIGINT) AS np
@@ -680,16 +685,21 @@ def stream_ivf_drift_retrain(spark, sf_dir):
     rates AS MATERIALIZED (
       SELECT score, CAST(max(mr) AS BIGINT) AS rate_ppm
       FROM tri GROUP BY score)
-    SELECT h.score, h.n, h.np AS n_pos, r.rate_ppm,
+    SELECT h.score, h.n, h.np AS n_pos, r.rate_ppm{tail}
+    FROM hist h JOIN rates r USING (score)
+    """
+
+
+_ISO_BATCH_TAIL = """,
            (SELECT bool_and(ok) FROM (
               SELECT rate_ppm >= coalesce(
                        lag(rate_ppm) OVER (ORDER BY score), 0) AS ok
               FROM rates)) AS monotone,
            ((SELECT count(DISTINCT rate_ppm) FROM rates)
-              < (SELECT count(*) FROM rates)) AS pooled
-    FROM hist h JOIN rates r USING (score)
-    """,
-)
+              < (SELECT count(*) FROM rates)) AS pooled"""
+
+
+@query("quality_probe_isotonic", _iso_oracle_sql("", _ISO_BATCH_TAIL))
 def quality_probe_isotonic(spark, sf_dir):
     """ISOTONIC (monotone) calibration of a quality score — the step
     between fitting a probe and gating on it: ranking needs raw
@@ -732,4 +742,121 @@ def quality_probe_isotonic(spark, sf_dir):
         ],
         "score long, n long, n_pos long, rate_ppm long,"
         " monotone boolean, pooled boolean",
+    )
+
+
+_ISO_SURVIVORS_SQL = (
+    " AND ((doc_id % 3 = 0 AND doc_id % 5 <> 0)"
+    " OR (doc_id % 3 = 1 AND doc_id % 7 <> 0)"
+    " OR doc_id % 3 = 2)"
+)
+
+
+@query(
+    "stream_isotonic_cdc_fit",
+    _iso_oracle_sql(_ISO_SURVIVORS_SQL, ",\n TRUE AS matches_batch_fit"),
+)
+def stream_isotonic_cdc_fit(spark, sf_dir):
+    """The CALIBRATOR maintained under a change feed, restart-
+    recoverable — the histogram twin of ``stream_probe_cdc_fit``: the
+    per-score (n, n_pos) counts are a GROUP, so CDC deletes subtract
+    their before-images exactly and the re-fit is BIT-IDENTICAL to a
+    from-scratch isotonic calibration over the surviving corpus
+    (``operators/probe.py::make_streaming_isotonic_maintainer`` —
+    per-batch atomic ``iso_txn.json`` commits, the probe maintainer's
+    protocol, under a threaded engine checkpoint).
+
+    Same three mtime-ordered micro-batches as the probe twin: thirds
+    insert; batches 1-2 delete every 5th of batch 0's docs / every 7th
+    of batch 1's, with before-images.  Each batch costs ONE grouped
+    aggregate (op × score, bounded); the final driver re-fit
+    (``isotonic_fit_from_hist`` — zero corpus passes) must equal the
+    batch calibration over survivors, which is exactly what the
+    oracle's minimax CTEs compute over the membership predicate and
+    what ``matches_batch_fit`` re-asserts engine-side.  At 100 TB this
+    is a live calibrated quality gate tracking a curated corpus: one
+    bounded histogram row per (op, score) crosses the wire per batch,
+    no state store, no corpus rescan, deletes exact."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .operators.probe import (
+        isotonic_calibration_ppm,
+        isotonic_fit_from_hist,
+        make_streaming_isotonic_maintainer,
+    )
+    from .queries_ext import _sink_name
+    from .streaming import _drain_foreach_batch
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d3 = F.col("doc_id") % 3
+    ins = documents.withColumn("op", F.lit("I")).withColumn(
+        "r", (d3 % 3).cast("int")
+    )
+    dels = (
+        documents.filter((d3 == 0) & (F.col("doc_id") % 5 == 0))
+        .withColumn("op", F.lit("D"))
+        .withColumn("r", F.lit(1))
+        .unionByName(
+            documents.filter((d3 == 1) & (F.col("doc_id") % 7 == 0))
+            .withColumn("op", F.lit("D"))
+            .withColumn("r", F.lit(2))
+        )
+    )
+    arrivals_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("iso_cdc_arrivals")
+    )
+    ins.unionByName(dels).repartition("r").write.mode(
+        "overwrite"
+    ).partitionBy("r").parquet(arrivals_dir)
+    for i in range(3):
+        for leaf in glob.glob(
+            os.path.join(arrivals_dir, f"r={i}", "*.parquet")
+        ):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    def featurize(df):
+        return df.filter(F.col("text").isNotNull()).selectExpr(
+            "least(size(split(text, ' ')) div 16, 63) AS score",
+            "CAST(2 * n_chars > 11 * size(split(text, ' ')) AS INT)"
+            " AS label",
+            "op",
+        )
+
+    txn_dir = os.path.join(tempfile.gettempdir(), _sink_name("iso_cdc_txn"))
+    fold, st = make_streaming_isotonic_maintainer(
+        txn_dir, "score", "label", op_col="op", prepare=featurize
+    )
+    schema = T.StructType(
+        documents.schema.fields + [T.StructField("op", T.StringType())]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir + "/*")
+    )
+    _drain_foreach_batch(arrivals, fold, checkpoint=txn_dir + "_chk")
+
+    fit = isotonic_fit_from_hist(st["hist"])
+    surviving = documents.filter(
+        ((d3 == 0) & (F.col("doc_id") % 5 != 0))
+        | ((d3 == 1) & (F.col("doc_id") % 7 != 0))
+        | (d3 == 2)
+    )
+    batch_fit = isotonic_calibration_ppm(
+        featurize(surviving.withColumn("op", F.lit("I"))).drop("op"),
+        "score",
+        "label",
+    )
+    matches = fit == batch_fit
+    return spark.createDataFrame(
+        [
+            (r["score"], r["n"], r["n_pos"], r["rate_ppm"], matches)
+            for r in fit
+        ],
+        "score long, n long, n_pos long, rate_ppm long,"
+        " matches_batch_fit boolean",
     )

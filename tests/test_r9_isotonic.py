@@ -121,3 +121,97 @@ def test_isotonic_transform_is_codegen_step_function(spark):
     # pure codegen: no Python eval in the plan
     plan = df.select(col.alias("cal"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_isotonic_cdc_kill_restart_bit_identical(spark, tmp_path):
+    """The histogram maintainer's commit protocol: kill after batch
+    0's iso_txn commit but before the engine checkpoint; the restarted
+    maintainer re-seeds from the record, skips the replay, and the
+    final re-fit equals both the uninterrupted fold and the batch
+    calibration over survivors."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from spark_alchemy_spark.operators.probe import (
+        isotonic_calibration_ppm,
+        isotonic_fit_from_hist,
+        make_streaming_isotonic_maintainer,
+    )
+    from spark_alchemy_spark.streaming import _drain_foreach_batch
+
+    def rows(lo, hi, op="I"):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 10).alias("score"),
+            ((F.col("id") * 2654435761) % 100 < 8 * (F.col("id") % 10))
+            .cast("int").alias("label"),
+            F.lit(op).alias("op"),
+        )
+
+    base = str(tmp_path / "arrivals")
+    b0 = rows(0, 80).withColumn("r", F.lit(0))
+    b1 = (
+        rows(80, 120)
+        .unionByName(rows(0, 80, op="D").filter(F.col("id") % 4 == 0))
+        .withColumn("r", F.lit(1))
+    )
+    b0.unionByName(b1).repartition("r").write.mode("overwrite").partitionBy(
+        "r"
+    ).parquet(base)
+    for i in range(2):
+        for leaf in glob.glob(os.path.join(base, f"r={i}", "*.parquet")):
+            os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
+
+    def read():
+        return (
+            spark.readStream.schema("score long, label int, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base + "/*")
+        )
+
+    txn, chk = str(tmp_path / "txn"), str(tmp_path / "chk")
+    fold1, _st1 = make_streaming_isotonic_maintainer(
+        txn, "score", "label", op_col="op"
+    )
+
+    def crash_after_commit(df, bid):
+        fold1(df, bid)
+        raise RuntimeError("injected crash after iso commit")
+
+    with _pytest.raises(Exception, match="injected crash"):
+        _drain_foreach_batch(read(), crash_after_commit,
+                             state_partitions=4, checkpoint=chk)
+
+    fold2, st2 = make_streaming_isotonic_maintainer(
+        txn, "score", "label", op_col="op"
+    )
+    assert st2["last_batch_id"] == 0  # re-seeded from the record
+    _drain_foreach_batch(read(), fold2, state_partitions=4, checkpoint=chk)
+    assert st2["log"][0] == {"batch_id": 0, "skipped_replay": True}
+
+    surviving = spark.range(0, 120).filter(
+        (F.col("id") >= 80) | (F.col("id") % 4 != 0)
+    ).select(
+        (F.col("id") % 10).alias("score"),
+        ((F.col("id") * 2654435761) % 100 < 8 * (F.col("id") % 10))
+        .cast("int").alias("label"),
+    )
+    assert isotonic_fit_from_hist(st2["hist"]) == isotonic_calibration_ppm(
+        surviving, "score", "label"
+    )
+
+
+def test_isotonic_cdc_underflow_fails_loud(spark, tmp_path):
+    from spark_alchemy_spark.operators.probe import (
+        make_streaming_isotonic_maintainer,
+    )
+    import pytest as _pytest
+
+    fold, _st = make_streaming_isotonic_maintainer(
+        str(tmp_path / "txn"), "score", "label", op_col="op"
+    )
+    fold(_mk(spark, [(1, 1), (1, 0)]).withColumn("op", F.lit("I")), 0)
+    bad = _mk(spark, [(1, 1), (1, 1)]).withColumn("op", F.lit("D"))
+    with _pytest.raises(ValueError, match="underflow"):
+        fold(bad, 1)  # deletes 2 positives where only 1 was inserted
