@@ -538,17 +538,22 @@ def stream_probe_incremental_fit(spark, sf_dir):
     post-stream fit is BIT-IDENTICAL to a from-scratch fit over the
     full corpus — which is exactly what the oracle (the batch fit's
     own Cramer SQL) checks, and what ``matches_batch_fit`` re-asserts
-    engine-side against the session's batch fit.  At 100 TB this is
+    engine-side against the session's batch fit.  The fold runs
+    through the RESTART-RECOVERABLE maintainer under a threaded
+    checkpoint (round 9: every streaming driver-state fold in the
+    battery commits per batch to an atomic JSON record —
+    ``make_streaming_probe_maintainer``; the kill/restart bit-identity
+    proof is ``tests/test_r9_probe_recovery.py``).  At 100 TB this is
     how a live quality gate keeps its model current: d² longs per
-    micro-batch cross the wire, nothing else."""
+    micro-batch cross the wire, one d²-integer record per commit,
+    nothing else."""
     import glob
     import os
     import tempfile
 
     from .operators.probe import (
         _solve_ppm,
-        linear_probe_sums,
-        merge_moment_sums,
+        make_streaming_probe_maintainer,
     )
     from .queries_ext import _sink_name
     from .queries_r6 import _probe_coeffs
@@ -566,27 +571,20 @@ def stream_probe_incremental_fit(spark, sf_dir):
         for leaf in glob.glob(os.path.join(sub, "*.parquet")):
             os.utime(leaf, (1_700_000_000 + i * 100,) * 2)
 
-    running: list = []  # one moment-sum dict per micro-batch
-
-    def fold_batch(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        row = (
-            linear_probe_sums(_probe_feats(batch_df), ["x1", "x2"], "n_chars")
-            .collect()[0]  # bounded: ONE d2-long row per micro-batch
-            .asDict()
-        )
-        running.append(row)
-
+    txn_dir = os.path.join(
+        tempfile.gettempdir(), _sink_name("probe_fit_txn")
+    )
+    fold, st = make_streaming_probe_maintainer(
+        txn_dir, ["x1", "x2"], "n_chars", prepare=_probe_feats
+    )
     arrivals = (
         spark.readStream.schema(documents.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals_dir + "/*")
     )
-    _drain_foreach_batch(arrivals, fold_batch)
+    _drain_foreach_batch(arrivals, fold, checkpoint=txn_dir + "_chk")
 
-    merged = merge_moment_sums(running, d=2)
-    n, coeffs = _solve_ppm(merged, d=2)
+    n, coeffs = _solve_ppm(st["sums"], d=2)
     if coeffs is None:  # mirror fit_linear_probe_ppm's fit-path
         # contract (round-8 ADVICE: an opaque TypeError otherwise)
         raise ZeroDivisionError("singular normal-equation system")
@@ -594,7 +592,7 @@ def stream_probe_incremental_fit(spark, sf_dir):
     return spark.createDataFrame(
         [
             (
-                len(running),
+                len(st["log"]),
                 n,
                 coeffs[0],
                 coeffs[1],
