@@ -651,16 +651,18 @@ def stream_ivf_drift_retrain(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _iso_oracle_sql(where: str, tail: str) -> str:
-    """The isotonic-fit oracle: histogram + cumulative sums + the
-    minimax identity (three bounded joins — trunc-ppm commutes with
-    min/max, so this replays PAVA exactly; pytest/hypothesis law).
-    ONE generator feeds the batch and CDC-membership variants so the
-    formulas cannot drift; ``where`` narrows the corpus, ``tail``
-    appends entry-specific invariant columns."""
+def _iso_ctes_sql(where: str) -> str:
+    """The isotonic-fit CTE chain: featurize → histogram → cumulative
+    sums → the minimax identity (three bounded joins — trunc-ppm
+    commutes with min/max, so this replays PAVA exactly;
+    pytest/hypothesis law).  ONE generator feeds the batch,
+    CDC-membership, and calibrated-gate variants so the formulas
+    cannot drift; ``where`` narrows the corpus.  ``feats`` carries
+    doc_id/n_chars through for consumers that gate per document."""
     return f"""
-    WITH feats AS MATERIALIZED (
-      SELECT least(len(string_split(text, ' ')) // 16, 63) AS score,
+    feats AS MATERIALIZED (
+      SELECT doc_id, n_chars,
+             least(len(string_split(text, ' ')) // 16, 63) AS score,
              CAST(2 * n_chars > 11 * len(string_split(text, ' '))
                   AS INT) AS label
       FROM documents WHERE text IS NOT NULL{where}),
@@ -684,7 +686,14 @@ def _iso_oracle_sql(where: str, tail: str) -> str:
       GROUP BY k.score, p.si),
     rates AS MATERIALIZED (
       SELECT score, CAST(max(mr) AS BIGINT) AS rate_ppm
-      FROM tri GROUP BY score)
+      FROM tri GROUP BY score)"""
+
+
+def _iso_oracle_sql(where: str, tail: str) -> str:
+    """The per-score fit SELECT over :func:`_iso_ctes_sql`; ``tail``
+    appends entry-specific invariant columns."""
+    return f"""
+    WITH {_iso_ctes_sql(where)}
     SELECT h.score, h.n, h.np AS n_pos, r.rate_ppm{tail}
     FROM hist h JOIN rates r USING (score)
     """
@@ -859,4 +868,76 @@ def stream_isotonic_cdc_fit(spark, sf_dir):
         ],
         "score long, n long, n_pos long, rate_ppm long,"
         " matches_batch_fit boolean",
+    )
+
+
+@query(
+    "prep_calibrated_gate",
+    f"""
+    WITH {_iso_ctes_sql("")},
+    docs AS MATERIALIZED (
+      SELECT score, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS u
+      FROM feats)
+    SELECT d.score, r.rate_ppm,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.u < r.rate_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.u < r.rate_ppm THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM docs d JOIN rates r USING (score)
+    GROUP BY d.score, r.rate_ppm
+    """,
+)
+def prep_calibrated_gate(spark, sf_dir):
+    """CALIBRATED-PROBABILITY gating — the isotonic tier composed into
+    the curation flow: instead of hand-picked per-band keep rates
+    (``prep_probe_gated_sample``), each document is kept with
+    probability equal to its CALIBRATED quality rate — the isotonic
+    fit applied back to the corpus through the pure-codegen
+    step-function column (``isotonic_transform_ppm``), so 'sample in
+    proportion to estimated quality' needs no thresholds to tune and
+    adapts as the calibrator refits.
+
+    The keep decision is the battery's deterministic md5-uniform draw
+    per doc_id (replayable in any engine via the hex-prefix trick): a
+    doc survives iff u < rate_ppm(score).  The ORACLE replays the
+    ENTIRE pipeline — the isotonic fit via the shared minimax CTEs
+    (one generator with the fit entries, so the formulas cannot
+    drift), the same coin, the same gate — and must agree on every
+    score's kept doc and char counts.  Map-only over the corpus
+    (bounded CASE + one hash per row) after the one bounded histogram
+    aggregate; one groupBy for the report — the 100 TB shape of a
+    quality-proportional sampling pass."""
+    from .operators.probe import (
+        isotonic_calibration_ppm,
+        isotonic_transform_ppm,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = documents.filter(F.col("text").isNotNull()).selectExpr(
+        "doc_id",
+        "n_chars",
+        "least(size(split(text, ' ')) div 16, 63) AS score",
+        "CAST(2 * n_chars > 11 * size(split(text, ' ')) AS INT) AS label",
+    )
+    fit = isotonic_calibration_ppm(feats, "score", "label")
+    rate = isotonic_transform_ppm(fit, "score")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    g = feats.select(
+        "score", "n_chars", rate.alias("rate_ppm"), u.alias("u")
+    )
+    kept = F.col("u") < F.col("rate_ppm")
+    return g.groupBy("score", "rate_ppm").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
     )
