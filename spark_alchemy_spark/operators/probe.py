@@ -838,6 +838,11 @@ def isotonic_transform_ppm(fit: list[dict], score_col: str) -> Column:
     calibrator to a corpus is map-only, zero Python, the
     ``probe_score_ppm`` discipline.  Consecutive equal rates are
     collapsed so the CASE carries one arm per DISTINCT rate step."""
+    if not fit:
+        raise ValueError(
+            "isotonic_transform_ppm: empty fit — the calibrator was "
+            "trained on zero rows"
+        )
     steps = []
     for row in fit:
         if not steps or int(row["rate_ppm"]) != steps[-1][1]:

@@ -215,3 +215,10 @@ def test_isotonic_cdc_underflow_fails_loud(spark, tmp_path):
     bad = _mk(spark, [(1, 1), (1, 1)]).withColumn("op", F.lit("D"))
     with _pytest.raises(ValueError, match="underflow"):
         fold(bad, 1)  # deletes 2 positives where only 1 was inserted
+
+
+def test_isotonic_transform_rejects_empty_fit():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty fit"):
+        isotonic_transform_ppm([], "score")
