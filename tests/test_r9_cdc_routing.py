@@ -205,3 +205,51 @@ def test_cdc_driver_id_cap_validated(spark, tmp_path):
             spark, path, id_col="vec_id", vec_col="embedding",
             op_col="op", cdc_driver_id_cap=0,
         )
+
+
+def test_cdc_phase3_df_route_crash_resume(spark, tmp_path, monkeypatch):
+    """The DataFrame-routed delete's crash window: phase 3's delete
+    fully committed its rewrite but crashed before removing its intent
+    (and before the batch marker).  The retry must recompute the SAME
+    df digest from the replayed batch (the route is deterministic),
+    jump straight to phase 3, resume idempotently, and land the
+    marker — the df twin of the r8 list-route resume test."""
+    import os
+
+    from spark_alchemy_spark.operators.similarity import (
+        _read_index_json,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _mk_corpus(spark, 0, 60), "vec_id", "embedding", path, n_centroids=4
+    )
+    maintain, log = make_streaming_ivf_maintainer(
+        spark, path, id_col="vec_id", vec_col="embedding",
+        op_col="op", cdc_driver_id_cap=1,  # force the df route
+    )
+    batch = _with_op(_mk_corpus(spark, 200, 220), "I").unionByName(
+        _dels(spark, [5, 10])
+    )
+    real_remove = os.remove
+
+    def crash_remove(p):
+        if str(p).endswith("del_intent.json"):
+            raise RuntimeError("injected crash before intent removal")
+        real_remove(p)
+
+    monkeypatch.setattr(os, "remove", crash_remove)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        maintain(batch, 0)
+    monkeypatch.setattr(os, "remove", real_remove)
+    assert _read_index_json(path, "del_intent.json") is not None  # live
+
+    maintain(batch, 0)  # the replay
+    assert log[-1]["d_id_route"] == "df"
+    assert log[-1]["delete_report"]["resumed"] is True
+    assert log[-1]["upsert_delete_report"] is None
+    ids, (n, _) = _state(spark, path)
+    want = (set(range(60)) | set(range(200, 220))) - {5, 10}
+    assert ids == want and n == len(want)
+    assert _read_index_json(path, "del_intent.json") is None
+    assert int(_read_index_json(path, "txn.json")["last_cdc_batch_id"]) == 0
