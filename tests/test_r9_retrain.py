@@ -219,3 +219,41 @@ def test_maintainer_in_stream_retrain_trigger(spark, tmp_path):
     maintain(_mk_corpus(spark, 140, 160, sign=-1.0), 2)
     assert log[-1]["skipped_replay"] is True
     assert spark.read.parquet(path + "/lists").count() == 120
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_retrain_resume_converges_from_every_rename(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """EXHAUSTIVE crash-point sweep over the swap's rename sequence
+    (lists: live→trash, stage→live; centroids: live→trash,
+    stage→live): killing at EVERY rename leaves a live intent whose
+    resume converges to the identical final state."""
+    path = _drifted_index(spark, tmp_path)
+    real_rename = os.rename
+    state = {"renames": 0}
+
+    def crash_at_k(a, b):
+        state["renames"] += 1
+        if state["renames"] == crash_at:
+            raise OSError(f"injected crash at rename {crash_at}")
+        real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", crash_at_k)
+    with pytest.raises(OSError, match="injected crash"):
+        retrain_ivf_index(spark, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert _read_index_json(path, "retrain_intent.json") is not None
+
+    rep = retrain_ivf_index(spark, path)
+    assert rep["resumed"] is True and rep["n"] == 100
+    rows = spark.read.parquet(path + "/lists")
+    assert rows.count() == 100
+    assert rows.select("vec_id").distinct().count() == 100
+    n, m = read_index_stats(spark, path)
+    assert n == 100 and abs(m - rep["mean_after"]) < 1e-12
+    assert spark.read.parquet(path + "/centroids").count() == 4
+    assert _read_index_json(path, "retrain_intent.json") is None
+    for name in ("lists_stage", "centroids_stage", "lists_trash",
+                 "centroids_trash"):
+        assert not os.path.exists(os.path.join(path, name))
