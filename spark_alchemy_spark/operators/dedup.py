@@ -1321,29 +1321,70 @@ def semantic_dup_pairs(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
         .select("__id", "__list", "__rk")
-        .localCheckpoint(eager=False)  # reused by both join sides
     )
-    top1 = assign.filter(F.col("__rk") == 1).select(
-        F.col("__id").alias("__ida"), "__list"
-    )
-    probes = assign.select(F.col("__id").alias("__idb"), "__list")
-    cand = (
-        top1.join(probes, ["__list"])
-        .filter(F.col("__ida") != F.col("__idb"))
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
+    # Candidate generation + verification as ONE grouped BLAS kernel
+    # per cluster (the r10 swap): the old skinny-pair join + per-pair
+    # HOF cosine fold ran at the documented interpreted-expression
+    # floor (~0.1M pairs/s, SCALING.md) while the matmul kernels run
+    # ~170M pairs/s.  At selective nprobe every candidate pair lives
+    # inside one cluster's member set, so the per-cluster
+    # |top-1 members| x |probe members| similarity block is one
+    # matmul.  Vectors re-attach to the skinny assignment by ONE hash
+    # join; shuffled volume is n x nprobe compact vector rows —
+    # strictly less than the old path's candidate-pair x 2 vector
+    # joins.
+    import numpy as np
+    import pandas as pd
+
+    rows = assign.join(v, "__id")
+
+    def cluster_sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        rk = pdf["__rk"].to_numpy()
+        # zero-norm vectors have no defined cosine: drop them, matching
+        # the expression path (x / 0 -> NULL -> threshold-filtered)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0
+        if not nz.all():
+            m, ids, rk, norms = m[nz], ids[nz], rk[nz], norms[nz]
+        ia = np.where(rk == 1)[0]  # this cluster is their TOP-1
+        if len(ia) == 0 or len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        m = m / norms
+        sims = m[ia] @ m.T  # |top-1 members| x |probe members|
+        a_ids = np.repeat(ids[ia], len(ids))
+        b_ids = np.tile(ids, len(ia))
+        cos = sims.ravel()
+        # pre-filter slack must exceed HALF THE ROUNDING STEP (the
+        # all-pairs kernel's contract): the JVM side keeps a pair iff
+        # round(cos, 4) >= threshold, so a raw cos of threshold - 5e-5
+        # still rounds up into the kept set
+        keep = (cos >= threshold - 5.1e-5) & (a_ids != b_ids)
+        a_k, b_k = a_ids[keep], b_ids[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_k, b_k),
+                "id_b": np.maximum(a_k, b_k),
+                "__cos": cos[keep],
+            }
         )
-        .dropDuplicates(["id_a", "id_b"])
+
+    id_t = v.schema["__id"].dataType.simpleString()
+    out = rows.groupBy("__list").applyInPandas(
+        cluster_sim, f"id_a {id_t}, id_b {id_t}, __cos double"
     )
-    va = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # A pair can surface in several clusters (x top-1 in Lx with y
+    # probing Lx, AND y top-1 in Ly with x probing Ly) and twice
+    # inside one cluster (both top-1).  The copies are the same dot
+    # product but may differ in the last ulp across matmul blockings;
+    # fold with max() so the survivor is deterministic, then apply the
+    # exact JVM-side HALF_UP round / threshold — the same contract as
+    # the other kernels.
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cos", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 4)
-        )
+        out.groupBy("id_a", "id_b")
+        .agg(F.max("__cos").alias("__cos"))
+        .withColumn("cos", F.round("__cos", 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
