@@ -646,6 +646,30 @@ def read_index_stats(spark, path: str) -> tuple[int, float] | None:
         txn = _read_index_json(path, "txn.json")
         if txn is not None:
             return int(txn["n"]), float(txn["mean_assigned_cos"])
+        # local-fs /stats sidecar: one KB-scale 1-row parquet — read it
+        # driver-side (pyarrow), ZERO Spark jobs, same as the JSON
+        # record above (r10: the Spark read cost one full job + plan
+        # per call, and every lifecycle entry + every batch-mode append
+        # baseline resolution calls this).  A corrupt file still
+        # raises; only a MISSING sidecar returns None.
+        import glob as _glob
+        import os as _os
+
+        stats_dir = _txn_local_path(path, "stats")
+        if not _os.path.isdir(stats_dir):
+            return None
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(_os.path.join(stats_dir, "*.parquet")))
+        if not files:
+            return None
+        rows = [r for f in files for r in _pq.read_table(f).to_pylist()]
+        if len(rows) != 1:
+            raise ValueError(
+                f"ivf stats sidecar at {stats_dir} holds {len(rows)} rows; "
+                "expected exactly 1"
+            )
+        return int(rows[0]["n"]), float(rows[0]["mean_assigned_cos"])
     try:
         base = spark.read.parquet(path + "/stats").collect()[0]
         return int(base["n"]), float(base["mean_assigned_cos"])
@@ -930,6 +954,7 @@ def append_ivf_index(
     path: str,
     drift_ratio_threshold: float = 0.8,
     batch_id: int | None = None,
+    cents: DataFrame | None = None,
 ) -> dict:
     """INCREMENTAL index maintenance: assign a new vector batch to the
     EXISTING trained centroids and append its rows into the matching
@@ -1002,7 +1027,12 @@ def append_ivf_index(
             _repair_uncommitted_append(
                 spark, path, batch_id, intent["touched"], txn
             )
-    cents = spark.read.parquet(path + "/centroids")
+    # ``cents`` lets a caller that already holds the centroid model
+    # (the streaming maintainer caches it across micro-batches,
+    # invalidating on rebalance/retrain) skip the per-call sidecar
+    # read — one fewer scan per micro-batch on the hot append path
+    if cents is None:
+        cents = spark.read.parquet(path + "/centroids")
 
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
         eager=False
@@ -1315,6 +1345,19 @@ def make_streaming_ivf_maintainer(
     #: GROWN past the failed size (new appends can make it splittable).
     unsplittable: dict = {}
 
+    #: centroid model cached across micro-batches (r10): the append
+    #: path re-read the /centroids sidecar every batch; only a
+    #: rebalance or retrain changes it, so those two invalidate.  The
+    #: cache holds the lazy scan DataFrame — the broadcast build
+    #: executes it, and re-planning the same tiny scan per batch was
+    #: pure per-batch overhead.
+    cents_cache: list = [None]
+
+    def _cents():
+        if cents_cache[0] is None:
+            cents_cache[0] = spark.read.parquet(path + "/centroids")
+        return cents_cache[0]
+
     def _max_share_ppm() -> int:
         total = sum(sizes.values())
         return max(sizes.values()) * 1_000_000 // total if total else 0
@@ -1325,6 +1368,7 @@ def make_streaming_ivf_maintainer(
         rep = append_ivf_index(
             batch_df, id_col, vec_col, path, batch_id=int(batch_id),
             drift_ratio_threshold=drift_ratio_threshold,
+            cents=_cents(),
         )
         if rep["skipped_replay"]:
             # engine replay of a batch the index already committed
@@ -1375,6 +1419,7 @@ def make_streaming_ivf_maintainer(
                 # discipline as the rebalance) and the txn record —
                 # replay protection included — carries over the swap
                 rt = retrain_ivf_index(spark, path, id_col=id_col)
+                cents_cache[0] = None  # re-tiled: new centroid model
                 drift_streak[0] = 0
                 sizes.clear()
                 sizes.update(_list_sizes(spark, path))  # re-tiled:
@@ -1404,6 +1449,8 @@ def make_streaming_ivf_maintainer(
                 # skips the rebalance's own seed count job
             )
             if rb["n_split"] > 0:
+                cents_cache[0] = None  # split swapped the parent
+                # centroid for two children: drop the cached model
                 # re-seed from the report's exact post-split map —
                 # no rescan of the rewritten index.  Markers: hot
                 # lists that were

@@ -106,24 +106,30 @@ def hll_sql_surface(spark, sf_dir):
     hll.register(spark)  # picks up the conf'd error bound
     view = _sink_name("events_v")
     events.createOrReplaceTempView(view)
+    # Both sketch paths ride ONE aggregation (r10: the scalar-path CTE
+    # + agg-path CTE + join form scanned events twice and shuffled two
+    # wide sketch-buffer aggregates; folding the per-row inits with
+    # hll_merge NEXT TO hll_init_agg in a single GROUP BY halves the
+    # scan/shuffle and removes the join — every SQL name still
+    # resolves, and each column's bytes are identical because both
+    # paths hash identically).
     return spark.sql(
         f"""
         WITH per_row AS (
-          SELECT event_type, hll_init(user_id) AS sk FROM {view}),
-        scalar_path AS (
-          SELECT event_type, hll_merge(sk) AS sk
-          FROM per_row GROUP BY event_type),
-        agg_path AS (
-          SELECT event_type, hll_init_agg(user_id) AS sk
-          FROM {view} GROUP BY event_type)
-        SELECT s.event_type,
-               hll_cardinality(s.sk) AS users_scalar_path,
-               hll_cardinality(a.sk) AS users_agg_path,
-               hll_cardinality(hll_row_merge(s.sk, a.sk)) AS users_rowmerge,
-               hll_intersect_cardinality(s.sk, a.sk) AS users_intersect,
+          SELECT event_type, hll_init(user_id) AS psk, user_id FROM {view}),
+        both_paths AS (
+          SELECT event_type,
+                 hll_merge(psk) AS ssk,
+                 hll_init_agg(user_id) AS ask
+          FROM per_row GROUP BY event_type)
+        SELECT event_type,
+               hll_cardinality(ssk) AS users_scalar_path,
+               hll_cardinality(ask) AS users_agg_path,
+               hll_cardinality(hll_row_merge(ssk, ask)) AS users_rowmerge,
+               hll_intersect_cardinality(ssk, ask) AS users_intersect,
                agkn_cardinality(hll_convert(
-                 hll_convert(a.sk, 'DS', 'STRM'), 'STRM', 'AGKN')) AS users_converted
-        FROM scalar_path s JOIN agg_path a ON s.event_type = a.event_type
+                 hll_convert(ask, 'DS', 'STRM'), 'STRM', 'AGKN')) AS users_converted
+        FROM both_paths
         """
     )
 

@@ -912,12 +912,12 @@ def ann_ivf_rebalance(spark, sf_dir):
     import tempfile
 
     from .operators.similarity import (
-        build_ivf_index,
+        append_ivf_index,
         ivf_topk_indexed,
         rebalance_ivf_index,
     )
 
-    from .queries import _ivf_centroids_cached
+    from .queries import _ivf_standing_index
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     # parameter-bounded standing corpus (same convention as
@@ -940,19 +940,25 @@ def ann_ivf_rebalance(spark, sf_dir):
             ).alias("embedding"),
         )
     )
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).unionByName(plants)
-    n_corpus = corpus.count()
+    # r10: ride the session's GOLDEN standing index (the same
+    # 2000-slice, 16-list, shared-centroid build the streaming
+    # rebalance entry copies) and APPEND the plants as one batch,
+    # instead of re-running a full build over standing + plants — the
+    # index ends with the same rows (the plants all share one
+    # direction, so they land in ONE list bit-for-bit under the shared
+    # model and skew it past the 2x-mean threshold), and the standing
+    # 2000-row assignment cost is paid once per session, not per entry.
     path = os.path.join(tempfile.gettempdir(), f"ivf_rebal_{os.getpid()}")
-    # index built with the session's standard trained model (the
-    # shared-reference pattern every IVF entry uses): the plants all
-    # share one direction, so they land in ONE list bit-for-bit and
-    # skew it past the 2x-mean threshold regardless of the model
-    build_ivf_index(
-        corpus, "vec_id", "embedding", path, n_centroids=16,
-        centroids=_ivf_centroids_cached(spark, sf_dir),
-    )
+    _ivf_standing_index(spark, sf_dir, 2000, dest=path)
+    append_ivf_index(plants, "vec_id", "embedding", path)
+    # exact post-append row count from the index's own stats fold (one
+    # 1-row parquet read instead of re-computing the plants union just
+    # to count it); the conservation check below still re-counts the
+    # persisted lists independently, so a stats-fold bug cannot
+    # self-certify
+    from .operators.similarity import read_index_stats
+
+    n_corpus = read_index_stats(spark, path)[0]
     rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
     conserve = (
         spark.read.parquet(path + "/lists")
