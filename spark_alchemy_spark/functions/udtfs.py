@@ -55,36 +55,42 @@ class LongestStreak:
 
     def __init__(self):
         self._user = None
-        self._prev = None
-        self._run = 0
-        self._best = 0
-        self._best_type = None
-        self._n = 0
+        self._types: list = []
 
     def eval(self, row):
-        # positional access: Row.__getitem__ by index skips the per-row
-        # field-name lookup in a 100k-call hot loop (measured ~11% off
-        # the entry's warm wall time).  The projection order is part of
-        # this UDTF's contract — verified ONCE per group so a caller
-        # passing TABLE(...) with reordered columns fails loudly
-        # instead of computing streaks over the wrong column.
-        if self._n == 0 and tuple(row.__fields__[:2]) != ("user_id", "event_type"):
-            raise ValueError(
-                "longest_streak_udtf expects TABLE(... ) projected as "
-                f"(user_id, event_type, ...); got {row.__fields__}"
-            )
-        self._user = row[0]
-        self._n += 1
-        t = row[1]
-        self._run = self._run + 1 if t == self._prev else 1
-        self._prev = t
-        if self._run > self._best:
-            self._best = self._run
-            self._best_type = t
+        # eval runs once PER ROW even under Arrow serialization (the
+        # UDTF API's documented row tax — a no-op eval measures ~110
+        # microseconds/row on this box, all serializer), so the body
+        # is kept to the two cheapest operations: first-row
+        # contract check + a list append.  The streak scan itself runs
+        # at C speed in terminate via itertools.groupby (r10: the
+        # per-row branch-and-compare streak fold added ~40% on top of
+        # the serializer floor).  Positional access: Row.__getitem__
+        # by index skips the per-row field-name lookup.  The
+        # projection order is part of this UDTF's contract — verified
+        # ONCE per group so a caller passing TABLE(...) with reordered
+        # columns fails loudly instead of computing streaks over the
+        # wrong column.
+        if self._user is None:
+            if tuple(row.__fields__[:2]) != ("user_id", "event_type"):
+                raise ValueError(
+                    "longest_streak_udtf expects TABLE(... ) projected as "
+                    f"(user_id, event_type, ...); got {row.__fields__}"
+                )
+            self._user = row[0]
+        self._types.append(row[1])
 
     def terminate(self):
-        if self._user is not None:
-            yield (self._user, self._best_type, self._best, self._n)
+        if self._user is None:
+            return
+        from itertools import groupby
+
+        best, best_type = 0, None
+        for t, run in groupby(self._types):
+            n = sum(1 for _ in run)
+            if n > best:  # strict: ties keep the FIRST streak in order
+                best, best_type = n, t
+        yield (self._user, best_type, best, len(self._types))
 
 
 class SplitParts:

@@ -584,6 +584,33 @@ def simhash_pairs(
     )
 
 
+def _bitstring_words(col, n_bits: int) -> list:
+    """Parse a '0'/'1' bitstring column into <=32-bit integer words
+    (``conv(chunk, 2, 10)`` — each chunk fits a long safely), so a
+    Hamming distance evaluates as a handful of codegen
+    ``bit_count(xor)`` ops instead of an ``n_bits``-iteration
+    interpreted character-diff HOF (r10: the HOF verify ran ~128
+    interpreted substring calls PER CANDIDATE PAIR; parsing each row's
+    words once before the join makes the per-pair cost 2 xors + 2
+    popcounts).  Caller contract (unchanged from the character-diff
+    form): the column contains only '0'/'1' characters of the
+    validated width."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return [
+        F.conv(F.substring(c, i * 32 + 1, 32), 2, 10).cast("long")
+        for i in range((n_bits + 31) // 32)
+    ]
+
+
+def _words_hamming(a_words: list, b_words: list) -> Column:
+    """Hamming distance between two parsed word lists (codegen)."""
+    ham = None
+    for wa, wb in zip(a_words, b_words):
+        term = F.bit_count(wa.bitwiseXOR(wb))
+        ham = term if ham is None else ham + term
+    return ham
+
+
 def bitstring_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -627,14 +654,29 @@ def bitstring_hamming_pairs(
         f"CAST(length(__h) AS STRING), ' bits, n_bits={int(n_bits)}"
         f" — pass the matching n_bits')) IS NULL THEN __h END"
     )
-    fp = df.select(
-        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
-    ).select("__id", checked.alias("__h"))
+    n_words = (n_bits + 31) // 32
+    fp = (
+        df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+        .select("__id", checked.alias("__h"))
+        # parse each fingerprint into integer words ONCE per row (see
+        # _bitstring_words): the verify after the band join is then
+        # pure codegen bit_count(xor) per candidate pair
+        .select(
+            "__id",
+            "__h",
+            *[
+                w.alias(f"__w{i}")
+                for i, w in enumerate(_bitstring_words(F.col("__h"), n_bits))
+            ],
+        )
+    )
     bands = F.array(
         *[F.substring("__h", i * blen + 1, blen) for i in range(n_bands)]
     )
     banded = fp.select(
-        "__id", "__h", F.posexplode(bands).alias("__band", "__bkey")
+        "__id",
+        *[f"__w{i}" for i in range(n_words)],
+        F.posexplode(bands).alias("__band", "__bkey"),
     ).repartition("__band", "__bkey")  # one reused exchange for the self-join
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -647,19 +689,14 @@ def bitstring_hamming_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__h").alias("__ha"),
-            F.col("b.__h").alias("__hb"),
+            *[F.col(f"a.__w{i}").alias(f"__wa{i}") for i in range(n_words)],
+            *[F.col(f"b.__w{i}").alias(f"__wb{i}") for i in range(n_words)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.size(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_bits)),
-                lambda i: F.substring("__ha", i, 1) != F.substring("__hb", i, 1),
-            ),
-            lambda d: d,
-        )
+    ham = _words_hamming(
+        [F.col(f"__wa{i}") for i in range(n_words)],
+        [F.col(f"__wb{i}") for i in range(n_words)],
     )
     return (
         cand.withColumn("hamming", ham.cast("int"))

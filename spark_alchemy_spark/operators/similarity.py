@@ -39,21 +39,84 @@ def brute_force_topk(
     Broadcast the query set; rank with a window partitioned by query —
     ties broken by corpus id for determinism.  Returns
     (query_id, neighbor_id, rank, cos)."""
+    import numpy as np
+    import pandas as pd
+
     qid = query_id_col or id_col
-    q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), _as_double(vec_col).alias("__qv"))
+    # the query set is bounded by contract (it rides a broadcast /
+    # task closure either way); collected once, scored against every
+    # corpus partition as ONE BLAS matmul per Arrow batch (r10: the
+    # expression form paid an interpreted HOF cosine fold per
+    # (query, corpus) pair — ~20-30us/pair — which made the bounded
+    # kNN reference stages the cost floor of every graph entry).
+    qrows = queries.select(F.col(qid), _as_double(vec_col)).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_zero = qn[:, 0] == 0.0  # zero-norm query: cosine NULL (matches
+    qm = qm / np.where(qn == 0, 1.0, qn)  # the expression path's 0/0)
+
+    def _round4_half_up(x):
+        # JVM F.round is BigDecimal HALF_UP (away from zero); used for
+        # the in-kernel ORDERING only — the emitted value is raw and
+        # the final column is rounded JVM-side, so selection and
+        # display agree
+        return np.sign(x) * np.floor(np.abs(x) * 10000.0 + 0.5) / 10000.0
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            m = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            c_zero = norms[:, 0] == 0.0  # zero-norm corpus row: NULL cos
+            m = m / np.where(norms == 0, 1.0, norms)
+            sims = m @ qm.T  # corpus x queries
+            out_q, out_n, out_c = [], [], []
+            for qi, qq in enumerate(q_ids):
+                mask = ids != qq
+                cids = ids[mask]
+                if len(cids) == 0:
+                    continue
+                col = sims[:, qi][mask]
+                isnull = c_zero[mask] | q_zero[qi]
+                # per-partition top-k under the EXACT global total
+                # order (nulls last, rounded cos desc, neighbor id
+                # asc) — neighbor_id makes the order total, so the
+                # global top-k is provably inside the union of the
+                # partition top-k's; the final JVM window re-ranks
+                rounded = _round4_half_up(col)
+                rounded = np.where(isnull, -np.inf, rounded)
+                sel = np.lexsort((cids, -rounded, isnull))[:k]
+                out_q.extend([qq] * len(sel))
+                out_n.extend(cids[sel])
+                out_c.extend(
+                    [None if isnull[j] else float(col[j]) for j in sel]
+                )
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "__raw": out_c}
+            )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[qid].dataType.simpleString()
+    partial = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("__cv"),
+        )
+        .repartition("neighbor_id")  # spread the scoring scan across cores
+        .mapInPandas(
+            score,
+            f"query_id {qid_t}, neighbor_id {id_t}, __raw double",
+        )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    ).repartition("neighbor_id")  # spread the scoring scan across cores
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("cos", F.round("__raw", 4))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

@@ -956,18 +956,23 @@ def curate_corpus_near_dedup(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     # staged pipeline: each stage computed ONCE and reused by both the
     # result and the invariant checks (the composed curate_corpus call
-    # would recompute filters+MinHash per consumer)
+    # would recompute filters+MinHash per consumer).  LAZY checkpoints
+    # (r10): eager=True paid one extra Spark action per stage just to
+    # materialize it up front; eager=False materializes each stage the
+    # first time the single final action touches it and every other
+    # consumer reuses the cached partitions — same sharing, three
+    # fewer driver round-trips.
     exact = curate_corpus(documents, near_dup_threshold=None).localCheckpoint(
-        eager=True
+        eager=False
     )
     # pairs feeds three consumers (CC loser resolution, the
     # both-survive check, the paired-id set) and curated feeds two —
     # materialize each once or every consumer re-runs the MinHash
     # pipeline
     pairs = near_dup_pairs(exact, "doc_id", "text", threshold=0.5).localCheckpoint(
-        eager=True
+        eager=False
     )
-    curated = apply_near_dedup(exact, pairs, "doc_id").localCheckpoint(eager=True)
+    curated = apply_near_dedup(exact, pairs, "doc_id").localCheckpoint(eager=False)
 
     surv_ids = curated.select("doc_id")
     both_survive = (

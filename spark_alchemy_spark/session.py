@@ -57,6 +57,23 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Joins (optimization guide §3.1): let the planner pick a
+        # shuffled-hash join when its size conditions hold instead of
+        # always sorting both sides, and let AQE rewrite a planned
+        # sort-merge to shuffled-hash at runtime when every post-
+        # shuffle partition is small (64m/partition keeps the build
+        # side bounded well under executor memory at any scale; the
+        # fact-fact joins that must stay sort-merge exceed it).  Same
+        # results, fewer sorts.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
+        # I/O (guide §6): zstd parquet — smaller files than snappy at
+        # similar read speed; applies to every temp tree the lifecycle
+        # entries write and to user outputs alike
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python UDTFs cross the JVM/Python boundary Arrow-batched
         # (ArrowEvalPythonUDTF) instead of row-pickling — the last

@@ -386,6 +386,9 @@ def media_dedup_at_ingest(
             "*", F.posexplode(bands).alias("__band", "__bkey")
         )
 
+    from ..operators.dedup import _bitstring_words, _words_hamming
+
+    n_words = (n_bits + 31) // 32
     standing_fp = (
         ahash_bits(standing_imgs, data_col, id_col)
         .select(F.col("ahash").alias("__sh"))
@@ -393,7 +396,7 @@ def media_dedup_at_ingest(
         .localCheckpoint(eager=False)  # distinct-imagery-bounded
     )
     # fail LOUD if the fingerprint width disagrees with n_bits: the
-    # substring verify would otherwise silently ignore trailing bits
+    # word-parsed verify would otherwise silently ignore trailing bits
     # (substring past end is '' on both sides) and band keys would
     # truncate — wrong duplicates, no error (round-6 review finding)
     wrong = standing_fp.filter(F.length("__sh") != n_bits).limit(1).collect()
@@ -402,12 +405,27 @@ def media_dedup_at_ingest(
             f"standing fingerprints are {len(wrong[0]['__sh'])} bits, "
             f"n_bits={n_bits} — pass the matching n_bits"
         )
-    sidx = banded(standing_fp, "__sh").localCheckpoint(eager=False)
+    # parse each standing fingerprint into integer words ONCE (shared
+    # _bitstring_words helper): the per-candidate verify is then pure
+    # codegen bit_count(xor) instead of an n_bits-iteration
+    # interpreted character-diff HOF per pair (r10)
+    sidx = banded(
+        standing_fp.select(
+            "__sh",
+            *[
+                w.alias(f"__sw{i}")
+                for i, w in enumerate(_bitstring_words(F.col("__sh"), n_bits))
+            ],
+        ),
+        "__sh",
+    ).drop("__sh").localCheckpoint(eager=False)
 
-    exact = F.expr(
-        f"size(filter(sequence(1, {n_bits}),"
-        f" i -> substring(ahash, i, 1) <> substring(__sh, i, 1)))"
-        f" <= {max_hamming}"
+    exact = (
+        _words_hamming(
+            [F.col(f"__bw{i}") for i in range(n_words)],
+            [F.col(f"__sw{i}") for i in range(n_words)],
+        )
+        <= max_hamming
     )
     results: list[tuple] = []  # bounded: n_langs rows per micro-batch
 
@@ -415,7 +433,14 @@ def media_dedup_at_ingest(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint(eager=False)
-        bfp = ahash_bits(batch_df, data_col, id_col)
+        bfp = ahash_bits(batch_df, data_col, id_col).select(
+            id_col,
+            "ahash",
+            *[
+                w.alias(f"__bw{i}")
+                for i, w in enumerate(_bitstring_words(F.col("ahash"), n_bits))
+            ],
+        )
         dup_ids = (
             banded(bfp, "ahash")
             .join(sidx, ["__band", "__bkey"])
