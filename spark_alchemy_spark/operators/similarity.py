@@ -1426,13 +1426,19 @@ def make_streaming_ivf_maintainer(
         return max(sizes.values()) * 1_000_000 // total if total else 0
 
     def _maintain_inserts(batch_df, batch_id) -> None:
-        if batch_df.isEmpty():
-            return
         rep = append_ivf_index(
             batch_df, id_col, vec_col, path, batch_id=int(batch_id),
             drift_ratio_threshold=drift_ratio_threshold,
             cents=_cents(),
         )
+        if rep["n_appended"] == 0 and not rep["skipped_replay"]:
+            # empty micro-batch: same silent no-op as before, but
+            # detected by the append's own per-list aggregate instead
+            # of a separate isEmpty() probe job per batch (r10 — the
+            # probe cost one job on EVERY batch to save work only on
+            # the empty ones, which the availableNow file replays
+            # never produce)
+            return
         if rep["skipped_replay"]:
             # engine replay of a batch the index already committed
             # (crash landed between the index commit and the engine
@@ -1586,8 +1592,6 @@ def make_streaming_ivf_maintainer(
                 }
             )
             return
-        if batch_df.isEmpty():
-            return
         # ONE bounded job: ops present, per-op row / distinct-D-U-id /
         # NULL-id counts, and a driver id sample CAPPED at
         # cdc_driver_id_cap (slice applies after the set is built
@@ -1611,6 +1615,12 @@ def make_streaming_ivf_maintainer(
             )
             .collect()
         )
+        if not per_op:
+            # empty micro-batch: same silent no-op as the old
+            # isEmpty() probe, detected by the one bounded per-op
+            # aggregate this path runs anyway (r10: one fewer job on
+            # every non-empty batch)
+            return
         opset = {r["__op"] for r in per_op}
         if not opset <= {"I", "D", "U"}:
             raise ValueError(
