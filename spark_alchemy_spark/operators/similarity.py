@@ -2825,6 +2825,32 @@ def upsert_ivf_index(
     }
 
 
+def _cosine_seq(a: list, b: list) -> float | None:
+    """EXACT driver-side replica of the ``cosine_similarity`` HOF
+    expression: identical IEEE double operations in identical order
+    (left-to-right product accumulation, sqrt'd norms, one multiply
+    then one divide), so a driver-computed centroid ranking is
+    bit-for-bit the JVM ranking.  ``None`` for a zero norm (the
+    expression's non-ANSI 0/0 -> NULL)."""
+    import math
+
+    if len(a) != len(b):
+        return None  # zip_with pads with NULL -> NULL product -> NULL
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        return None
+    return dot / denom
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
@@ -2833,36 +2859,78 @@ def ivf_topk_indexed(
     vec_col: str,
     k: int = 10,
     nprobe: int = 4,
+    max_driver_queries: int = 256,
 ) -> DataFrame:
     """Query a persisted IVF index: assign each query to its ``nprobe``
     nearest centroids, then scan ONLY the matching list partitions
-    (the probed list ids are collected — bounded by
-    nprobe x n_queries — and pushed as a literal partition filter so
+    (the probed list ids are pushed as a literal partition filter so
     pruning happens at planning time).  Returns
-    (query_id, neighbor_id, rank, cos)."""
-    cents = F.broadcast(
-        spark.read.parquet(path + "/centroids").select(
-            F.col("__list").alias("__cent_id"), F.col("__cent")
-        )
-    )
+    (query_id, neighbor_id, rank, cos).
+
+    Query sets at or under ``max_driver_queries`` rows are collected
+    and assigned DRIVER-side against the (n_centroids-row) centroid
+    sidecar (r10): the assignment is queries x centroids x dim scalar
+    work — microseconds — and the driver replica of the cosine fold is
+    bit-identical to the JVM expression (:func:`_cosine_seq`), so the
+    probe set is exactly the JVM path's while skipping the
+    crossJoin + window + distinct-collect job chain the old path paid
+    per call.  Larger query sets keep the distributed assignment."""
+    cents_df = spark.read.parquet(path + "/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     )
-    q_scored = q.crossJoin(cents).withColumn(
-        "__csim", cosine_similarity(F.col("__qv"), F.col("__cent"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__csim").desc(), F.col("__cent_id")
-    )
-    q_assigned = (
-        q_scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= nprobe)
-        .select("query_id", "__qv", F.col("__cent_id").alias("list_id"))
-    )
-    # literal probe set -> planning-time partition pruning on the index
-    probed = sorted(
-        {r["list_id"] for r in q_assigned.select("list_id").distinct().collect()}
-    )
+    qrows = q.limit(max_driver_queries + 1).collect()
+    if len(qrows) <= max_driver_queries:
+        cent_rows = sorted(
+            cents_df.collect(), key=lambda r: int(r["__list"])
+        )
+        assigned_rows = []
+        for r in qrows:
+            ranked = sorted(
+                (
+                    (_cosine_seq(list(r["__qv"]), list(c["__cent"])),
+                     int(c["__list"]))
+                    for c in cent_rows
+                ),
+                # JVM order: __csim DESC NULLS LAST, then __cent_id ASC
+                key=lambda t: (
+                    t[0] is None,
+                    -(t[0] if t[0] is not None else 0.0),
+                    t[1],
+                ),
+            )
+            for _, lid in ranked[:nprobe]:
+                assigned_rows.append((r["query_id"], list(r["__qv"]), lid))
+        qid_t = q.schema["query_id"].dataType.simpleString()
+        q_assigned = spark.createDataFrame(
+            assigned_rows,
+            f"query_id {qid_t}, __qv array<double>, list_id long",
+        )
+        probed = sorted({lid for _, _, lid in assigned_rows})
+    else:
+        cents = F.broadcast(
+            cents_df.select(
+                F.col("__list").alias("__cent_id"), F.col("__cent")
+            )
+        )
+        q_scored = q.crossJoin(cents).withColumn(
+            "__csim", cosine_similarity(F.col("__qv"), F.col("__cent"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__csim").desc(), F.col("__cent_id")
+        )
+        q_assigned = (
+            q_scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "__qv", F.col("__cent_id").alias("list_id"))
+        )
+        # literal probe set -> planning-time partition pruning
+        probed = sorted(
+            {
+                r["list_id"]
+                for r in q_assigned.select("list_id").distinct().collect()
+            }
+        )
     lists = spark.read.parquet(path + "/lists").filter(
         F.col("list_id").isin(*[int(p) for p in probed])
     )
