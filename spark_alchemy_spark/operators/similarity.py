@@ -778,6 +778,145 @@ def _write_index_json_atomic(path: str, name: str, obj: dict) -> None:
         raise
 
 
+def _write_stats_sidecar(spark, path: str, n: int, mean: float | None) -> None:
+    """Overwrite the 1-row ``/stats`` parquet sidecar.  Local-fs
+    indexes write it DRIVER-side (pyarrow, ZERO Spark jobs — r10: the
+    Spark ``createDataFrame(...).write`` cost one job + plan per
+    lifecycle mutation across six call sites, and the value being
+    written is a driver-computed pair anyway); object-store paths keep
+    the Spark write.  Write order mirrors the Spark overwrite's crash
+    profile (new bytes land under a dot-prefixed temp name both
+    readers skip, old files removed, temp renamed in): a crash leaves
+    either the old record or none, never a torn one — and on a
+    transactional index ``txn.json`` stays the authority regardless
+    (``read_index_stats`` resolves it first)."""
+    mean = float(mean) if mean is not None else None  # NULL stays NULL
+    if not _txn_possible(path):
+        spark.createDataFrame(
+            [(int(n), mean)], "n long, mean_assigned_cos double"
+        ).write.mode("overwrite").parquet(path + "/stats")
+        return
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats_dir = _txn_local_path(path, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "n": pa.array([int(n)], pa.int64()),
+            "mean_assigned_cos": pa.array([mean], pa.float64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=stats_dir, prefix=".stats_tmp.")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp)
+        for f in os.listdir(stats_dir):
+            if not f.startswith((".", "_")):
+                os.remove(os.path.join(stats_dir, f))
+        os.replace(tmp, os.path.join(stats_dir, "part-00000.parquet"))
+    except BaseException:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
+
+
+def _read_centroids_rows(spark, path: str) -> list[tuple[int, list[float]]]:
+    """``[(list_id, centroid)]`` sorted by list id for a persisted
+    index's ``/centroids`` sidecar (bounded: n_centroids rows).
+    Local-fs indexes read it DRIVER-side (pyarrow, ZERO Spark jobs —
+    r10: every bounded consumer previously paid a Spark scan + collect
+    job for a KB-scale file); object stores keep the Spark read.  A
+    missing sidecar raises — every caller is operating on an index
+    that must already have one."""
+    if _txn_possible(path):
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        cdir = _txn_local_path(path, "centroids")
+        files = sorted(_glob.glob(_os.path.join(cdir, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"ivf centroids sidecar missing or empty at {cdir}"
+            )
+        rows = [r for f in files for r in _pq.read_table(f).to_pylist()]
+        return sorted(
+            (int(r["__list"]), [float(x) for x in r["__cent"]]) for r in rows
+        )
+    return sorted(
+        (int(r["__list"]), list(r["__cent"]))
+        for r in spark.read.parquet(path + "/centroids").collect()
+    )
+
+
+def _centroids_df(spark, path: str) -> DataFrame:
+    """The ``/centroids`` sidecar as a DataFrame.  Local-fs indexes
+    build it from the driver-side rows (a LocalRelation — broadcasting
+    it for assignment joins then needs no file-scan job); object
+    stores keep the Spark read.  Values are bit-identical either way
+    (parquet float64 -> Python float -> LocalRelation double is an
+    exact IEEE round-trip)."""
+    if _txn_possible(path):
+        return spark.createDataFrame(
+            _read_centroids_rows(spark, path),
+            "__list long, __cent array<double>",
+        )
+    return spark.read.parquet(path + "/centroids")
+
+
+def _write_centroids_sidecar(
+    spark, path: str, rows: list[tuple[int, list[float]]], name: str = "centroids"
+) -> None:
+    """Overwrite the ``/centroids`` (or staged) sidecar from
+    driver-side rows — pyarrow on local fs (ZERO Spark jobs), Spark
+    write otherwise.  Same crash profile as
+    :func:`_write_stats_sidecar`."""
+    if not _txn_possible(path):
+        spark.createDataFrame(
+            [(int(lid), [float(x) for x in c]) for lid, c in rows],
+            "__list long, __cent array<double>",
+        ).write.mode("overwrite").parquet(path + "/" + name)
+        return
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cdir = _txn_local_path(path, name)
+    os.makedirs(cdir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "__list": pa.array([int(lid) for lid, _ in rows], pa.int64()),
+            "__cent": pa.array(
+                [[float(x) for x in c] for _, c in rows],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".cent_tmp.")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp)
+        for f in os.listdir(cdir):
+            if not f.startswith((".", "_")):
+                os.remove(os.path.join(cdir, f))
+        os.replace(tmp, os.path.join(cdir, "part-00000.parquet"))
+    except BaseException:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
+
+
 def _repair_uncommitted_append(
     spark, path: str, batch_id: int, touched: list[int], txn: dict | None
 ) -> None:
@@ -833,10 +972,9 @@ def _repair_uncommitted_append(
                     ignore_errors=True,
                 )
     if txn is not None:
-        spark.createDataFrame(
-            [(int(txn["n"]), float(txn["mean_assigned_cos"]))],
-            "n long, mean_assigned_cos double",
-        ).write.mode("overwrite").parquet(path + "/stats")
+        _write_stats_sidecar(
+            spark, path, int(txn["n"]), float(txn["mean_assigned_cos"])
+        )
 
 
 def _assert_no_uncommitted_delete(path: str) -> None:
@@ -935,6 +1073,7 @@ def build_ivf_index(
             "centroids_trash",
         ):
             shutil.rmtree(_txn_local_path(path, name), ignore_errors=True)
+    spark = corpus.sparkSession
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, iters=train_iters, seed=seed
     )
@@ -952,15 +1091,20 @@ def build_ivf_index(
     ).repartition("list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(path + "/lists")
-    cents.write.mode("overwrite").parquet(path + "/centroids")
+    _write_centroids_sidecar(
+        spark,
+        path,
+        [(int(r["__list"]), list(r["__cent"])) for r in cents.collect()],
+    )
     # assignment-quality sidecar: the exact running (n, mean assigned
     # cosine) over every indexed row — the drift baseline for
     # incremental appends (each batch compares against it, then folds
     # itself in) and the base of rebalance's incremental update
-    assigned.agg(
+    st = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__best_cos").alias("mean_assigned_cos"),
-    ).write.mode("overwrite").parquet(path + "/stats")
+    ).collect()[0]
+    _write_stats_sidecar(spark, path, int(st["n"]), st["mean_assigned_cos"])
 
 
 def _assign_to_lists(
@@ -1095,7 +1239,7 @@ def append_ivf_index(
     # invalidating on rebalance/retrain) skip the per-call sidecar
     # read — one fewer scan per micro-batch on the hot append path
     if cents is None:
-        cents = spark.read.parquet(path + "/centroids")
+        cents = _centroids_df(spark, path)
 
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
         eager=False
@@ -1196,10 +1340,7 @@ def append_ivf_index(
     new_n = base_n + n_batch
     new_mean = (build_mean * base_n + batch_mean * n_batch) / new_n
     if batch_id is None:
-        spark.createDataFrame(
-            [(new_n, new_mean)],
-            "n long, mean_assigned_cos double",
-        ).write.mode("overwrite").parquet(path + "/stats")
+        _write_stats_sidecar(spark, path, new_n, new_mean)
         if _txn_possible(path):
             # a batch-mode append onto a TRANSACTIONAL index (e.g. a
             # bulk backfill after a stream stopped) must keep the
@@ -1243,10 +1384,33 @@ def append_ivf_index(
 
 
 def _list_sizes(spark, path: str) -> dict:
-    """{list_id: rows} for a persisted IVF index — one bounded job
-    (one row per list).  The ONE definition the maintainer seed, its
-    post-split re-seed, and :func:`rebalance_ivf_index` share (round-7
-    review finding: three hand-rolled copies)."""
+    """{list_id: rows} for a persisted IVF index.  The ONE definition
+    the maintainer seed, its post-split re-seed, and
+    :func:`rebalance_ivf_index` share (round-7 review finding: three
+    hand-rolled copies).  Local-fs indexes resolve it from the parquet
+    FOOTERS driver-side (``num_rows`` metadata, no data pages read,
+    ZERO Spark jobs — r10; same file set Spark would list, so the
+    counts are identical by construction, and a list whose files hold
+    zero rows is absent from the map exactly as the groupBy's would
+    be); object stores keep the one bounded Spark job (one row per
+    list)."""
+    if _txn_possible(path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        base = _txn_local_path(path, "lists")
+        sizes: dict = {}
+        for entry in os.scandir(base):
+            if entry.is_dir() and entry.name.startswith("list_id="):
+                lid = int(entry.name.split("=", 1)[1])
+                n = 0
+                for f in os.scandir(entry.path):
+                    if f.is_file() and not f.name.startswith(("_", ".")):
+                        n += pq.ParquetFile(f.path).metadata.num_rows
+                if n > 0:
+                    sizes[lid] = n
+        return sizes
     return {
         int(r["list_id"]): int(r["n"])
         for r in spark.read.parquet(path + "/lists")
@@ -1418,7 +1582,7 @@ def make_streaming_ivf_maintainer(
 
     def _cents():
         if cents_cache[0] is None:
-            cents_cache[0] = spark.read.parquet(path + "/centroids")
+            cents_cache[0] = _centroids_df(spark, path)
         return cents_cache[0]
 
     def _max_share_ppm() -> int:
@@ -1961,10 +2125,9 @@ def rebalance_ivf_index(
     if not hot:
         return report
 
-    cent_rows = {
-        int(r["__list"]): list(r["__cent"])
-        for r in spark.read.parquet(path + "/centroids").collect()
-    }  # bounded: n_centroids rows; collected BEFORE the sidecar rewrite
+    cent_rows = dict(
+        _read_centroids_rows(spark, path)
+    )  # bounded: n_centroids rows; collected BEFORE the sidecar rewrite
     next_id = max(cent_rows) + 1
     reassigned_parts = []
     new_sizes = dict(sizes)
@@ -2059,10 +2222,7 @@ def rebalance_ivf_index(
     finally:
         spark.conf.set(conf_key, old_mode)
 
-    spark.createDataFrame(
-        [(lid, vec) for lid, vec in sorted(cent_rows.items())],
-        "__list long, __cent array<double>",
-    ).write.mode("overwrite").parquet(path + "/centroids")
+    _write_centroids_sidecar(spark, path, sorted(cent_rows.items()))
 
     st = read_index_stats(spark, path)
     if st is not None:  # pre-sidecar index: nothing to update
@@ -2083,10 +2243,7 @@ def rebalance_ivf_index(
                 {**txn, "n": n, "mean_assigned_cos": new_mean},
             )
         else:
-            spark.createDataFrame(
-                [(n, new_mean)],
-                "n long, mean_assigned_cos double",
-            ).write.mode("overwrite").parquet(path + "/stats")
+            _write_stats_sidecar(spark, path, n, new_mean)
 
     report.pop("_cos_delta", None)
     report["max_share_after_ppm"] = (
@@ -2317,7 +2474,7 @@ def retrain_ivf_index(
     k = (
         int(n_centroids)
         if n_centroids is not None
-        else spark.read.parquet(path + "/centroids").count()
+        else len(_read_centroids_rows(spark, path))
     )
     cents = train_ivf_centroids(
         rows, "__v", n_centroids=k, iters=train_iters, seed=seed
@@ -2334,7 +2491,12 @@ def retrain_ivf_index(
     assigned.drop("__best_cos").repartition("list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(path + "/lists_stage")
-    cents.write.mode("overwrite").parquet(path + "/centroids_stage")
+    _write_centroids_sidecar(
+        spark,
+        path,
+        [(int(r["__list"]), list(r["__cent"])) for r in cents.collect()],
+        name="centroids_stage",
+    )
     agg = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__best_cos").alias("m"),
@@ -2376,9 +2538,7 @@ def _finish_retrain_swap(spark, path: str, intent: dict) -> dict:
             os.rename(stage, live)
         # else: a crashed attempt already swapped this sidecar in
     n, mean = int(intent["n"]), float(intent["mean_assigned_cos"])
-    spark.createDataFrame(
-        [(n, mean)], "n long, mean_assigned_cos double"
-    ).write.mode("overwrite").parquet(path + "/stats")
+    _write_stats_sidecar(spark, path, n, mean)
     txn = _read_index_json(path, "txn.json")
     if txn is not None:
         _write_index_json_atomic(
@@ -2576,7 +2736,7 @@ def delete_from_ivf_index(
         # n_centroids rows) so the stats fold can subtract exactly what
         # the build/append folds added
         cents = F.broadcast(
-            spark.read.parquet(path + "/centroids").select(
+            _centroids_df(spark, path).select(
                 F.col("__list").alias("list_id"), F.col("__cent")
             )
         )
@@ -2679,9 +2839,7 @@ def delete_from_ivf_index(
     # COMMIT: absolute post-delete stats from the intent (idempotent —
     # a crash after any partial commit step re-writes the same
     # values), lockstep across both records, intent removed last
-    spark.createDataFrame(
-        [(post_n, post_mean)], "n long, mean_assigned_cos double"
-    ).write.mode("overwrite").parquet(path + "/stats")
+    _write_stats_sidecar(spark, path, post_n, post_mean)
     if txn is not None:
         _write_index_json_atomic(
             path,
@@ -2875,22 +3033,20 @@ def ivf_topk_indexed(
     probe set is exactly the JVM path's while skipping the
     crossJoin + window + distinct-collect job chain the old path paid
     per call.  Larger query sets keep the distributed assignment."""
-    cents_df = spark.read.parquet(path + "/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     )
     qrows = q.limit(max_driver_queries + 1).collect()
     if len(qrows) <= max_driver_queries:
-        cent_rows = sorted(
-            cents_df.collect(), key=lambda r: int(r["__list"])
-        )
+        # centroid sidecar read is driver-side too (r10): the whole
+        # assignment needs zero Spark jobs beyond the query collect
+        cent_rows = _read_centroids_rows(spark, path)
         assigned_rows = []
         for r in qrows:
             ranked = sorted(
                 (
-                    (_cosine_seq(list(r["__qv"]), list(c["__cent"])),
-                     int(c["__list"]))
-                    for c in cent_rows
+                    (_cosine_seq(list(r["__qv"]), cvec), clid)
+                    for clid, cvec in cent_rows
                 ),
                 # JVM order: __csim DESC NULLS LAST, then __cent_id ASC
                 key=lambda t: (
@@ -2909,7 +3065,7 @@ def ivf_topk_indexed(
         probed = sorted({lid for _, _, lid in assigned_rows})
     else:
         cents = F.broadcast(
-            cents_df.select(
+            _centroids_df(spark, path).select(
                 F.col("__list").alias("__cent_id"), F.col("__cent")
             )
         )

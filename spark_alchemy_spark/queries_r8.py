@@ -583,6 +583,7 @@ def ann_ivf_delete(spark, sf_dir):
 
     from .operators.similarity import (
         _assign_to_lists,
+        _centroids_df,
         append_ivf_index,
         delete_from_ivf_index,
         ivf_topk_indexed,
@@ -658,7 +659,7 @@ def ann_ivf_delete(spark, sf_dir):
         F.sum(F.col("vec_id").isin(flagged).cast("long")).alias("hit"),
     ).collect()[0]
     stats_n, stats_mean = read_index_stats(spark, idx_path)
-    cents = spark.read.parquet(idx_path + "/centroids")
+    cents = _centroids_df(spark, idx_path)
     rescored = (
         _assign_to_lists(lists, "vec_id", "__v", cents)
         .agg(F.avg("__best_cos").alias("m"))

@@ -270,6 +270,7 @@ def ann_ivf_upsert(spark, sf_dir):
 
     from .operators.similarity import (
         _assign_to_lists,
+        _centroids_df,
         read_index_stats,
         upsert_ivf_index,
     )
@@ -361,7 +362,7 @@ def ann_ivf_upsert(spark, sf_dir):
         .collect()[0]
     )
     stats_n, stats_mean = read_index_stats(spark, idx_path)
-    cents = spark.read.parquet(idx_path + "/centroids")
+    cents = _centroids_df(spark, idx_path)
     rescored = (
         _assign_to_lists(lists, "vec_id", "__v", cents)
         .agg(F.avg("__best_cos").alias("m"))
@@ -440,6 +441,7 @@ def ann_ivf_retrain(spark, sf_dir):
 
     from .operators.similarity import (
         _assign_to_lists,
+        _centroids_df,
         append_ivf_index,
         read_index_stats,
         retrain_ivf_index,
@@ -477,7 +479,7 @@ def ann_ivf_retrain(spark, sf_dir):
         F.countDistinct("vec_id").alias("nid"),
     ).collect()[0]
     stats_n, stats_mean = read_index_stats(spark, idx_path)
-    cents = spark.read.parquet(idx_path + "/centroids")
+    cents = _centroids_df(spark, idx_path)
     rescored = (
         _assign_to_lists(lists, "vec_id", "__v", cents)
         .agg(F.avg("__best_cos").alias("m"))
