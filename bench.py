@@ -64,6 +64,21 @@ def main():
         spark.read.format("synth_events").option("n", 64).option(
             "numPartitions", 2
         ).load().write.format("noop").mode("overwrite").save()
+        # the Python DataSource WRITER runs through its own
+        # pickled-command setup (datasource registration + write-commit
+        # round trips), not the reader pool warmed above — first use
+        # measured ~2.3s on top of the 0.8s warm entry wall
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        pyds.register_sink(spark)
+        sink_warm = _tempfile.mkdtemp(prefix="bench_sink_warm_")
+        try:
+            tiny.limit(4).coalesce(1).write.format("jsonl_sink").option(
+                "path", sink_warm
+            ).mode("append").save()
+        finally:
+            _shutil.rmtree(sink_warm, ignore_errors=True)
 
         # The iterative dedup/graph family (window-lead shingle builder,
         # sort-merge self-join, localCheckpoint/MemoryStore, broadcast
