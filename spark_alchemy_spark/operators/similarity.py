@@ -691,7 +691,12 @@ def _txn_local_path(path: str, name: str) -> str:
 
 def _txn_possible(path: str) -> bool:
     """True iff ``path`` can carry the local-fs JSON transaction log
-    (see :func:`_txn_local_path` — object stores use a table format)."""
+    (see :func:`_txn_local_path` — object stores use a table format).
+    A scheme-less path is treated as DRIVER-LOCAL throughout the
+    lifecycle (txn records, metadata scans, and the r10 sidecar fast
+    paths alike) — on a cluster whose default filesystem is remote,
+    index paths must carry their scheme (``hdfs://``, ``s3a://``, …)
+    to route through the Spark reads/writes."""
     return "://" not in path or path.startswith("file://")
 
 
@@ -715,18 +720,10 @@ def read_index_stats(spark, path: str) -> tuple[int, float] | None:
         # per call, and every lifecycle entry + every batch-mode append
         # baseline resolution calls this).  A corrupt file still
         # raises; only a MISSING sidecar returns None.
-        import glob as _glob
-        import os as _os
-
         stats_dir = _txn_local_path(path, "stats")
-        if not _os.path.isdir(stats_dir):
+        rows = _read_local_sidecar_rows(stats_dir)
+        if not rows:
             return None
-        import pyarrow.parquet as _pq
-
-        files = sorted(_glob.glob(_os.path.join(stats_dir, "*.parquet")))
-        if not files:
-            return None
-        rows = [r for f in files for r in _pq.read_table(f).to_pylist()]
         if len(rows) != 1:
             raise ValueError(
                 f"ivf stats sidecar at {stats_dir} holds {len(rows)} rows; "
@@ -778,6 +775,49 @@ def _write_index_json_atomic(path: str, name: str, obj: dict) -> None:
         raise
 
 
+def _overwrite_local_sidecar(dir_path: str, tbl) -> None:
+    """THE local-fs sidecar overwrite protocol (one definition for
+    stats and centroids): write ``tbl`` (a pyarrow Table) under a
+    dot-prefixed temp name both readers skip, remove the old visible
+    files, rename the temp in.  A crash leaves either the old record
+    or none, never a torn one — the same profile as the Spark
+    overwrite this replaces."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dir_path, prefix=".sidecar_tmp.")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp)
+        for f in os.listdir(dir_path):
+            if not f.startswith((".", "_")):
+                os.remove(os.path.join(dir_path, f))
+        os.replace(tmp, os.path.join(dir_path, "part-00000.parquet"))
+    except BaseException:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
+
+
+def _read_local_sidecar_rows(dir_path: str) -> list[dict]:
+    """THE local-fs sidecar read (one definition): every non-hidden
+    parquet file under ``dir_path``, driver-side, as plain dicts.
+    Empty list for a missing/empty dir — callers decide whether that
+    is a legal pre-sidecar state or corruption."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(_os.path.join(dir_path, "*.parquet")))
+    return [r for f in files for r in _pq.read_table(f).to_pylist()]
+
+
 def _write_stats_sidecar(spark, path: str, n: int, mean: float | None) -> None:
     """Overwrite the 1-row ``/stats`` parquet sidecar.  Local-fs
     indexes write it DRIVER-side (pyarrow, ZERO Spark jobs — r10: the
@@ -796,34 +836,17 @@ def _write_stats_sidecar(spark, path: str, n: int, mean: float | None) -> None:
             [(int(n), mean)], "n long, mean_assigned_cos double"
         ).write.mode("overwrite").parquet(path + "/stats")
         return
-    import os
-    import tempfile
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    stats_dir = _txn_local_path(path, "stats")
-    os.makedirs(stats_dir, exist_ok=True)
-    tbl = pa.table(
-        {
-            "n": pa.array([int(n)], pa.int64()),
-            "mean_assigned_cos": pa.array([mean], pa.float64()),
-        }
+    _overwrite_local_sidecar(
+        _txn_local_path(path, "stats"),
+        pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "mean_assigned_cos": pa.array([mean], pa.float64()),
+            }
+        ),
     )
-    fd, tmp = tempfile.mkstemp(dir=stats_dir, prefix=".stats_tmp.")
-    os.close(fd)
-    try:
-        pq.write_table(tbl, tmp)
-        for f in os.listdir(stats_dir):
-            if not f.startswith((".", "_")):
-                os.remove(os.path.join(stats_dir, f))
-        os.replace(tmp, os.path.join(stats_dir, "part-00000.parquet"))
-    except BaseException:
-        import contextlib
-
-        with contextlib.suppress(OSError):
-            os.remove(tmp)
-        raise
 
 
 def _read_centroids_rows(spark, path: str) -> list[tuple[int, list[float]]]:
@@ -835,18 +858,12 @@ def _read_centroids_rows(spark, path: str) -> list[tuple[int, list[float]]]:
     missing sidecar raises — every caller is operating on an index
     that must already have one."""
     if _txn_possible(path):
-        import glob as _glob
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
         cdir = _txn_local_path(path, "centroids")
-        files = sorted(_glob.glob(_os.path.join(cdir, "*.parquet")))
-        if not files:
+        rows = _read_local_sidecar_rows(cdir)
+        if not rows:
             raise FileNotFoundError(
                 f"ivf centroids sidecar missing or empty at {cdir}"
             )
-        rows = [r for f in files for r in _pq.read_table(f).to_pylist()]
         return sorted(
             (int(r["__list"]), [float(x) for x in r["__cent"]]) for r in rows
         )
@@ -884,37 +901,20 @@ def _write_centroids_sidecar(
             "__list long, __cent array<double>",
         ).write.mode("overwrite").parquet(path + "/" + name)
         return
-    import os
-    import tempfile
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    cdir = _txn_local_path(path, name)
-    os.makedirs(cdir, exist_ok=True)
-    tbl = pa.table(
-        {
-            "__list": pa.array([int(lid) for lid, _ in rows], pa.int64()),
-            "__cent": pa.array(
-                [[float(x) for x in c] for _, c in rows],
-                pa.list_(pa.float64()),
-            ),
-        }
+    _overwrite_local_sidecar(
+        _txn_local_path(path, name),
+        pa.table(
+            {
+                "__list": pa.array([int(lid) for lid, _ in rows], pa.int64()),
+                "__cent": pa.array(
+                    [[float(x) for x in c] for _, c in rows],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
     )
-    fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".cent_tmp.")
-    os.close(fd)
-    try:
-        pq.write_table(tbl, tmp)
-        for f in os.listdir(cdir):
-            if not f.startswith((".", "_")):
-                os.remove(os.path.join(cdir, f))
-        os.replace(tmp, os.path.join(cdir, "part-00000.parquet"))
-    except BaseException:
-        import contextlib
-
-        with contextlib.suppress(OSError):
-            os.remove(tmp)
-        raise
 
 
 def _repair_uncommitted_append(

@@ -42,21 +42,27 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-#: session-level DataFrame cache: resolving a parquet DataFrame costs
-#: ~70-100 ms per table per call (DataSource resolution + schema
-#: inference + analysis round trips) and every battery entry re-loads
-#: its tables — ~30 s across a 306-entry run for identical immutable
-#: inputs (r10, measured).  The cached object is a lazy plan over a
-#: static deterministic file set, so reuse changes nothing but cost;
-#: the temp view is still (re-)registered on EVERY load so view state
-#: stays exactly as before.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve one base table, memoized PER SESSION OBJECT: resolving
+    a parquet DataFrame costs ~70-100 ms per call (DataSource
+    resolution + schema inference + analysis round trips) and every
+    battery entry re-loads its tables — ~30 s across a 306-entry run
+    for identical immutable inputs (r10, measured).  The cached object
+    is a lazy plan over a static deterministic file set, so reuse
+    changes nothing but cost; the temp view is still (re-)registered
+    on EVERY load so view state stays exactly as before.  The cache
+    dict lives ON the SparkSession (DataFrames are bound to the
+    session that created them — a ``newSession()`` sharing the
+    applicationId must NOT see another session's plans — and the
+    cache dies with the session object, so nothing accumulates across
+    session rebuilds)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    cache = getattr(spark, "_sas_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sas_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for c in TIMESTAMP_NANOS_COLS.get(name, ()):
@@ -64,7 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                 )
-        _TABLE_CACHE[key] = df
+        cache[key] = df
     return df
 
 
