@@ -63,6 +63,8 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 __all__ = [
     "PRE_TOKEN_RE",
     "bpe_words",
@@ -249,7 +251,7 @@ def train_bpe_merges(
             # linearly in rounds (pagerank's checkpoint cadence)
             state = state.localCheckpoint(eager=False)
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "step int, lhs string, rhs string, n long"
     )
 

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localframe import local_frame
+
 from ..functions.text import doc_fingerprint, lang_id, quality_flags, token_count
 from .dedup import minhash_lsh_pairs
 from .graph import connected_components
@@ -121,7 +123,7 @@ def apply_near_dedup(
     id_type = exact.schema[id_col].dataType
     if n_pairs <= driver_pair_limit:
         losers = _pair_losers(pairs)
-        loser_df = exact.sparkSession.createDataFrame(
+        loser_df = local_frame(exact.sparkSession, 
             [(i,) for i in sorted(losers)],
             T.StructType([T.StructField(id_col, id_type)]),
         )

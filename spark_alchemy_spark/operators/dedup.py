@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from ..functions.text import exploded_shingles, shingles_from_tokens, tokens
 
 
@@ -1467,7 +1469,7 @@ def pairs_to_comp_map(
         # must agree with the distributed fallback — same pattern as
         # the cross-set cosine kernels; round-7 ADVICE finding)
         node_t = pairs.schema["id_a"].dataType.simpleString()
-        return pairs.sparkSession.createDataFrame(
+        return local_frame(pairs.sparkSession, 
             [(x, find(x)) for x in parent],
             f"node {node_t}, comp {node_t}",
         )

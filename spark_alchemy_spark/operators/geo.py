@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 EARTH_RADIUS_KM = 6371.0
 #: km per degree of latitude CONSISTENT WITH the haversine's sphere
 #: (pi*R/180 = 111.195).  The popular 111.32 figure is the WGS84
@@ -133,7 +135,7 @@ def radius_join(
         ),
     ).withColumn("cy", F.floor(F.col("__lat") / F.lit(cell_lat_deg)).cast("long"))
     dxs = [-1, 0, 1] if n_lon_cells > 1 else [0]
-    offsets = spark.createDataFrame(
+    offsets = local_frame(spark, 
         [(dx, dy) for dx in dxs for dy in (-1, 0, 1)], "dx long, dy long"
     )
     probe = with_cell.crossJoin(F.broadcast(offsets)).select(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from ..functions.text import shingles_from_tokens, tokens
 
 
@@ -626,7 +628,7 @@ def mixture_plan(
     wsum = sum(wi.values())
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
-    wdf = df.sparkSession.createDataFrame(
+    wdf = local_frame(df.sparkSession, 
         sorted(wi.items()), f"{stratum_col} string, __w long"
     )
     avail = df.groupBy(stratum_col).agg(

@@ -23,6 +23,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from .dedup import _as_double, cosine_similarity
 
 
@@ -367,7 +369,7 @@ def _lloyd_local(spark, sample_df, n_centroids: int, iters: int, seed: int):
                 if n > 0:
                     nxt[j] = mu / n
         cents = nxt
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "__list long, __cent array<double>",
     )
@@ -832,7 +834,7 @@ def _write_stats_sidecar(spark, path: str, n: int, mean: float | None) -> None:
     (``read_index_stats`` resolves it first)."""
     mean = float(mean) if mean is not None else None  # NULL stays NULL
     if not _txn_possible(path):
-        spark.createDataFrame(
+        local_frame(spark, 
             [(int(n), mean)], "n long, mean_assigned_cos double"
         ).write.mode("overwrite").parquet(path + "/stats")
         return
@@ -881,7 +883,7 @@ def _centroids_df(spark, path: str) -> DataFrame:
     (parquet float64 -> Python float -> LocalRelation double is an
     exact IEEE round-trip)."""
     if _txn_possible(path):
-        return spark.createDataFrame(
+        return local_frame(spark, 
             _read_centroids_rows(spark, path),
             "__list long, __cent array<double>",
         )
@@ -896,7 +898,7 @@ def _write_centroids_sidecar(
     write otherwise.  Same crash profile as
     :func:`_write_stats_sidecar`."""
     if not _txn_possible(path):
-        spark.createDataFrame(
+        local_frame(spark, 
             [(int(lid), [float(x) for x in c]) for lid, c in rows],
             "__list long, __cent array<double>",
         ).write.mode("overwrite").parquet(path + "/" + name)
@@ -1154,6 +1156,126 @@ def _assign_to_lists(
     )
 
 
+def _scan_list_files(path: str) -> dict:
+    """{(list_id, filename): num_rows-or-None} over a local index's
+    ``/lists`` tree — names only (num_rows filled lazily by the
+    caller's diff, so the pre-write snapshot costs two scandirs and no
+    footer reads)."""
+    import os
+
+    base = _txn_local_path(path, "lists")
+    out: dict = {}
+    if not os.path.isdir(base):
+        return out
+    for entry in os.scandir(base):
+        if entry.is_dir() and entry.name.startswith("list_id="):
+            lid = int(entry.name.split("=", 1)[1])
+            for f in os.scandir(entry.path):
+                if f.is_file() and not f.name.startswith(("_", ".")):
+                    out[(lid, f.name)] = None
+    return out
+
+
+def _append_batch_fused(
+    spark,
+    new_batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    drift_ratio_threshold: float,
+    cents: DataFrame,
+    st: tuple,
+) -> dict:
+    """ONE-action batch append (r11): the partitioned append write
+    carries the drift aggregates as observed metrics, and the exact
+    per-list appended row counts are read back from the NEW parquet
+    files' footers (driver-side metadata, zero Spark jobs).  Replaces
+    the separate groupBy-collect action the two-action path pays —
+    report values are identical: the observed (count, non-null count,
+    sum of ``__best_cos``) are the same aggregates the collect
+    computed, and the footer counts are the same per-list totals by
+    construction (same files Spark wrote).  Only reachable for
+    ``batch_id is None`` on a local-fs index with a resolvable stats
+    baseline (see call site)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Observation
+
+    import os
+
+    base_n, build_mean = int(st[0]), float(st[1])
+    pre = _scan_list_files(path)
+    obs = Observation()
+    assigned = _assign_to_lists(new_batch, id_col, vec_col, cents)
+    to_write = (
+        assigned.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count("__best_cos").alias("ns"),
+            F.sum("__best_cos").alias("s"),
+        )
+        .drop("__best_cos")
+        .withColumn("__batch", F.lit(_BASE_BATCH))
+    )
+    to_write.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path + "/lists")
+    m = obs.get
+    n_batch = int(m["n"])
+    if n_batch == 0:
+        # empty batch: the write landed no files (footer diff would be
+        # empty too) — same no-op report as the two-action path
+        return {
+            "n_appended": 0,
+            "batch_mean_cos": None,
+            "build_mean_cos": None,
+            "drift_ratio": 1.0,
+            "retrain_recommended": False,
+            "list_counts": {},
+            "skipped_replay": False,
+        }
+    n_scored = int(m["ns"])
+    batch_mean = (float(m["s"]) / n_scored) if n_scored else 0.0
+    lists_base = _txn_local_path(path, "lists")
+    list_counts: dict = {}
+    n_footer = 0
+    for lid, fname in _scan_list_files(path):
+        if (lid, fname) not in pre:
+            nrows = pq.ParquetFile(
+                os.path.join(lists_base, f"list_id={lid}", fname)
+            ).metadata.num_rows
+            list_counts[lid] = list_counts.get(lid, 0) + nrows
+            n_footer += nrows
+    if n_footer != n_batch:
+        raise RuntimeError(
+            f"ivf append wrote {n_footer} rows by parquet footer but "
+            f"observed {n_batch} in the write job — a second writer "
+            "touched the index mid-append"
+        )
+    list_counts = {lid: n for lid, n in list_counts.items() if n > 0}
+    new_n = base_n + n_batch
+    new_mean = (build_mean * base_n + batch_mean * n_batch) / new_n
+    _write_stats_sidecar(spark, path, new_n, new_mean)
+    prior = _read_index_json(path, "txn.json")
+    if prior is not None:
+        # keep the authoritative txn record in lockstep (bulk backfill
+        # onto a transactional index — same rule as the two-action path)
+        _write_index_json_atomic(
+            path,
+            "txn.json",
+            {**prior, "n": new_n, "mean_assigned_cos": new_mean},
+        )
+    ratio = (batch_mean / build_mean) if build_mean else 1.0
+    return {
+        "n_appended": n_batch,
+        "batch_mean_cos": batch_mean,
+        "build_mean_cos": build_mean,
+        "drift_ratio": ratio,
+        "retrain_recommended": bool(ratio < drift_ratio_threshold),
+        "list_counts": list_counts,
+        "skipped_replay": False,
+    }
+
+
 def append_ivf_index(
     new_batch: DataFrame,
     id_col: str,
@@ -1240,6 +1362,25 @@ def append_ivf_index(
     # read — one fewer scan per micro-batch on the hot append path
     if cents is None:
         cents = _centroids_df(spark, path)
+
+    if batch_id is None and _txn_possible(path):
+        # BATCH-mode fast path (r11, guide §1.2/§5): no txn intent is
+        # written (only streaming appends carry replay repair), so
+        # nothing needs the touched-list set BEFORE the rows land —
+        # the whole append can be ONE Spark action.  The write itself
+        # carries the drift aggregates via ``observe`` and the exact
+        # per-list appended counts come from the new files' parquet
+        # footers afterwards (driver-side metadata, zero jobs — the
+        # ``_list_sizes`` convention).  Requires the stats sidecar
+        # (baseline resolved driver-side); a pre-sidecar index stays
+        # on the two-action path below because its baseline rescan
+        # must run before the write.
+        st = read_index_stats(spark, path)
+        if st is not None:
+            return _append_batch_fused(
+                spark, new_batch, id_col, vec_col, path,
+                drift_ratio_threshold, cents, st,
+            )
 
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(
         eager=False
@@ -2152,7 +2293,7 @@ def rebalance_ivf_index(
             (lid if int(r["__list"]) == 0 else child_b): list(r["__cent"])
             for r in sub.collect()
         }
-        sub_ids = spark.createDataFrame(
+        sub_ids = local_frame(spark, 
             sorted(subs.items()), "__list long, __cent array<double>"
         )
         assigned = _assign_to_lists(
@@ -3058,7 +3199,7 @@ def ivf_topk_indexed(
             for _, lid in ranked[:nprobe]:
                 assigned_rows.append((r["query_id"], list(r["__qv"]), lid))
         qid_t = q.schema["query_id"].dataType.simpleString()
-        q_assigned = spark.createDataFrame(
+        q_assigned = local_frame(spark, 
             assigned_rows,
             f"query_id {qid_t}, __qv array<double>, list_id long",
         )
@@ -3430,7 +3571,7 @@ def ivfpq_topk(
         for i in range(len(q_ids))
         for l in np.argsort(-sims[i], kind="stable")[:nprobe]
     ]
-    probes = spark.createDataFrame(
+    probes = local_frame(spark, 
         probe_pairs, "query_id long, __list int"
     )
     luts = {

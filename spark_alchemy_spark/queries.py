@@ -59,6 +59,25 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
+def _overlap(*thunks):
+    """Run independent read-only driver actions concurrently (guide
+    §2.6: actions are only sequential because the driver calls them
+    sequentially).  The lifecycle entries' verify tails are 2-3
+    independent bounded reads of the finished index — each one is
+    job-count-bound (AQE stage jobs + planning gaps, not data), so
+    overlapping them hides one action's driver-side gaps behind
+    another's tasks.  Results come back in argument order; any
+    exception propagates.  ONLY for actions with no mutation and no
+    ordering contract between them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 # ---------------------------------------------------------------------------
 # HLL sketch algebra (reference surface, SURVEY.md §2.1)
 # ---------------------------------------------------------------------------

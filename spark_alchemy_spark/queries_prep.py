@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .operators.prep import fraction_threshold
 from .queries import _t, query
 
@@ -853,7 +855,7 @@ def stream_mor_upserts(spark, sf_dir):
     )
     q.awaitTermination()
     log = spark.read.parquet(logdir)
-    base = spark.createDataFrame([], log.schema)
+    base = local_frame(spark, [], log.schema)
     return merge_on_read(base, log, "user_id", "ts", tiebreak="seq")
 
 
@@ -1059,7 +1061,7 @@ def nonequi_band_join_pricing(spark, sf_dir):
     the band table is tiny).  Completes the join matrix next to
     equi/broadcast/semi/anti/range/as-of."""
     (part,) = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_frame(spark, 
         [("budget", 0.0, 930.0), ("mid", 930.0, 970.0),
          ("premium", 970.0, 100000.0)],
         "band string, lo double, hi double",

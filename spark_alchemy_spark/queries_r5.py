@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .operators.bpe import PRE_TOKEN_RE
 from .queries import _t, query
 from .queries_scale import _cc_close_sql
@@ -261,7 +263,7 @@ def plan_cms_join_choice(spark, sf_dir):
     )
     p2 = j2._jdf.queryExecution().executedPlan().toString()
     n2 = j2.count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             ("small_dim", n1, "BroadcastHashJoin" in p1),
             ("big_fact", n2, "SortMergeJoin" in p2
@@ -326,7 +328,7 @@ def bpe_train_merges(spark, sf_dir):
     a training pipeline consumes.  Shares one training run with
     ``bpe_encode_corpus`` via ``_trained_merges``."""
     _, merges = _trained_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "step int, lhs string, rhs string, n long"
     )
 
@@ -347,7 +349,7 @@ def bpe_train_punct(spark, sf_dir):
     real punctuation/digit runs, hash-matched against the unrolled
     DuckDB replay."""
     _, merges = _trained_merges(spark, sf_dir, corpus="punct")
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges, "step int, lhs string, rhs string, n long"
     )
 
@@ -544,7 +546,7 @@ def bpe_vocab_table(spark, sf_dir):
         (l + r, "merged", len(base_syms) + step - 1)
         for step, l, r, _ in merges
     ]
-    vocab = spark.createDataFrame(
+    vocab = local_frame(spark, 
         vocab_rows, "symbol string, kind string, token_id long"
     )
     return vocab.join(occ, "symbol", "left").select(

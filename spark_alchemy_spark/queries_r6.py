@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .operators.bpe import PRE_TOKEN_RE
 from .queries import _t, query
 from .queries_scale import _cc_close_sql
@@ -138,7 +140,7 @@ def dedup_semantic_selective(spark, sf_dir):
         ).alias("b"),
     ).collect()[0]
     n_a, n_b = int(counts["a"] or 0), int(counts["b"] or 0)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 2 * n_base,
@@ -400,7 +402,7 @@ def plan_cms_skew_salting(spark, sf_dir):
         and "__salt" not in plan2
         and "SortMergeJoin" in plan2
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             ("skewed_salted", n1, p1["strategy"], ok1),
             ("uniform_merge", n2, p2["strategy"], ok2),
@@ -592,7 +594,7 @@ def quality_linear_probe(spark, sf_dir):
     quality probe plugs annotation labels into the same machinery
     (``operators/probe.py::fit_linear_probe_ppm``)."""
     n, (b0, b1, b2) = _probe_coeffs(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(n, b0, b1, b2)],
         "n_rows long, b0_ppm long, b1_ppm long, b2_ppm long",
     )
@@ -960,31 +962,33 @@ def ann_ivf_rebalance(spark, sf_dir):
 
     n_corpus = read_index_stats(spark, path)[0]
     rep = rebalance_ivf_index(spark, path, "vec_id", split_ratio=2.0)
-    conserve = (
-        spark.read.parquet(path + "/lists")
+    # the conservation recount and the indexed probe are independent
+    # bounded reads of the finished index — overlap them (guide §2.6)
+    from .queries import _overlap
+
+    conserve, top = _overlap(
+        lambda: spark.read.parquet(path + "/lists")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("vec_id").alias("nid"),
         )
-        .collect()[0]
-    )
-    n_after, n_ids = int(conserve["n"]), int(conserve["nid"])
-    probe = ivf_topk_indexed(
-        spark,
-        path,
-        base.select("vec_id", "embedding"),
-        "vec_id",
-        "embedding",
-        k=2,
-        nprobe=2,
-    )
-    top = (
-        probe.filter(F.col("neighbor_id") >= 30_000_000)
+        .collect()[0],
+        lambda: ivf_topk_indexed(
+            spark,
+            path,
+            base.select("vec_id", "embedding"),
+            "vec_id",
+            "embedding",
+            k=2,
+            nprobe=2,
+        )
+        .filter(F.col("neighbor_id") >= 30_000_000)
         .orderBy(F.desc("cos"))
         .limit(1)
-        .collect()
+        .collect(),
     )
-    return spark.createDataFrame(
+    n_after, n_ids = int(conserve["n"]), int(conserve["nid"])
+    return local_frame(spark, 
         [
             (
                 n_corpus,
@@ -1034,7 +1038,7 @@ def quality_probe_by_lang(spark, sf_dir):
         for g in fits
         if g["coeffs_ppm"] is not None
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "lang string, n_rows long, b0_ppm long, b1_ppm long, b2_ppm long",
     )

@@ -29,8 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .operators.bpe import PRE_TOKEN_RE
-from .queries import _t, query
+from .queries import _overlap, _t, query
 from .queries_r6 import (
     _PROBE_COEF_SQL,
     _PROBE_FEATS_SQL,
@@ -92,7 +94,7 @@ def quality_probe_ridge(spark, sf_dir):
         _probe_feats(documents), ["x1", "x2"], "n_chars",
         list(_RIDGE_LAMBDAS),
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["ridge_lambda"], r["n"], *r["coeffs_ppm"])
             for r in path
@@ -390,24 +392,24 @@ def stream_ivf_rebalance(spark, sf_dir):
 
     rebal_idx = [i for i, e in enumerate(log) if e["rebalanced"]]
     first_rb = log[rebal_idx[0]]["rebalance_report"] if rebal_idx else None
-    conserve = (
-        spark.read.parquet(idx_path + "/lists")
+    # the conservation recount and the indexed probe are independent
+    # bounded reads of the finished index — overlap them (guide §2.6)
+    conserve, top = _overlap(
+        lambda: spark.read.parquet(idx_path + "/lists")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("vec_id").alias("nid"),
         )
-        .collect()[0]
-    )
-    top = (
-        ivf_topk_indexed(
+        .collect()[0],
+        lambda: ivf_topk_indexed(
             spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
         )
         .filter(F.col("neighbor_id") >= 30_000_000)
         .orderBy(F.desc("cos"))
         .limit(1)
-        .collect()
+        .collect(),
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -589,7 +591,7 @@ def stream_probe_incremental_fit(spark, sf_dir):
         # contract (round-8 ADVICE: an opaque TypeError otherwise)
         raise ZeroDivisionError("singular normal-equation system")
     b_n, b_coeffs = _probe_coeffs(spark, sf_dir)  # the batch fit (cached)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 len(st["log"]),
@@ -643,7 +645,7 @@ def quality_probe_weighted(spark, sf_dir):
     res = fit_linear_probe_ppm(
         feats, ["x1", "x2"], "n_chars", weight_col="w"
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(res["n"], *res["coeffs_ppm"])],
         "total_weight long, b0_ppm long, b1_ppm long, b2_ppm long",
     )

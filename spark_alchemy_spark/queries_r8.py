@@ -27,7 +27,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from .queries import _t, query
+from .localframe import local_frame
+
+from .queries import _overlap, _t, query
 from .queries_r6 import (
     _PROBE_FEATS_SQL,
     _PROBE_R2_SQL,
@@ -182,7 +184,7 @@ def stream_ivf_recovery(spark, sf_dir):
     from .operators.similarity import read_index_stats
 
     stats_n = read_index_stats(spark, idx_path)[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -291,25 +293,25 @@ def ann_ivf_compaction(spark, sf_dir):
     hot_expected = sorted(lid for lid, c in before.items() if c > 2)
     rep = compact_ivf_index(spark, idx_path, max_files_per_list=2)
 
-    conserve = (
-        spark.read.parquet(idx_path + "/lists")
+    stats_n = read_index_stats(spark, idx_path)[0]
+    # the conservation recount and the indexed probe are independent
+    # bounded reads of the finished index — overlap them (guide §2.6)
+    conserve, top = _overlap(
+        lambda: spark.read.parquet(idx_path + "/lists")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("vec_id").alias("nid"),
         )
-        .collect()[0]
-    )
-    stats_n = read_index_stats(spark, idx_path)[0]
-    top = (
-        ivf_topk_indexed(
+        .collect()[0],
+        lambda: ivf_topk_indexed(
             spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
         )
         .filter(F.col("neighbor_id") >= 50_000_000)
         .orderBy(F.desc("cos"))
         .limit(1)
-        .collect()
+        .collect(),
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -410,7 +412,7 @@ def quality_probe_r2(spark, sf_dir):
                 res["r2_ppm"] if with_r2 else None,
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "ridge_lambda long, weighted boolean, n_rows long, b0_ppm long,"
         " b1_ppm long, b2_ppm long, r2_ppm long",
@@ -653,28 +655,61 @@ def ann_ivf_delete(spark, sf_dir):
     cold_after = snapshot(rep["affected_list_ids"])
 
     lists = spark.read.parquet(idx_path + "/lists")
-    agg = lists.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("vec_id").alias("nid"),
-        F.sum(F.col("vec_id").isin(flagged).cast("long")).alias("hit"),
-    ).collect()[0]
     stats_n, stats_mean = read_index_stats(spark, idx_path)
     cents = _centroids_df(spark, idx_path)
-    rescored = (
-        _assign_to_lists(lists, "vec_id", "__v", cents)
-        .agg(F.avg("__best_cos").alias("m"))
-        .collect()[0]
-    )
-    top = (
-        ivf_topk_indexed(
-            spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
+    # ONE verify pass instead of two (r11, guide §1.2: the checks
+    # stay, the actions merge): raw count + deleted-id hits ride the
+    # rescore scan as observed metrics (pre-collapse — _assign_to_lists
+    # groups by id, so these must be measured on the RAW rows), and the
+    # distinct-id count is the rescore's own row count (count of
+    # non-null ids over one-row-per-distinct-id output == the old
+    # countDistinct, without the expand plan).  The mean check is
+    # unchanged in value: same rows, same expression, same avg.  The
+    # rescore and the indexed probe are independent bounded reads of
+    # the finished index, so they overlap (§2.6).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def _verify():
+        return (
+            _assign_to_lists(
+                lists.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.col("vec_id").isin(flagged).cast("long")
+                    ).alias("hit"),
+                ),
+                "vec_id",
+                "__v",
+                cents,
+            )
+            .agg(
+                F.count("vec_id").alias("nid"),
+                F.avg("__best_cos").alias("m"),
+            )
+            .collect()[0]
         )
-        .filter(F.col("neighbor_id") >= 50_000_000)
-        .orderBy(F.desc("cos"))
-        .limit(1)
-        .collect()
-    )
-    return spark.createDataFrame(
+
+    def _probe():
+        return (
+            ivf_topk_indexed(
+                spark, idx_path, base, "vec_id", "embedding", k=2, nprobe=2
+            )
+            .filter(F.col("neighbor_id") >= 50_000_000)
+            .orderBy(F.desc("cos"))
+            .limit(1)
+            .collect()
+        )
+
+    (rescored, top) = _overlap(_verify, _probe)
+    agg = {
+        "n": int(obs.get["n"]),
+        "nid": int(rescored["nid"]),
+        "hit": int(obs.get["hit"] or 0),
+    }
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -799,7 +834,7 @@ def stream_ivf_cdc(spark, sf_dir):
             F.lit(1).alias("r"),
         )
         .unionByName(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(same_batch_id, None, "D", 1)],
                 "vec_id long, embedding array<double>, op string, r int",
             )
@@ -848,34 +883,39 @@ def stream_ivf_cdc(spark, sf_dir):
     )
 
     lists = spark.read.parquet(idx_path + "/lists")
-    conserve = lists.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("vec_id").alias("nid"),
-        F.count_if(
-            (F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300)
-        ).alias("hit"),
-        F.count_if(F.col("vec_id") == same_batch_id).alias("sb"),
-    ).collect()[0]
-    # upsert check: every residue-2 standing id present exactly once
-    # and carrying EXACTLY its 2x-scaled original vector (one
-    # broadcast join against the standing slice)
-    ucheck = (
-        lists.filter(
-            (F.col("vec_id") % 10 == 2) & (F.col("vec_id") < 300)
+    # ONE verify pass for conservation + the upsert value check (r11,
+    # guide §1.2: the checks stay, the actions merge): the broadcast
+    # LEFT join against the standing slice keeps lists 1:1 (standing
+    # ids are unique), so every count_if below sees exactly the rows
+    # the two separate aggregates saw — the upsert conditions keep
+    # their residue-2 filter inline (a NULL __o comparison counts
+    # false, matching the old inner join dropping the row).
+    is_up = (F.col("vec_id") % 10 == 2) & (F.col("vec_id") < 300)
+    conserve = (
+        lists.join(
+            F.broadcast(standing.withColumnRenamed("embedding", "__o")),
+            "vec_id",
+            "left",
         )
-        .join(F.broadcast(standing.withColumnRenamed("embedding", "__o")),
-              "vec_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nid"),
             F.count_if(
-                F.col("__v") == F.transform("__o", lambda x: x * 2.0)
-            ).alias("ok"),
+                (F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300)
+            ).alias("hit"),
+            F.count_if(F.col("vec_id") == same_batch_id).alias("sb"),
+            F.count_if(is_up & F.col("__o").isNotNull()).alias("un"),
+            F.count_if(
+                is_up
+                & (F.col("__v") == F.transform("__o", lambda x: x * 2.0))
+            ).alias("uok"),
         )
         .collect()[0]
     )
+    ucheck = {"n": int(conserve["un"]), "ok": int(conserve["uok"])}
     stats_n = read_index_stats(spark, idx_path)[0]
     txn = _read_index_json(idx_path, "txn.json")
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -1032,7 +1072,7 @@ def stream_probe_cdc_fit(spark, sf_dir):
     batch_fit = fit_linear_probe_ppm(
         _probe_feats(surviving), ["x1", "x2"], "n_chars"
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 3,

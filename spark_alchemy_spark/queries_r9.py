@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .queries import _t, query
 from .queries_r6 import _probe_dets_sql, _probe_pin_sql, _probe_sums_sql
 
@@ -202,7 +204,7 @@ def quality_probe_model_selection(spark, sf_dir):
         )
         for r in sweep
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "ridge_lambda long, n_train long, n_val long, b0_ppm long,"
         " b1_ppm long, b2_ppm long, r2_train_ppm long, r2_val_ppm long,"
@@ -348,27 +350,47 @@ def ann_ivf_upsert(spark, sf_dir):
             "vec_id", scaled.alias("__want")
         )
     )
-    agg = (
-        lists.join(want, "vec_id", "left")
+    stats_n, stats_mean = read_index_stats(spark, idx_path)
+    cents = _centroids_df(spark, idx_path)
+    # ONE verify pass (r11, guide §1.2): the replacement checks and the
+    # raw count ride the rescore scan as observed metrics on the joined
+    # rows (the broadcast left join keeps lists 1:1 — standing ids are
+    # unique), the distinct-id count is the rescore output's own
+    # non-null-id count, and the mean is the same expression over the
+    # same rows (the join adds a column, not rows).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rescored = (
+        _assign_to_lists(
+            lists.join(want, "vec_id", "left").observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("__want").isNotNull()).alias(
+                    "n_repl_rows"
+                ),
+                F.count_if(
+                    F.col("__want").isNotNull()
+                    & (F.col("__v") == F.col("__want"))
+                ).alias("n_repl_ok"),
+            ),
+            "vec_id",
+            "__v",
+            cents,
+        )
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("vec_id").alias("nid"),
-            F.count_if(F.col("__want").isNotNull()).alias("n_repl_rows"),
-            F.count_if(
-                F.col("__want").isNotNull()
-                & (F.col("__v") == F.col("__want"))
-            ).alias("n_repl_ok"),
+            F.count("vec_id").alias("nid"),
+            F.avg("__best_cos").alias("m"),
         )
         .collect()[0]
     )
-    stats_n, stats_mean = read_index_stats(spark, idx_path)
-    cents = _centroids_df(spark, idx_path)
-    rescored = (
-        _assign_to_lists(lists, "vec_id", "__v", cents)
-        .agg(F.avg("__best_cos").alias("m"))
-        .collect()[0]
-    )
-    return spark.createDataFrame(
+    agg = {
+        "n": int(obs.get["n"]),
+        "nid": int(rescored["nid"]),
+        "n_repl_rows": int(obs.get["n_repl_rows"]),
+        "n_repl_ok": int(obs.get["n_repl_ok"]),
+    }
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -474,18 +496,32 @@ def ann_ivf_retrain(spark, sf_dir):
                               batch_id=0)
 
     lists = spark.read.parquet(idx_path + "/lists")
-    agg = lists.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("vec_id").alias("nid"),
-    ).collect()[0]
     stats_n, stats_mean = read_index_stats(spark, idx_path)
     cents = _centroids_df(spark, idx_path)
+    # ONE verify pass (r11, guide §1.2): the raw row count rides the
+    # rescore scan as an observed metric (pre-collapse), and the
+    # distinct-id count is the rescore output's own non-null-id count
+    # (_assign_to_lists groups by id — same value as the old
+    # countDistinct, no expand plan).  Mean unchanged: same rows, same
+    # expression.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     rescored = (
-        _assign_to_lists(lists, "vec_id", "__v", cents)
-        .agg(F.avg("__best_cos").alias("m"))
+        _assign_to_lists(
+            lists.observe(obs, F.count(F.lit(1)).alias("n")),
+            "vec_id",
+            "__v",
+            cents,
+        )
+        .agg(
+            F.count("vec_id").alias("nid"),
+            F.avg("__best_cos").alias("m"),
+        )
         .collect()[0]
     )
-    return spark.createDataFrame(
+    agg = {"n": int(obs.get["n"]), "nid": int(rescored["nid"])}
+    return local_frame(spark,
         [
             (
                 n_expected,
@@ -621,7 +657,7 @@ def stream_ivf_drift_retrain(spark, sf_dir):
     )
     stats_n = read_index_stats(spark, idx_path)[0]
     rt = log[1]["retrain_report"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_expected,
@@ -746,7 +782,7 @@ def quality_probe_isotonic(spark, sf_dir):
     rates = [r["rate_ppm"] for r in fit]
     mono = rates == sorted(rates)
     pooled = len(set(rates)) < len(rates)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["score"], r["n"], r["n_pos"], r["rate_ppm"], mono, pooled)
             for r in fit
@@ -863,7 +899,7 @@ def stream_isotonic_cdc_fit(spark, sf_dir):
         "label",
     )
     matches = fit == batch_fit
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["score"], r["n"], r["n_pos"], r["rate_ppm"], matches)
             for r in fit

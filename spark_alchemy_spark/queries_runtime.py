@@ -38,6 +38,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .queries import _t, query
 from .queries_ext import _sink_name
 
@@ -144,7 +146,7 @@ def dpp_partitioned_star_join(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), _sink_name("events_dpp"))
     write_partitioned(events, path, ["event_type"])
     fact = spark.read.parquet(path)
-    tiers = spark.createDataFrame(
+    tiers = local_frame(spark, 
         [
             ("purchase", "conversion"),
             ("signup", "conversion"),

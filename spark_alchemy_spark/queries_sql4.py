@@ -24,6 +24,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from .localframe import local_frame
+
 from .functions import hll
 from .queries import _t, query
 from .queries_ext import _sink_name
@@ -509,7 +511,7 @@ def observe_pipeline_metrics(spark, sf_dir):
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
         "n_rows long, sum_qty double, n_discounted long",
     )

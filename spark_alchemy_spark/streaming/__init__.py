@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..localframe import local_frame
+
 from ..functions import hll
 
 
@@ -468,7 +470,7 @@ def media_dedup_at_ingest(
         progress_out=progress_out,
     )
 
-    out = spark.createDataFrame(
+    out = local_frame(spark, 
         results, f"{lang_col} string, n_arrived long, n_dropped long"
     )
     return out.groupBy(lang_col).agg(
@@ -616,7 +618,7 @@ def semantic_dedup_at_ingest(
         progress_out=progress_out,
     )
 
-    out = spark.createDataFrame(
+    out = local_frame(spark, 
         results, f"{lang_col} string, n_arrived long, n_dropped long"
     )
     return out.groupBy(lang_col).agg(

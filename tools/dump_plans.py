@@ -1,10 +1,10 @@
 """Dump .explain('formatted') for named battery entries to
-plans/r10/<entry>_<suffix>.txt (the optimization round's evidence
+plans/<round>/<entry>_<suffix>.txt (the optimization round's evidence
 files).  Entries whose returned DataFrame is a driver-built literal
 (the lifecycle invariant rows) still dump that plan; their real work
 is internal jobs, profiled separately by tools/profile_entry.py.
 
-Usage: python tools/dump_plans.py before|after entry1,entry2,...
+Usage: python tools/dump_plans.py before|after entry1,entry2,... [round_dir=r11]
 """
 
 from __future__ import annotations
@@ -20,7 +20,8 @@ def main():
     suffix = sys.argv[1]
     names = sys.argv[2].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r10")
+    rdir = sys.argv[3] if len(sys.argv) > 3 else "r11"
+    out_dir = os.path.join(REPO, "plans", rdir)
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entrymod
