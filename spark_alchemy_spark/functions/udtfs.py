@@ -55,6 +55,10 @@ class LongestStreak:
 
     def __init__(self):
         self._user = None
+        self._seen = False  # first-row flag — NOT self._user, which a
+        # NULL-user_id partition would leave None forever (ADVICE r10:
+        # the old sentinel re-ran the contract check per row and
+        # dropped the group's output row)
         self._types: list = []
 
     def eval(self, row):
@@ -71,17 +75,18 @@ class LongestStreak:
         # ONCE per group so a caller passing TABLE(...) with reordered
         # columns fails loudly instead of computing streaks over the
         # wrong column.
-        if self._user is None:
+        if not self._seen:
             if tuple(row.__fields__[:2]) != ("user_id", "event_type"):
                 raise ValueError(
                     "longest_streak_udtf expects TABLE(... ) projected as "
                     f"(user_id, event_type, ...); got {row.__fields__}"
                 )
             self._user = row[0]
+            self._seen = True
         self._types.append(row[1])
 
     def terminate(self):
-        if self._user is None:
+        if not self._seen:
             return
         from itertools import groupby
 

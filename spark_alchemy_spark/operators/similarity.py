@@ -35,6 +35,7 @@ def brute_force_topk(
     vec_col: str,
     query_id_col: str | None = None,
     k: int = 10,
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """Exact cosine top-k for every query vector.
 
@@ -51,12 +52,38 @@ def brute_force_topk(
     # expression form paid an interpreted HOF cosine fold per
     # (query, corpus) pair — ~20-30us/pair — which made the bounded
     # kNN reference stages the cost floor of every graph entry).
-    qrows = queries.select(F.col(qid), _as_double(vec_col)).collect()
+    # ``max_driver_queries`` makes the contract LOUD (r11, VERDICT r10
+    # item 2): an unbounded query frame would OOM the driver here —
+    # fail with the knob's name instead (the brute-force kernel is
+    # O(|corpus|·|queries|) anyway; past the cap the caller wants the
+    # indexed path, not a silently bigger collect).
+    qrows = (
+        queries.select(F.col(qid), _as_double(vec_col))
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_driver_queries:
+        raise ValueError(
+            f"brute_force_topk query set exceeds max_driver_queries="
+            f"{max_driver_queries}: the query matrix rides the driver "
+            "and every task's closure — use the IVF/LSH indexed path "
+            "for unbounded query sets, or raise the cap deliberately"
+        )
     q_ids = np.array([r[0] for r in qrows])
-    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    # NULL query vectors score like zero-norm ones (cosine NULL for
+    # every corpus row, ranked last by the total order below) — the
+    # expression path's semantics; a RAGGED vector still fails loudly
+    # in the np.array build (ADVICE r10: don't crash on NULL, don't
+    # silently score a dimension mismatch)
+    q_null = np.array([r[1] is None for r in qrows])
+    dim = next((len(r[1]) for r in qrows if r[1] is not None), 0)
+    qm = np.array(
+        [([0.0] * dim if r[1] is None else r[1]) for r in qrows],
+        dtype=np.float64,
+    )
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    q_zero = qn[:, 0] == 0.0  # zero-norm query: cosine NULL (matches
-    qm = qm / np.where(qn == 0, 1.0, qn)  # the expression path's 0/0)
+    q_zero = (qn[:, 0] == 0.0) | q_null  # zero-norm query: cosine NULL
+    qm = qm / np.where(qn == 0, 1.0, qn)  # (the expression path's 0/0)
 
     def _round4_half_up(x):
         # JVM F.round is BigDecimal HALF_UP (away from zero); used for
@@ -70,9 +97,16 @@ def brute_force_topk(
             ids = pdf["neighbor_id"].to_numpy()
             if len(ids) == 0:
                 continue
-            m = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            cv = pdf["__cv"].tolist()
+            c_null = np.array([v is None for v in cv])
+            cdim = next((len(v) for v in cv if v is not None), dim)
+            m = np.array(
+                [([0.0] * cdim if v is None else v) for v in cv],
+                dtype=np.float64,
+            )
             norms = np.linalg.norm(m, axis=1, keepdims=True)
-            c_zero = norms[:, 0] == 0.0  # zero-norm corpus row: NULL cos
+            # zero-norm or NULL corpus row: NULL cos (expression path)
+            c_zero = (norms[:, 0] == 0.0) | c_null
             m = m / np.where(norms == 0, 1.0, norms)
             sims = m @ qm.T  # corpus x queries
             out_q, out_n, out_c = [], [], []
@@ -90,7 +124,25 @@ def brute_force_topk(
                 # partition top-k's; the final JVM window re-ranks
                 rounded = _round4_half_up(col)
                 rounded = np.where(isnull, -np.inf, rounded)
-                sel = np.lexsort((cids, -rounded, isnull))[:k]
+                order = np.lexsort((cids, -rounded, isnull))
+                sel = order[:k]
+                if len(order) > k:
+                    # ADVICE r10: the kernel's float rounding can
+                    # disagree with the JVM's BigDecimal(shortest-repr)
+                    # HALF_UP by at most one 4dp unit in either
+                    # direction, so a row the final window ranks
+                    # inside top-k could sit just past position k
+                    # here.  Keep every non-null candidate within
+                    # 2e-4 of the k-th rounded value: if a row misses
+                    # this slack, >= k rows beat it under ANY rounding
+                    # within 1e-4, so it provably cannot be in the JVM
+                    # top-k.  The window re-ranks, so extras are safe.
+                    ext = order[k:]
+                    keep = (~isnull[ext]) & (
+                        rounded[ext] >= rounded[order[k - 1]] - 2e-4
+                    )
+                    if keep.any():
+                        sel = np.concatenate([sel, ext[keep]])
                 out_q.extend([qq] * len(sel))
                 out_n.extend(cids[sel])
                 out_c.extend(
@@ -130,6 +182,7 @@ def brute_force_topk_np(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """Same semantics as :func:`brute_force_topk`, numpy matmul per
     Arrow batch (mapInPandas).  The query matrix rides inside the
@@ -139,7 +192,22 @@ def brute_force_topk_np(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_driver_queries:
+        raise ValueError(
+            f"brute_force_topk_np query set exceeds max_driver_queries="
+            f"{max_driver_queries}: the query matrix rides the driver "
+            "and every task's closure — use the IVF/LSH indexed path "
+            "for unbounded query sets, or raise the cap deliberately"
+        )
+    # NULL-vector queries and corpus rows drop with the zero-norm rows
+    # (this variant's convention; the ranked expression-order twin with
+    # NULL-cos rows is brute_force_topk) — ADVICE r10: don't crash
+    qrows = [r for r in qrows if r[1] is not None]
     q_ids = np.array([r[0] for r in qrows])
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     # clamp zero query norms (sims become 0, never NaN)
@@ -149,7 +217,14 @@ def brute_force_topk_np(
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cv = pdf[vec_col].tolist()
+            nn = np.array([v is not None for v in cv])
+            if not nn.all():
+                ids = ids[nn]
+                cv = [v for v in cv if v is not None]
+            if len(ids) == 0:
+                continue
+            m = np.array(cv, dtype=np.float64)
             # drop zero-norm corpus vectors (expression path: NULL cosine)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             nz = norms[:, 0] > 0
@@ -162,13 +237,19 @@ def brute_force_topk_np(
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = ids != qid
-                cand_idx = np.argsort(-col[mask])[:k]
-                cids = ids[mask][cand_idx]
+                # prune under the SAME total order the final window
+                # uses — emitted rounded cos desc, neighbor id asc —
+                # so the partition top-k provably contains the global
+                # top-k's rows (an unrounded argsort could drop a row
+                # that a rounding tie + smaller id ranks inside k)
+                cr = np.round(col[mask], 4)
+                cm = ids[mask]
+                cand_idx = np.lexsort((cm, -cr))[:k]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cids,
-                        "cos": np.round(col[mask][cand_idx], 4),
+                        "neighbor_id": cm[cand_idx],
+                        "cos": cr[cand_idx],
                     }
                 )
 
@@ -597,9 +678,15 @@ def ivf_topk(
 #   every reader resolves stats via :func:`read_index_stats` (txn
 #   first, parquet fallback) and every batch-mode writer keeps the two
 #   in lockstep, so the parquet can only lag behind a LIVE txn record.
-# * ``txn_intent.json`` — the APPEND intent: {batch_id, touched list
-#   ids}, written just BEFORE the rows append.  Intent newer than the
-#   commit record == crashed half-written attempt.
+# * ``txn_intent.json`` — the APPEND intent: {batch_id}, written just
+#   BEFORE the rows append.  Intent newer than the commit record ==
+#   crashed half-written attempt.  The attempt's touched-list set is
+#   NOT recorded (r11: knowing it pre-write cost a separate per-batch
+#   aggregation action); the replay repair recomputes it from the
+#   deterministically-replayed batch — same data (serial replay), same
+#   centroids (every centroid mutator refuses under a live intent),
+#   same deterministic argmax ⇒ the same set.  Legacy intents that DO
+#   carry a ``touched`` list are honored as written.
 # * ``del_intent.json`` — the DELETE intent: {digest(id set +
 #   exclude_batch scope), affected lists, d_n, absolute post-delete
 #   stats, per-list counts}, written BEFORE the partition rewrite and
@@ -661,11 +748,15 @@ def ivf_topk(
 # CRASH MAP (append leg; every point covered)
 #
 #   before intent            -> nothing on disk; replay re-runs whole
-#   after intent, in rows    -> replay repairs (drop the attempt's
-#                               ``__batch``-tagged rows from the
-#                               touched partitions — partition-pruned —
+#   after intent, in rows    -> replay repairs (recompute the touched
+#                               partitions from the replayed batch,
+#                               drop the attempt's ``__batch``-tagged
+#                               rows from them — partition-pruned —
 #                               and re-sync /stats from the commit
 #                               record), then re-appends
+#   (an EMPTY streaming batch removes its intent instead of
+#   committing — nothing was written, so the next batch's
+#   out-of-order guard must not see a live intent)
 #   after rows, before commit-> same repair + re-append
 #   after commit             -> no-op skip (visible in the report)
 #
@@ -1185,25 +1276,42 @@ def _append_batch_fused(
     drift_ratio_threshold: float,
     cents: DataFrame,
     st: tuple,
+    batch_id: int | None = None,
+    txn: dict | None = None,
 ) -> dict:
-    """ONE-action batch append (r11): the partitioned append write
-    carries the drift aggregates as observed metrics, and the exact
-    per-list appended row counts are read back from the NEW parquet
-    files' footers (driver-side metadata, zero Spark jobs).  Replaces
-    the separate groupBy-collect action the two-action path pays —
-    report values are identical: the observed (count, non-null count,
-    sum of ``__best_cos``) are the same aggregates the collect
-    computed, and the footer counts are the same per-list totals by
-    construction (same files Spark wrote).  Only reachable for
-    ``batch_id is None`` on a local-fs index with a resolvable stats
-    baseline (see call site)."""
+    """ONE-action append (r11): the partitioned append write carries
+    the drift aggregates as observed metrics, and the exact per-list
+    appended row counts are read back from the NEW parquet files'
+    footers (driver-side metadata, zero Spark jobs).  Replaces the
+    separate groupBy-collect action the two-action path pays — report
+    values are identical: the observed (count, non-null count, sum of
+    ``__best_cos``) are the same aggregates the collect computed, and
+    the footer counts are the same per-list totals by construction
+    (same files Spark wrote).  Only reachable on a local-fs index with
+    a resolvable stats baseline (see call site).
+
+    With ``batch_id`` (streaming) the exactly-once protocol is
+    preserved with a SLIMMER intent: ``{batch_id}`` only — the
+    touched-list set is no longer known before the write (that
+    knowledge was exactly what cost the second action), so the replay
+    repair recomputes it from the deterministically-replayed batch
+    instead (see the INDEX COMMIT PROTOCOL section; centroids cannot
+    have moved under a live intent because every centroid mutator
+    refuses via ``_assert_no_uncommitted_append``)."""
     import pyarrow.parquet as pq
     from pyspark.sql import Observation
 
+    import contextlib
     import os
 
     base_n, build_mean = int(st[0]), float(st[1])
     pre = _scan_list_files(path)
+    if batch_id is not None:
+        # intent BEFORE the rows write (crash between the two leaves a
+        # no-file intent the replay repairs as a no-op)
+        _write_index_json_atomic(
+            path, "txn_intent.json", {"batch_id": int(batch_id)}
+        )
     obs = Observation()
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents)
     to_write = (
@@ -1214,7 +1322,10 @@ def _append_batch_fused(
             F.sum("__best_cos").alias("s"),
         )
         .drop("__best_cos")
-        .withColumn("__batch", F.lit(_BASE_BATCH))
+        .withColumn(
+            "__batch",
+            F.lit(_BASE_BATCH if batch_id is None else int(batch_id)),
+        )
     )
     to_write.repartition("list_id").write.mode("append").partitionBy(
         "list_id"
@@ -1223,7 +1334,13 @@ def _append_batch_fused(
     n_batch = int(m["n"])
     if n_batch == 0:
         # empty batch: the write landed no files (footer diff would be
-        # empty too) — same no-op report as the two-action path
+        # empty too) — same no-op report as the two-action path.  A
+        # streaming empty batch removes its intent (nothing to repair,
+        # nothing committed — the two-action path never wrote one), so
+        # the NEXT batch's out-of-order guard stays quiet.
+        if batch_id is not None:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(_txn_local_path(path, "txn_intent.json"))
         return {
             "n_appended": 0,
             "batch_mean_cos": None,
@@ -1254,16 +1371,31 @@ def _append_batch_fused(
     list_counts = {lid: n for lid, n in list_counts.items() if n > 0}
     new_n = base_n + n_batch
     new_mean = (build_mean * base_n + batch_mean * n_batch) / new_n
-    _write_stats_sidecar(spark, path, new_n, new_mean)
-    prior = _read_index_json(path, "txn.json")
-    if prior is not None:
-        # keep the authoritative txn record in lockstep (bulk backfill
-        # onto a transactional index — same rule as the two-action path)
+    if batch_id is not None:
+        # COMMIT: atomic replace, the last step — same record and same
+        # rules as the two-action streaming path (read_index_stats
+        # resolves txn-first, so no per-batch /stats parquet rewrite)
         _write_index_json_atomic(
             path,
             "txn.json",
-            {**prior, "n": new_n, "mean_assigned_cos": new_mean},
+            {
+                "last_batch_id": int(batch_id),
+                "n": new_n,
+                "mean_assigned_cos": new_mean,
+            },
         )
+    else:
+        _write_stats_sidecar(spark, path, new_n, new_mean)
+        prior = txn if txn is not None else _read_index_json(path, "txn.json")
+        if prior is not None:
+            # keep the authoritative txn record in lockstep (bulk
+            # backfill onto a transactional index — same rule as the
+            # two-action path)
+            _write_index_json_atomic(
+                path,
+                "txn.json",
+                {**prior, "n": new_n, "mean_assigned_cos": new_mean},
+            )
     ratio = (batch_mean / build_mean) if build_mean else 1.0
     return {
         "n_appended": n_batch,
@@ -1353,9 +1485,29 @@ def append_ivf_index(
                     f"{batch_id} — streaming replays are serial, so this "
                     "index has a second writer or a corrupt log"
                 )
-            _repair_uncommitted_append(
-                spark, path, batch_id, intent["touched"], txn
-            )
+            if "touched" in intent:
+                touched = intent["touched"]
+            else:
+                # slim r11 intent ({batch_id} only): recompute the
+                # attempt's touched-list set from the deterministically
+                # replayed batch — same data (serial replay contract),
+                # same centroids (every centroid mutator refuses under
+                # a live intent via _assert_no_uncommitted_append),
+                # same deterministic argmax assignment ⇒ the exact set
+                # the crashed attempt wrote into.  One bounded job,
+                # paid ONLY on the crash-replay path.
+                if cents is None:
+                    cents = _centroids_df(spark, path)
+                touched = [
+                    r["list_id"]
+                    for r in _assign_to_lists(
+                        new_batch, id_col, vec_col, cents
+                    )
+                    .select("list_id")
+                    .distinct()
+                    .collect()
+                ]
+            _repair_uncommitted_append(spark, path, batch_id, touched, txn)
     # ``cents`` lets a caller that already holds the centroid model
     # (the streaming maintainer caches it across micro-batches,
     # invalidating on rebalance/retrain) skip the per-call sidecar
@@ -1363,23 +1515,27 @@ def append_ivf_index(
     if cents is None:
         cents = _centroids_df(spark, path)
 
-    if batch_id is None and _txn_possible(path):
-        # BATCH-mode fast path (r11, guide §1.2/§5): no txn intent is
-        # written (only streaming appends carry replay repair), so
-        # nothing needs the touched-list set BEFORE the rows land —
-        # the whole append can be ONE Spark action.  The write itself
+    if _txn_possible(path):
+        # ONE-action fast path (r11, guide §1.2/§5): the write itself
         # carries the drift aggregates via ``observe`` and the exact
         # per-list appended counts come from the new files' parquet
         # footers afterwards (driver-side metadata, zero jobs — the
-        # ``_list_sizes`` convention).  Requires the stats sidecar
-        # (baseline resolved driver-side); a pre-sidecar index stays
-        # on the two-action path below because its baseline rescan
-        # must run before the write.
-        st = read_index_stats(spark, path)
+        # ``_list_sizes`` convention).  Batch mode writes no intent at
+        # all; streaming mode writes the slim ``{batch_id}`` intent
+        # inside the fused helper (repair recomputes touched, above).
+        # Requires a driver-resolvable baseline: the txn commit record
+        # (streaming) or the stats sidecar (batch); a pre-sidecar
+        # index stays on the two-action path below because its
+        # baseline rescan must run before the write.
+        if txn is not None:
+            st = (int(txn["n"]), float(txn["mean_assigned_cos"]))
+        else:
+            st = read_index_stats(spark, path)
         if st is not None:
             return _append_batch_fused(
                 spark, new_batch, id_col, vec_col, path,
                 drift_ratio_threshold, cents, st,
+                batch_id=batch_id, txn=txn,
             )
 
     assigned = _assign_to_lists(new_batch, id_col, vec_col, cents).localCheckpoint(

@@ -595,13 +595,15 @@ def longest_streak_bucketed(
         ]
     )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__bkt_ord").reset_index(drop=True)
+    def _eq(a, b):  # null-safe type equality (None/NaN == None/NaN)
+        an, bn = pd.isna(a), pd.isna(b)
+        return (an and bn) or (not an and not bn and a == b)
 
-        def eq(a, b):  # null-safe type equality (None/NaN == None/NaN)
-            an, bn = pd.isna(a), pd.isna(b)
-            return (an and bn) or (not an and not bn and a == b)
-
+    def _merge_rows(rows) -> tuple:
+        """Fold one key's bucket summaries (bucket order) → (best_type,
+        best_streak, n_rows).  The exact per-key fold the grouped
+        applyInPandas version ran — unchanged logic, integer/object
+        values only (no float order involved)."""
         best = None  # (len, start_t, start_e, type)
 
         def candidate(run):
@@ -617,10 +619,10 @@ def longest_streak_bucketed(
 
         carry = None
         total = 0
-        for row in pdf.itertuples(index=False):
+        for row in rows:
             total += int(row.n_rows)
             joined = None
-            if carry is not None and eq(carry[3], row.p_v):
+            if carry is not None and _eq(carry[3], row.p_v):
                 joined = (carry[0] + int(row.p_len), carry[1], carry[2], carry[3])
             else:
                 candidate(carry)
@@ -632,20 +634,68 @@ def longest_streak_bucketed(
                 candidate(joined)
             carry = (int(row.s_len), int(row.s_t), int(row.s_e), row.s_v)
         candidate(carry)
-        kv = pdf.iloc[0][key]
         bt = best[3]
         if pd.isna(bt):
             bt = None
-        return pd.DataFrame(
-            {
-                key: [kv],
-                "best_type": [bt],
-                "best_streak": [int(best[0])],
-                "n_rows": [total],
-            }
-        )
+        return bt, int(best[0]), total
 
-    return flat.groupBy(key).applyInPandas(merge, out_schema)
+    def merge_partition(batches):
+        # ONE pandas pass per PARTITION instead of one applyInPandas
+        # call per KEY (r11, guide §4.2): the per-group fold is a few
+        # dozen summary rows, so the grouped form's per-group pandas
+        # construction dominated (measured: the merge stage was one
+        # 2.2s job at sf0.1, ~all per-group overhead).  Rows arrive
+        # key-clustered and bucket-sorted (repartition + sortWithin
+        # below — the same shuffle the groupBy paid, plus a secondary
+        # sort key that replaces the per-group sort_values); key
+        # changes flush the running fold.  Buffering is one key's
+        # summaries (#buckets rows) — same bound as the grouped form.
+        # a key's rows can straddle Arrow batch boundaries (mapInPandas
+        # gives no whole-group guarantee) — the running group carries
+        # across batches and flushes only on a key CHANGE or at
+        # end-of-partition
+        cur_key, cur_rows, started = None, [], False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_k, out_t, out_b, out_n = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                kv = getattr(row, key)
+                if started and not _eq(kv, cur_key):
+                    bt, bs, tot = _merge_rows(cur_rows)
+                    out_k.append(cur_key)
+                    out_t.append(bt)
+                    out_b.append(bs)
+                    out_n.append(tot)
+                    cur_rows = []
+                cur_key, started = kv, True
+                cur_rows.append(row)
+            if out_k:
+                yield pd.DataFrame(
+                    {
+                        key: out_k,
+                        "best_type": out_t,
+                        "best_streak": out_b,
+                        "n_rows": out_n,
+                    }
+                )
+        if started:
+            bt, bs, tot = _merge_rows(cur_rows)
+            yield pd.DataFrame(
+                {
+                    key: [cur_key],
+                    "best_type": [bt],
+                    "best_streak": [bs],
+                    "n_rows": [tot],
+                }
+            )
+
+    return (
+        flat.drop("__bkt")  # unused by the fold: don't ship it (§4.1)
+        .repartition(key)
+        .sortWithinPartitions(key, "__bkt_ord")
+        .mapInPandas(merge_partition, out_schema)
+    )
 
 
 def ewma(
