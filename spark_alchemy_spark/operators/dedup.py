@@ -385,19 +385,32 @@ def minhash_lsh_pairs(
         .select("__id", F.xxhash64("__s").alias("__h"))
         .dropDuplicates(["__id", "__h"])
     )
+    # the 64 permutation mins and the 16 band keys are generated SQL
+    # strings through one F.expr each (r11, guide §7.3): the Column
+    # form paid a py4j round-trip per operator (~200 per call, ~0.9s
+    # driver wall); integer literals parse as INT, matching F.lit(i)'s
+    # IntegerType so every xxhash64 seed hashes identically
     sigd = hashed.groupBy("__id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), "__h")) for i in range(num_perm)]
+        F.expr(
+            "array("
+            + ", ".join(f"min(xxhash64({i}, __h))" for i in range(num_perm))
+            + ")"
         ).alias("__sig")
     )
 
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(bi), *[F.element_at("__sig", bi * rows + j + 1) for j in range(rows)]
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64({}, {})".format(
+                bi,
+                ", ".join(
+                    f"element_at(__sig, {bi * rows + j + 1})"
+                    for j in range(rows)
+                ),
             )
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sigd.select(
         "__id", "__sig", F.posexplode(band_keys).alias("__band", "__bkey")
@@ -494,9 +507,16 @@ def simhash_fingerprints(
     bit's ones count: bit j is set iff ``2*ones_j > n`` ⟺ the ±1 vote
     sum is positive — the same tie-to-zero rule as the expression
     form.  ``explode_outer`` keeps tokenless documents (n = 0 →
-    fingerprint 0), matching the expression form."""
-    from functools import reduce
+    fingerprint 0), matching the expression form.
 
+    The wide trees (22 packed-lane sums, the 64-term fingerprint
+    reconstruction) are built as generated SQL strings through ONE
+    ``F.expr`` each (r11, guide §7.3 driver-side work): the
+    Column-algebra form issued a py4j round-trip per operator —
+    several hundred per call, ~1.5s of driver wall at warm steady
+    state — while a SQL string parses JVM-side to the identical
+    resolved expressions (equivalence pinned bit-for-bit against
+    ``simhash64`` by tests/test_operators.py)."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode_outer(tokens(text_col)).alias("__tok"),
@@ -505,39 +525,34 @@ def simhash_fingerprints(
     n_lanes, lane_bits = 3, 21
     n_cols = (64 + n_lanes - 1) // n_lanes  # 22 (last column: 1 lane)
 
-    def packed(i: int) -> Column:
+    def packed_sql(i: int) -> str:
         # lanes k hold bit (3i+k) of the token hash, one bit per
         # 21-bit lane; pad rows contribute 0 to every lane
         lanes = [
-            F.shiftleft(
-                F.shiftright("__h", n_lanes * i + k).bitwiseAND(F.lit(1)),
-                lane_bits * k,
-            )
+            f"shiftleft(shiftright(__h, {n_lanes * i + k}) & 1, {lane_bits * k})"
             for k in range(min(n_lanes, 64 - n_lanes * i))
         ]
-        v = reduce(Column.bitwiseOR, lanes)
-        return F.when(F.col("__pad"), F.lit(0).cast("long")).otherwise(v)
+        v = " | ".join(lanes)
+        return (
+            f"CASE WHEN __pad THEN CAST(0 AS BIGINT) ELSE ({v}) END"
+        )
 
-    aggs = [F.sum(packed(i)).alias(f"__s{i}") for i in range(n_cols)] + [
-        F.sum(F.when(F.col("__pad"), 0).otherwise(1)).alias("__n")
-    ]
+    aggs = [
+        F.sum(F.expr(packed_sql(i))).alias(f"__s{i}") for i in range(n_cols)
+    ] + [F.sum(F.expr("CASE WHEN __pad THEN 0 ELSE 1 END")).alias("__n")]
     agg = toks.groupBy("__id").agg(*aggs)
-    fp = reduce(
-        Column.bitwiseOR,
-        [
-            F.when(
-                # ones_j = lane (j % 3) of packed sum j // 3
-                F.shiftright(
-                    F.col(f"__s{j // n_lanes}"), lane_bits * (j % n_lanes)
-                ).bitwiseAND(F.lit((1 << lane_bits) - 1))
-                * 2
-                > F.col("__n"),
-                F.lit(1 << j if j < 63 else -(2**63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for j in range(64)
-        ],
+    fp_terms = " | ".join(
+        # ones_j = lane (j % 3) of packed sum j // 3
+        "CASE WHEN (shiftright(__s{s}, {sh}) & {mask}) * 2 > __n "
+        "THEN CAST({p} AS BIGINT) ELSE CAST(0 AS BIGINT) END".format(
+            s=j // n_lanes,
+            sh=lane_bits * (j % n_lanes),
+            mask=(1 << lane_bits) - 1,
+            p=(1 << j) if j < 63 else -(2**63),
+        )
+        for j in range(64)
     )
-    return agg.select("__id", fp.alias("__fp"))
+    return agg.select("__id", F.expr(fp_terms).alias("__fp"))
 
 
 def simhash_pairs(

@@ -935,41 +935,38 @@ def plan_range_partitions_price(spark, sf_dir):
     RangePartitioner.  Each sketch split must land inside the exact
     quantile band [Q(r-0.02), Q(r+0.02)] (KLL rank error at k=800 is
     ~0.006 — 3x margin); the oracle pins the 7 band booleans, the
-    exact side being Spark's own exact ``percentile`` so DuckDB only
-    replays the index frame."""
-    from .sources.bucketing import plan_range_partitions
+    exact side being bit-identical to Spark's exact ``percentile``
+    (``exact_percentiles`` — the codegen histogram twin; its
+    equivalence is test-pinned) so DuckDB only replays the index
+    frame."""
+    from .sources.bucketing import exact_percentiles, plan_range_partitions
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     n = 8
     splits = plan_range_partitions(lineitem, "l_extendedprice", n, k=800)
-    # ONE exact-percentile aggregate with an array of percentages: each
-    # percentile(...) column buffers the whole column independently, so
-    # 14 scalar calls were 14 copies of lineitem in the agg buffer
-    # (measured 23s at sf0.1 vs ~1s for the array form)
+    # exact_percentiles (r11, guide §1.2): one array-of-percentages
+    # ``percentile`` aggregate produced the same 14 doubles but paid
+    # ~2.5-3s in its per-partition OpenHashMap buffers + one-task
+    # merge at sf0.1; the histogram twin is codegen end-to-end with
+    # the same distinct-bounded final task (bit-equality pinned by
+    # tests/test_r11_kernels.py).  [The array form was itself the r4
+    # fix for 14 scalar percentile calls buffering lineitem 14x —
+    # measured 23s.]
     pcts = [max(i / n - 0.02, 0.0) for i in range(1, n)] + [
         min(i / n + 0.02, 1.0) for i in range(1, n)
     ]
-    lo_hi = lineitem.agg(
-        F.expr(
-            "percentile(l_extendedprice, array("
-            + ", ".join(str(x) for x in pcts)
-            + "))"
-        ).alias("__q")
+    q = exact_percentiles(lineitem, "l_extendedprice", pcts)
+    bands = (
+        q.filter(F.col("__i") < n - 1)
+        .select((F.col("__i") + 1).alias("split_idx"), F.col("__q").alias("lo"))
+        .join(
+            q.filter(F.col("__i") >= n - 1).select(
+                (F.col("__i") - (n - 2)).alias("split_idx"),
+                F.col("__q").alias("hi"),
+            ),
+            "split_idx",
+        )
     )
-    bands = lo_hi.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("split_idx"),
-                        F.element_at("__q", i).alias("lo"),
-                        F.element_at("__q", (n - 1) + i).alias("hi"),
-                    )
-                    for i in range(1, n)
-                ]
-            )
-        ).alias("__b")
-    ).select("__b.split_idx", "__b.lo", "__b.hi")
     return (
         splits.join(F.broadcast(bands), "split_idx")
         .select(
@@ -1077,7 +1074,16 @@ def prep_pipeline_report(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = documents.join(minids, "doc_id", "left_semi").select("doc_id", "text")
+    # s1 feeds BOTH the stage-1 report aggregate and the strip stage:
+    # without the lazy checkpoint the fingerprint dedup subtree runs
+    # twice inside the one report action (VERDICT r10 item 6; paired
+    # A/B/C at sf0.1: base 0.66-0.81s, this 0.57-0.64s, DISK_ONLY
+    # persist 0.59-0.80s — the checkpoint wins on all three reps)
+    s1 = (
+        documents.join(minids, "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     stripped = strip_shared_spans(s1, "doc_id", "text", k=8).localCheckpoint(
         eager=False
     )

@@ -85,3 +85,81 @@ def plan_range_partitions(
     return sk.select(
         F.explode(F.array(*splits)).alias("__s")
     ).select("__s.split_idx", "__s.split_value")
+
+
+def exact_percentiles(df, col: str, percentages) -> DataFrame:
+    """Exact interpolated percentiles of ``col`` as a LAZY codegen
+    histogram plan — bit-identical to ``percentile(col,
+    array(<percentages>))`` (pinned by
+    tests/test_r11_kernels.py::test_exact_percentiles_matches_percentile
+    on real and adversarial duplicate-heavy data; r11, guide §1.2).
+
+    Spark's exact ``percentile`` buffers one (value -> count)
+    OpenHashMap per partial aggregate and merges + sorts them in ONE
+    final task (~2.5-3s over sf0.1 lineitem).  The identical result
+    follows from a codegen ``groupBy(value).count()`` histogram +
+    one ordered window over the DISTINCT values (the same
+    distinct-bounded single-task envelope the builtin's merge pays)
+    + the builtin's own interpolation arithmetic, replicated
+    operation-for-operation in SQL doubles:
+
+        pos    = p * (n - 1)          -- n rows, NULLs excluded
+        lower  = floor(pos); higher = ceil(pos)
+        result = v[lower]                         if higher == lower
+                 (higher-pos)*v[lower] + (pos-lower)*v[higher]  else
+
+    Returns (__i 0-based index into ``percentages``, __q double).
+    Callers own non-emptiness (the builtin returns NULL on an empty
+    input; this frame returns no row for it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v = df.select(F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    hist = v.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    arr = "array(" + ", ".join(
+        repr(float(p)) + "D" for p in percentages
+    ) + ")"
+    lo_hit = (F.col("__cum") - F.col("__c") <= F.col("__lo")) & (
+        F.col("__lo") < F.col("__cum")
+    )
+    hi_hit = (F.col("__cum") - F.col("__c") <= F.col("__hi")) & (
+        F.col("__hi") < F.col("__cum")
+    )
+    cand = (
+        cum.select(
+            "__v", "__c", "__cum", "__n",
+            F.posexplode(F.expr(arr)).alias("__i", "__p"),
+        )
+        .withColumn("__pos", F.col("__p") * (F.col("__n") - 1))
+        .withColumn("__lo", F.floor("__pos"))
+        .withColumn("__hi", F.ceil("__pos"))
+        .filter(lo_hit | hi_hit)
+        .groupBy("__i")
+        .agg(
+            F.max(F.when(lo_hit, F.col("__v"))).alias("__vlo"),
+            F.max(F.when(hi_hit, F.col("__v"))).alias("__vhi"),
+            F.min("__pos").alias("__pos"),
+            F.min("__lo").alias("__lo"),
+            F.min("__hi").alias("__hi"),
+        )
+    )
+    return cand.select(
+        "__i",
+        F.when(F.col("__hi") == F.col("__lo"), F.col("__vlo"))
+        .otherwise(
+            (F.col("__hi") - F.col("__pos")) * F.col("__vlo")
+            + (F.col("__pos") - F.col("__lo")) * F.col("__vhi")
+        )
+        .alias("__q"),
+    )

@@ -287,3 +287,41 @@ def test_fused_streaming_append_empty_batch_clears_intent(spark, tmp_path):
         _batch_r11(spark, 3, 70_000), "vec_id", "embedding", path, batch_id=2
     )
     assert rep2["n_appended"] == 3
+
+
+def test_exact_percentiles_matches_percentile(spark):
+    """The codegen histogram twin must be bit-identical to Spark's
+    exact ``percentile`` — including interpolation arithmetic and
+    duplicate values landing on both interpolation indexes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.sources.bucketing import exact_percentiles
+
+    def compare(df, col, pcts):
+        arr = "array(" + ", ".join(repr(float(p)) + "D" for p in pcts) + ")"
+        ref = df.agg(
+            F.expr(f"percentile({col}, {arr})").alias("q")
+        ).collect()[0]["q"]
+        got = [None] * len(pcts)
+        for r in exact_percentiles(df, col, pcts).collect():
+            got[r["__i"]] = r["__q"]
+        assert got == list(ref)
+
+    rows = [(0.1,)] * 4 + [(0.2,)] * 3 + [(0.30000000000000004,)] * 2 + [(7.7,)]
+    adv = spark.createDataFrame(rows, "x double")
+    compare(adv, "x", [0.0, 0.13, 0.35, 0.5, 0.77, 1.0])
+
+    rng = random.Random(5)
+    heavy = spark.createDataFrame(
+        [(rng.choice([0.1, 0.2, 0.3, 1 / 3, 2 / 7]),) for _ in range(997)],
+        "x double",
+    )
+    compare(heavy, "x", [0.001, 0.105, 0.23, 0.48, 0.855, 0.999])
+
+    # NULLs excluded like the builtin
+    withnull = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,), (None,), (3.0,)], "x double"
+    )
+    compare(withnull, "x", [0.25, 0.5, 0.75])
