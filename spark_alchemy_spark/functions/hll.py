@@ -440,21 +440,55 @@ def register(spark) -> None:
 
     @arrow_udf("binary")
     def _sql_init_collection(v: pa.Array) -> pa.Array:
+        # vectorized per-row sketches (r11, guide §4.2): hash EVERY
+        # element of the batch in one pass, group coupons per row with
+        # numpy, serialize one image per row.  The old form re-entered
+        # pa.array + the hash kernel once PER ROW (~2.1s over sf0.1
+        # documents vs ~0.3s here).  Byte-identical: per-row coupons
+        # come out sorted-unique exactly like np.unique in
+        # sketch_bytes_from_hashes_vec, and the dense-promotion branch
+        # is preserved (pinned by test_r11_kernels).
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .sketch_codec import _KEY_BITS, _KEY_MASK, coupons_for_longs, serialize_dense
+
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        n = len(v)
+        flat = pc.list_flatten(v)  # non-null lists' elements, in order
+        rows_idx = pc.list_parent_indices(v)
+        if flat.null_count:  # null ELEMENTS are skipped (hash-layer rule)
+            valid = pc.is_valid(flat)
+            flat = flat.filter(valid)
+            rows_idx = rows_idx.filter(valid)
+        hashes = hash_arrow_values(flat, bin_seed)
+        rows = rows_idx.to_numpy(zero_copy_only=False)
+        coupons = coupons_for_longs(hashes)
+        order = np.lexsort((coupons, rows))
+        r, c = rows[order], coupons[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        r, c = r[keep], c[keep]
+        bounds = np.searchsorted(r, np.arange(n + 1))
+        empty = serialize_coupons((), lg_k)
+        m = 1 << lg_k
+        null_mask = pc.is_null(v).to_pylist()
         out = []
-        for lst in v.to_pylist():
-            if lst is None:
+        for i in range(n):
+            if null_mask[i]:
                 out.append(None)
-            elif not lst:
-                out.append(serialize_coupons((), lg_k))
+                continue
+            cs = c[bounds[i] : bounds[i + 1]]
+            if len(cs) == 0:
+                out.append(empty)
+            elif len(cs) * 4 > m:
+                regs = np.zeros(m, dtype=np.uint8)
+                slots = (cs & _KEY_MASK) & (m - 1)
+                vals = (cs >> _KEY_BITS).astype(np.uint8)
+                np.maximum.at(regs, slots, vals)
+                out.append(serialize_dense(lg_k, regs))
             else:
-                elems = pa.array([e for e in lst if e is not None])
-                out.append(
-                    sketch_bytes_from_hashes_vec(
-                        hash_arrow_values(elems, bin_seed), lg_k
-                    )
-                    if len(elems)
-                    else serialize_coupons((), lg_k)
-                )
+                out.append(serialize_coupons(cs.tolist(), lg_k))
         return pa.array(out, type=pa.binary())
 
     @arrow_udf("binary")

@@ -1020,35 +1020,24 @@ def embedding_near_dup_pairs(
     if brute_force:
         return _all_pairs_cosine_blocked(v, threshold)
     else:
-        dim_idx = F.sequence(F.lit(1), F.size("__v"))
         # plane p component d = a deterministic pseudo-random unit in
         # [-1, 1): xxhash64(p, d) scaled — seeded, engine-independent.
-        def plane_dot(p):
-            comps = F.zip_with(
-                F.col("__v"),
-                dim_idx,
-                lambda x, d: x
-                * (
-                    (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63)))
-                ),
-            )
-            return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
+        # The sign bits materialize in their own projection (the old
+        # inline form re-inlined all `planes` folds into every
+        # element_at reference) and both wide trees are generated SQL
+        # through one F.expr each (r11, guide §7.3 — the shared
+        # builders in operators/similarity.py).
+        from .similarity import _band_keys_sql, _hyperplane_bits
 
-        sign_bits = F.array(
-            *[F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(planes)]
+        with_bits = v.select(
+            "__id", "__v", "__n",
+            _hyperplane_bits("__v", planes).alias("__bits"),
         )
-        rows = planes // bands
-        band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(bi),
-                    *[F.element_at(sign_bits, bi * rows + j + 1) for j in range(rows)],
-                )
-                for bi in range(bands)
-            ]
-        )
-        hashed = v.select(
-            "__id", "__v", "__n", F.posexplode(band_keys).alias("__band", "__bkey")
+        hashed = with_bits.select(
+            "__id", "__v", "__n",
+            F.posexplode(_band_keys_sql("__bits", planes, bands)).alias(
+                "__band", "__bkey"
+            ),
         ).repartition("__band", "__bkey")  # one reused exchange for the self-join
         a, b = hashed.alias("a"), hashed.alias("b")
         cand = (

@@ -264,20 +264,41 @@ def brute_force_topk_np(
     )
 
 
-def _hyperplane_bits(vec_col, planes: int):
-    dim_idx = F.sequence(F.lit(1), F.size(vec_col))
-
-    def plane_dot(p):
-        comps = F.zip_with(
-            vec_col,
-            dim_idx,
-            lambda x, d: x * (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
-        )
-        return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
-
-    return F.array(
-        *[F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(planes)]
+def _hyperplane_bits(vec_name: str, planes: int):
+    """``planes`` sign bits of seeded pseudo-random hyperplane dots
+    over the array column ``vec_name`` — generated as ONE SQL string
+    (r11, guide §7.3): the Column-algebra form paid a py4j round-trip
+    per operator (~1s of driver wall per build at planes=12); the
+    parsed tree is operator-identical (int plane literal, int 1-based
+    ``sequence`` index, double cast, division by the double 2^63 —
+    the exact chain ``_plane_matrix`` replicates)."""
+    scale = repr(float(1 << 63)).upper().replace("+", "")  # 9.223372036854776E18
+    terms = ", ".join(
+        "CASE WHEN aggregate(zip_with({v}, sequence(1, size({v})), "
+        "(x, d) -> x * (CAST(xxhash64({p}, d) AS DOUBLE) / {s})), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0 "
+        "THEN 1 ELSE 0 END".format(v=vec_name, p=p, s=scale)
+        for p in range(planes)
     )
+    return F.expr(f"array({terms})")
+
+
+def _band_keys_sql(bits_name: str, planes: int, bands: int):
+    """Band keys over a materialized sign-bit array column — same
+    xxhash64(int band, int bits...) chain as the Column form, one
+    ``F.expr`` build."""
+    rows = planes // bands
+    keys = ", ".join(
+        "xxhash64({bi}, {els})".format(
+            bi=bi,
+            els=", ".join(
+                f"element_at({bits_name}, {bi * rows + j + 1})"
+                for j in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return F.expr(f"array({keys})")
 
 
 def _plane_matrix(planes: int, dim: int):
@@ -370,17 +391,9 @@ def lsh_topk(
         with_bits = df.select(
             F.col(ident).alias(ident),
             F.col("__v"),
-            _hyperplane_bits(F.col("__v"), planes).alias("__bits"),
+            _hyperplane_bits("__v", planes).alias("__bits"),
         )
-        band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(bi),
-                    *[F.element_at("__bits", bi * rows + j + 1) for j in range(rows)],
-                )
-                for bi in range(bands)
-            ]
-        )
+        band_keys = _band_keys_sql("__bits", planes, bands)
         return with_bits.select(
             F.col(ident),
             F.col("__v"),
