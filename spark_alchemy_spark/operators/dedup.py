@@ -731,6 +731,112 @@ def _as_double(vec) -> Column:
     return F.transform(vec if isinstance(vec, Column) else F.col(vec), lambda x: x.cast("double"))
 
 
+def topk_centroid_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    nprobe: int,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Top-``nprobe`` centroid assignment — BIT-IDENTICAL to the
+    expression form ``crossJoin(broadcast(cents)) + cosine_similarity
+    + row_number over (csim desc, __list asc)`` but vectorized ACROSS
+    ROWS and sequential ACROSS DIMS (r11, guide §4.2): the expression
+    path pays one interpreted HOF fold per (row, centroid) —
+    ~20-30µs/pair, and measured as a 66s SINGLE-TASK wall at synth1.0
+    (20k vectors x 141 centroids collapse into one AQE-coalesced
+    partition).  Sequential-across-dims numpy (acc += m[:,d]*c[d])
+    reproduces the fold's exact IEEE add order per row, so every
+    cosine is the same double; exact csim ties break by __list
+    ascending (stable argsort over list-ordered columns).  Zero-norm /
+    NULL vectors rank LAST — strictly MORE defined than the expression
+    form, which raises DIVIDE_BY_ZERO under ANSI on a zero norm, so
+    behavior on the shared (valid) domain is identical.  Equivalence
+    is pinned by
+    tests/test_r11_kernels.py::test_topk_centroid_assign_matches_window.
+
+    ``cents`` is the (__list, __cent) DataFrame or its pre-collected
+    [(list_id, [floats])] rows (a streaming caller collects once, not
+    per micro-batch).  Returns (id, [vec,] __list, __rk) with __rk in
+    1..nprobe.  NaN embedding values are out of contract (the window
+    ranks NaN first on desc; no corpus here produces NaN cosines)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cents if isinstance(cents, list) else [
+        (int(r["__list"]), [float(x) for x in r["__cent"]])
+        for r in cents.collect()
+    ]
+    crows = sorted(cent_rows, key=lambda t: t[0])
+    lists = np.array([t[0] for t in crows], dtype=np.int64)
+    cm = np.array([t[1] for t in crows], dtype=np.float64)  # k x dim
+    k, dim = cm.shape
+    nb = np.empty(k, dtype=np.float64)
+    for j in range(k):
+        acc = 0.0
+        for x in cm[j]:
+            acc += x * x  # the fold's sequential order, python doubles
+        nb[j] = acc
+    nb = np.sqrt(nb)
+    n_keep = min(int(nprobe), k)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vv = pdf[vec_col].tolist()
+            null_rows = np.array([x is None for x in vv])
+            m = np.array(
+                [([0.0] * dim if x is None else x) for x in vv],
+                dtype=np.float64,
+            )
+            # sequential-across-dims folds: same IEEE add order as the
+            # zip_with/aggregate expression, vectorized across rows
+            na_acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                na_acc = na_acc + m[:, d] * m[:, d]
+            na = np.sqrt(na_acc)
+            scores = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                dot = np.zeros(n, dtype=np.float64)
+                c = cm[j]
+                for d in range(dim):
+                    dot = dot + m[:, d] * c[d]
+                scores[:, j] = dot / (na * nb[j])
+            # NULL cosine (zero-norm row/centroid, NULL vector): ranks
+            # LAST under desc, ties by __list asc — encode as -inf and
+            # let the stable argsort's column order break ties
+            scores[np.isnan(scores)] = -np.inf
+            if null_rows.any():
+                scores[null_rows, :] = -np.inf
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_keep]
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_keep),
+                "__list": lists[order].ravel(),
+                "__rk": np.tile(np.arange(1, n_keep + 1), n),
+            }
+            cols = [id_col, "__list", "__rk"]
+            if keep_vec:
+                out[vec_col] = [
+                    v for v in vv for _ in range(n_keep)
+                ]
+                cols = [id_col, vec_col, "__list", "__rk"]
+            yield pd.DataFrame({c: out[c] for c in cols})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    lt = (
+        "bigint"
+        if isinstance(cents, list)
+        else cents.schema["__list"].dataType.simpleString()
+    )
+    vec_part = f", {vec_col} array<double>" if keep_vec else ""
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_t}{vec_part}, __list {lt}, __rk int"
+    )
+
+
 def cosine_similarity(a, b) -> Column:
     """Exact cosine between two array<numeric> columns (JVM fold)."""
     av, bv = _as_double(a), _as_double(b)
@@ -1356,15 +1462,13 @@ def semantic_dup_pairs(
     cents = centroids if centroids is not None else train_ivf_centroids(
         df, vec_col, n_centroids=n_centroids, seed=seed
     )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), "__list")
-    assign = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= nprobe)
-        .select("__id", "__list", "__rk")
-    )
+    # top-nprobe assignment as the row-vectorized kernel (r11): the
+    # old crossJoin + HOF cosine + row_number window paid an
+    # interpreted fold per (row, centroid) and collapsed into ONE
+    # AQE-coalesced task — a 66s serial wall at synth1.0 (SCALING.md);
+    # the kernel is bit-identical on the valid domain (see
+    # topk_centroid_assign)
+    assign = topk_centroid_assign(v, "__id", "__v", cents, nprobe)
     # Candidate generation + verification as ONE grouped BLAS kernel
     # per cluster (the r10 swap): the old skinny-pair join + per-pair
     # HOF cosine fold ran at the documented interpreted-expression

@@ -545,7 +545,14 @@ def semantic_dedup_at_ingest(
         )
         .localCheckpoint(eager=False)  # skinny (cluster, id, vec), reused per batch
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), "__list")
+    # collect the tiny centroid model ONCE for the per-batch top-nprobe
+    # kernel (r11 — see topk_centroid_assign; the old per-batch
+    # crossJoin + HOF cosine + window paid an interpreted fold per
+    # (arrival, centroid) every micro-batch)
+    cent_rows = [
+        (int(r["__list"]), [float(x) for x in r["__cent"]])
+        for r in cents.collect()
+    ]
 
     results: list[tuple] = []  # bounded: n_langs rows per micro-batch
 
@@ -577,14 +584,11 @@ def semantic_dedup_at_ingest(
                 .distinct()
             )
         else:
-            bsc = bemb.crossJoin(F.broadcast(cents)).withColumn(
-                "__csim", cosine_similarity(F.col("vec"), F.col("__cent"))
-            )
-            bassign = (
-                bsc.withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") <= nprobe)
-                .select(F.col(id_col), "vec", "__list")
-            )
+            from ..operators.dedup import topk_centroid_assign
+
+            bassign = topk_centroid_assign(
+                bemb, id_col, "vec", cent_rows, nprobe, keep_vec=True
+            ).select(F.col(id_col), "vec", "__list")
             dup_ids = (
                 bassign.join(index, "__list")
                 .filter(F.col(id_col) != F.col("__sid"))

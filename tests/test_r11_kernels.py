@@ -325,3 +325,64 @@ def test_exact_percentiles_matches_percentile(spark):
         [(None,), (1.0,), (2.0,), (None,), (3.0,)], "x double"
     )
     compare(withnull, "x", [0.25, 0.5, 0.75])
+
+
+def test_topk_centroid_assign_matches_window(spark):
+    """The vectorized top-nprobe centroid assignment must reproduce the
+    crossJoin + cosine + row_number window form EXACTLY — cosines via
+    the same sequential IEEE fold, ties by __list asc, NULL cosines
+    (zero-norm row, zero-norm centroid, NULL vector) ranked last."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_alchemy_spark.operators.dedup import (
+        cosine_similarity,
+        topk_centroid_assign,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    rows += [(1002, rows[5][1])]                        # duplicate (csim ties)
+    df = spark.createDataFrame(rows, "__id long, __v array<double>")
+    cents = [(j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(7)]
+    cents += [(8, cents[2][1])]                         # duplicate centroid (tie)
+    cdf = spark.createDataFrame(cents, "__list long, __cent array<double>")
+
+    for nprobe in (1, 3, 8):
+        scored = df.crossJoin(F.broadcast(cdf)).withColumn(
+            "__csim", cosine_similarity(F.col("__v"), F.col("__cent"))
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), "__list")
+        ref = {
+            (r["__id"], r["__list"], r["__rk"])
+            for r in scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= nprobe)
+            .select("__id", "__list", "__rk")
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in topk_centroid_assign(
+                df, "__id", "__v", cdf, nprobe
+            ).collect()
+        }
+        assert got == ref, f"nprobe={nprobe}"
+
+    # keep_vec variant carries the vector through unchanged
+    kv = topk_centroid_assign(df, "__id", "__v", cdf, 2, keep_vec=True)
+    r0 = {r["__id"]: r["__v"] for r in kv.filter("__rk = 1").collect()}
+    assert r0[0] == rows[0][1]
+
+    # out-of-domain inputs (the expression form RAISES on them under
+    # ANSI — zero-norm division): the kernel ranks their NULL cosines
+    # last, __list ascending, instead of failing the whole job
+    odd = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, None)], "__id long, __v array<double>"
+    )
+    got = {
+        (r["__id"], r["__list"], r["__rk"])
+        for r in topk_centroid_assign(odd, "__id", "__v", cdf, 2).collect()
+    }
+    assert got == {(1, 0, 1), (1, 1, 2), (2, 0, 1), (2, 1, 2)}
