@@ -3118,12 +3118,39 @@ def delete_from_ivf_index(
         .localCheckpoint()  # EAGER: materialize before the overwrite
         # deletes the files this plan reads (compaction's pattern)
     )
-    counts = {
-        int(r["list_id"]): int(r["n"])
-        for r in kept.groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: affected lists only
-    }
+    if not resumed:
+        # kept-per-list = exact on-disk rows (parquet footers,
+        # driver-side metadata — the _list_sizes convention) minus the
+        # hit fold's per-list deleted counts: an arithmetic identity,
+        # so the separate Spark count job the old path paid is pure
+        # overhead (r11, guide §1.2).  ONLY valid pre-crash: a RESUME
+        # may find partitions the dead attempt already rewrote (their
+        # hits are gone from disk), so it keeps the recount below.
+        import pyarrow.parquet as pq
+
+        lists_base = _txn_local_path(path, "lists")
+        counts = {}
+        for lid in affected:
+            d = os.path.join(lists_base, f"list_id={lid}")
+            on_disk = 0
+            if os.path.isdir(d):
+                for f in os.scandir(d):
+                    if f.is_file() and not f.name.startswith(("_", ".")):
+                        on_disk += pq.ParquetFile(f.path).metadata.num_rows
+            counts[lid] = on_disk - list_counts.get(lid, 0)
+            if counts[lid] < 0:
+                raise RuntimeError(
+                    f"ivf delete found list {lid} with {on_disk} on-disk "
+                    f"rows but {list_counts.get(lid, 0)} counted hits — "
+                    "a second writer touched the index mid-delete"
+                )
+    else:
+        counts = {
+            int(r["list_id"]): int(r["n"])
+            for r in kept.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: affected lists only
+        }
     nonempty = [lid for lid in affected if counts.get(lid, 0) > 0]
     dropped = [lid for lid in affected if counts.get(lid, 0) == 0]
     if nonempty:
