@@ -445,11 +445,22 @@ def _lloyd_local(spark, sample_df, n_centroids: int, iters: int, seed: int):
     empty clusters keep their previous centroid."""
     import numpy as np
 
-    rows = sample_df.withColumn(
+    # Arrow transport (row-pickle collect() paid ~3s at the sqrt-n
+    # sample size for the same bytes), then restore the sample's
+    # deterministic first-salt hash order driver-side: the caller
+    # repartitions the post-limit sample so the interpreted
+    # normalization fold runs in parallel, which scrambles row order.
+    # A __h tie is an xxhash64 collision — for distinct vectors
+    # ~2^-64, and for duplicate vectors the tied rows are IDENTICAL,
+    # so the stable argsort yields the same matrix bits either way.
+    pdf = sample_df.withColumn(
         "__h2", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string"))
-    ).collect()
-    m = np.array([r["__v"] for r in rows], dtype=np.float64)
-    h2 = np.array([r["__h2"] for r in rows], dtype=np.int64)
+    ).toPandas()
+    order = np.argsort(pdf["__h"].to_numpy(dtype=np.int64), kind="stable")
+    m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+    h2 = pdf["__h2"].to_numpy(dtype=np.int64)
+    if len(order):
+        m, h2 = m[order], h2[order]
     init = np.argsort(h2, kind="stable")[:n_centroids]
     cents = m[init].copy()
     for _ in range(iters):
@@ -506,8 +517,19 @@ def train_ivf_centroids(
         v.withColumn("__h", F.xxhash64(F.lit(seed), F.col("__v").cast("string")))
         .orderBy("__h")
         .limit(n_centroids * sample_per_centroid)
-        .drop("__h")
     )
+    if not distributed:
+        # the global limit collapses the sample to ONE partition, and
+        # the interpreted HOF normalization + second-salt string-cast
+        # below would run serially there (measured 3.5s of a 4.2s train
+        # at the sqrt-n sample size, either core count).  The sample is
+        # parameter-bounded, so spread it and let _lloyd_local restore
+        # the deterministic __h order driver-side — every operation is
+        # row-wise, so the values are bit-identical.
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        v = v.repartition(par)
+    else:
+        v = v.drop("__h")
     # unit-normalize once: spherical k-means (cosine == dot on the sphere).
     # Shared by both paths so the seeded init (hash of the NORMALIZED
     # vector) picks identical seeds either way.

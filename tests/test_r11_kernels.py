@@ -386,3 +386,81 @@ def test_topk_centroid_assign_matches_window(spark):
         for r in topk_centroid_assign(odd, "__id", "__v", cdf, 2).collect()
     }
     assert got == {(1, 0, 1), (1, 1, 2), (2, 0, 1), (2, 1, 2)}
+
+
+def test_train_ivf_centroids_parallel_sample_bit_identical(spark):
+    """The r11 train fix (repartitioned post-limit sample + Arrow
+    transport + driver-side __h re-sort) must reproduce the serial
+    collect-based pipeline's centroids BIT-FOR-BIT: every downstream
+    consumer (cluster membership, candidate sets, IVF lists) branches
+    on these exact doubles.  The corpus plants duplicate vectors so
+    the __h/__h2 tie paths (identical rows, interchangeable order)
+    are exercised."""
+    import numpy as np
+
+    from spark_alchemy_spark.operators.dedup import _as_double
+    from spark_alchemy_spark.operators.similarity import train_ivf_centroids
+
+    rows = []
+    for i in range(500):
+        base = [float((i * 7 + d * 13) % 29) - 14.0 for d in range(8)]
+        rows.append((i, base))
+        if i % 50 == 0:  # planted duplicates -> identical-hash ties
+            rows.append((1000 + i, list(base)))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def serial_reference(n_centroids, iters, seed, spc):
+        v = corpus.select(_as_double("embedding").alias("__v"))
+        v = (
+            v.withColumn(
+                "__h", F.xxhash64(F.lit(seed), F.col("__v").cast("string"))
+            )
+            .orderBy("__h")
+            .limit(n_centroids * spc)
+            .drop("__h")
+        )
+        v = (
+            v.withColumn(
+                "__n",
+                F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)),
+            )
+            .filter(F.col("__n") > 0)
+            .withColumn("__v", F.transform("__v", lambda x: x / F.col("__n")))
+            .drop("__n")
+        )
+        rws = v.withColumn(
+            "__h2", F.xxhash64(F.lit(seed + 1), F.col("__v").cast("string"))
+        ).collect()
+        m = np.array([r["__v"] for r in rws], dtype=np.float64)
+        h2 = np.array([r["__h2"] for r in rws], dtype=np.int64)
+        init = np.argsort(h2, kind="stable")[:n_centroids]
+        cents = m[init].copy()
+        for _ in range(iters):
+            best = np.argmax(m @ cents.T, axis=1)
+            nxt = cents.copy()
+            for j in range(len(cents)):
+                members = m[best == j]
+                if len(members):
+                    mu = members.mean(axis=0)
+                    n = np.linalg.norm(mu)
+                    if n > 0:
+                        nxt[j] = mu / n
+            cents = nxt
+        return {i: c for i, c in enumerate(cents)}
+
+    for k, seed, spc in [(8, 42, 256), (13, 7, 16)]:  # spc=16: limit bites
+        ref = serial_reference(k, 4, seed, spc)
+        got = {
+            r["__list"]: np.array(r["__cent"])
+            for r in train_ivf_centroids(
+                corpus,
+                "embedding",
+                n_centroids=k,
+                iters=4,
+                seed=seed,
+                sample_per_centroid=spc,
+            ).collect()
+        }
+        assert set(got) == set(ref)
+        for i in ref:
+            assert np.array_equal(ref[i], got[i]), (k, seed, i)
