@@ -690,9 +690,11 @@ def stream_windowed_counts(spark, sf_dir):
     from .streaming import read_events_stream, run_to_memory, windowed_counts
 
     stream = read_events_stream(spark, sf_dir)
+    # complete-mode drain: the trailing no-data batch only rewrites the
+    # sink with the identical snapshot — skip it (see run_to_memory)
     return run_to_memory(
         windowed_counts(stream), _sink_name("win_counts"), output_mode="complete",
-        state_partitions=8,
+        state_partitions=8, nodata_batches=False,
     )
 
 
@@ -715,6 +717,7 @@ def stream_windowed_hll_users(spark, sf_dir):
         _sink_name("win_hll"),
         output_mode="complete",
         state_partitions=8,
+        nodata_batches=False,  # complete-mode drain (see run_to_memory)
     )
     return sketches.select(
         "hour",
@@ -741,7 +744,10 @@ def stream_dedup_replay(spark, sf_dir):
     counts = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return run_to_memory(counts, _sink_name("dedup"), output_mode="complete", state_partitions=8)
+    # complete-mode drain; dropDuplicatesWithinWatermark emits survivors
+    # eagerly, so the trailing no-data batch only evicts state
+    return run_to_memory(counts, _sink_name("dedup"), output_mode="complete",
+                         state_partitions=8, nodata_batches=False)
 
 
 @query(
@@ -766,7 +772,7 @@ def stream_sessionized_counts(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     sessions = run_to_memory(
         sessionized_counts(stream), _sink_name("sessions"), output_mode="complete",
-        state_partitions=8,
+        state_partitions=8, nodata_batches=False,  # see run_to_memory
     )
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions")
@@ -793,6 +799,9 @@ def stream_stateful_user_counters(spark, sf_dir):
         _sink_name("stateful"),
         output_mode="update",
         state_partitions=8,
+        # NoTimeout stateful op: a no-data batch invokes the function
+        # for timed-out groups only, so it emits nothing here
+        nodata_batches=False,
     )
 
 

@@ -1128,6 +1128,7 @@ def stream_session_dynamic_gap(spark, sf_dir):
         _sink_name("dyn_sessions"),
         output_mode="complete",
         state_partitions=8,
+        nodata_batches=False,  # complete-mode drain (see run_to_memory)
     )
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -1371,6 +1372,7 @@ def stream_scd2_enrichment(spark, sf_dir):
         _sink_name("scd2_enrich"),
         output_mode="complete",
         state_partitions=8,
+        nodata_batches=False,  # complete-mode drain (see run_to_memory)
     )
 
 

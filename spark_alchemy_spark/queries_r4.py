@@ -791,7 +791,10 @@ def stream_dedup_at_ingest(spark, sf_dir):
     )
     survivors = arrivals.join(corpus_fp, "f", "left_anti")
     rows = run_to_memory(
-        survivors, _sink_name("ingest_dedup"), output_mode="append"
+        survivors, _sink_name("ingest_dedup"), output_mode="append",
+        # stateless anti-join rows emit in their data batch; the
+        # trailing no-data batch adds nothing (see run_to_memory)
+        nodata_batches=False,
     )
     return rows.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_new"),

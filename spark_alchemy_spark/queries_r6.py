@@ -1106,6 +1106,7 @@ def stream_probe_quality_gate(spark, sf_dir):
         _sink_name("probe_gate"),
         output_mode="complete",
         state_partitions=8,
+        nodata_batches=False,  # complete-mode drain (see run_to_memory)
     )
 
 

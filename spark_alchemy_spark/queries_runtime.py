@@ -355,6 +355,7 @@ def stream_sliding_window_counts(spark, sf_dir):
         _sink_name("slide_counts"),
         output_mode="complete",
         state_partitions=8,
+        nodata_batches=False,  # complete-mode drain (see run_to_memory)
     )
 
 

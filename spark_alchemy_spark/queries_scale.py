@@ -366,6 +366,11 @@ def stream_stream_interval_join(spark, sf_dir):
         _sink_name("ssjoin"),
         output_mode="append",
         state_partitions=8,
+        # INNER stream-stream join: matches emit in their data batch;
+        # the trailing no-data batch only expires state (see
+        # run_to_memory).  The LEFT_OUTER twin keeps the default —
+        # its null rows emit on watermark advance.
+        nodata_batches=False,
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
@@ -1007,7 +1012,8 @@ def stream_static_enrichment(spark, sf_dir):
     ).select("user_id", "c_mktsegment")
     rows = run_to_memory(
         enriched, _sink_name("enrich"), output_mode="append",
-        state_partitions=8,
+        # stateless stream-static join (see run_to_memory)
+        state_partitions=8, nodata_batches=False,
     )
     return rows.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -211,6 +211,7 @@ def run_to_memory(
     output_mode: str = "append",
     state_partitions: int | None = None,
     state_store: str | None = None,
+    nodata_batches: bool = True,
 ) -> DataFrame:
     """Drain a stream with the availableNow trigger into a memory sink;
     returns the materialized result (test/bench harness).  Use
@@ -229,7 +230,23 @@ def run_to_memory(
     ``state_store="rocksdb"`` runs the query on the RocksDB provider
     (off-heap state + changelog checkpointing — what TB-scale state
     deployments use); default keeps the session's provider.  Both confs
-    are restored after the drain."""
+    are restored after the drain.
+
+    ``nodata_batches=False`` disables the engine's trailing no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``)
+    for this query only.  That batch exists to advance the watermark
+    and fire watermark-GATED work after the last data batch: append-
+    mode windowed/session aggregations (closed windows emit there),
+    outer-join null rows, ``hasTimedOut`` event-time timeouts, and
+    watermark-driven state eviction.  For a drain whose sink output is
+    already final after the data batches — COMPLETE-mode aggregations
+    (the no-data batch rewrites the sink with the identical snapshot),
+    UPDATE-mode ``NoTimeout`` stateful ops, and eager-emission append
+    queries (stateless rows, stream-stream INNER joins) — it re-runs
+    every state store per partition and commits one more checkpoint
+    only to reproduce the sink byte-for-byte.  Callers opt OUT
+    per query, and only where the drained result is provably
+    invariant; leave the default for anything watermark-gated."""
     if state_store not in (None, "rocksdb"):
         # validate BEFORE touching session conf — raising between a
         # conf.set and the restoring finally would leak the setting
@@ -238,10 +255,14 @@ def run_to_memory(
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)
     old_provider = spark.conf.get(_PROVIDER_KEY, None)
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, None)
     if state_partitions is not None:
         spark.conf.set(conf_key, str(state_partitions))
     if state_store == "rocksdb":
         spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    if not nodata_batches:
+        spark.conf.set(nodata_key, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -258,6 +279,11 @@ def run_to_memory(
                 spark.conf.unset(_PROVIDER_KEY)
             else:
                 spark.conf.set(_PROVIDER_KEY, old_provider)
+        if not nodata_batches:
+            if old_nodata is None:
+                spark.conf.unset(nodata_key)
+            else:
+                spark.conf.set(nodata_key, old_nodata)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
