@@ -142,7 +142,11 @@ def kll_row_merge(left, right) -> Column:
 
 def kll_quantile(sketch, rank: float) -> Column:
     """Value at normalized rank in [0, 1] (inclusive convention:
-    smallest retained value whose cumulative weight >= rank * n)."""
+    smallest retained value whose cumulative weight >= rank * n).
+    The engine rounds the natural rank ``rank * n`` to 1e-7 absolute
+    before the inclusive ceil (DataSketches tail rounding), so float
+    dust just above an integer rank snaps back down — measured in
+    ``test_kll_quantile_is_exact_order_statistic``."""
     return F.kll_sketch_get_quantile_double(_c(sketch), F.lit(float(rank)))
 
 

@@ -229,8 +229,10 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
     if materialize:
         # cut the UPSTREAM lineage (e.g. a kNN build) exactly once —
         # deg and oriented both derive from und, and checkpointing them
-        # separately would re-run that upstream work per branch
-        und = und.localCheckpoint(eager=True)
+        # separately would re-run that upstream work per branch.  LAZY:
+        # the cut happens at plan level either way; the RDD computes
+        # once inside the consumer's action instead of an extra job
+        und = und.localCheckpoint(eager=False)
     deg = _degrees(und)
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
@@ -252,7 +254,7 @@ def _triangles(edges: DataFrame, src: str, dst: str, materialize: bool):
         # oriented is referenced three times (e1, e2, closing side);
         # its lineage above the und checkpoint is just two joins, so
         # this checkpoint is cheap and keeps the wedge plan flat
-        oriented = oriented.localCheckpoint(eager=True)
+        oriented = oriented.localCheckpoint(eager=False)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.w") == F.col("e2.u"))
@@ -304,17 +306,23 @@ def kcore_bounded(
     is one degree aggregation + two semi joins, lineage cut per round
     like the CC/pagerank loops above.
     """
+    # LAZY checkpoints: the plan is cut per round exactly as before
+    # (each localCheckpoint truncates lineage to a LogicalRDD), but the
+    # whole peel materializes inside the CALLER'S one action instead of
+    # paying an eager driver-blocking job per round — this loop has no
+    # per-round convergence action, unlike connected_components, whose
+    # count() makes eager/lazy equivalent there
     cur = (
         edges.filter(F.col(src) != F.col(dst))
         .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         keep = _degrees(cur).filter(F.col("deg") >= k).select("v")
         cur = (
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return _degrees(cur).filter(F.col("deg") >= k)

@@ -1508,11 +1508,12 @@ def basket_copurchase_lift(spark, sf_dir):
     count joins in as a broadcast scalar."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     # b feeds the self-join (twice), the item supports, and the order
-    # count: checkpoint the distinct basket table once
+    # count: checkpoint the distinct basket table once — LAZY, so the
+    # n_orders count right below is the job that materializes it
     b = (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = b.select("l_orderkey").distinct().count()
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))

@@ -622,7 +622,9 @@ def quality_band_trim(spark, sf_dir):
     scored = (
         quality_unigram_logprob(spark, sf_dir)
         .select("doc_id", "nll")
-        .localCheckpoint(eager=True)
+        # LAZY: both branches ride one final action; the first use
+        # materializes the scoring subplan once, same sharing as eager
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("cnt"))
     wv = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, 0)

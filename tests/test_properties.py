@@ -88,14 +88,23 @@ def test_theta_set_algebra_equals_python_sets(spark, a, b):
     p=st.floats(min_value=0.05, max_value=0.95),
 )
 def test_kll_quantile_is_exact_order_statistic(spark, vals, p):
-    """KLL in exact mode == the inclusive-rank order statistic."""
+    """KLL in exact mode == the inclusive-rank order statistic.
+
+    The expected index mirrors DataSketches' tail rounding: the
+    natural rank ``p * n`` is rounded to 1e-7 absolute (half-up, as
+    Java ``Math.round``) BEFORE the inclusive ceil, so float dust just
+    above an integer rank snaps back down.  Measured on the engine
+    (n=20): natural rank 1 + 2e-8 returns the rank-1 value while
+    1 + 2e-7 returns rank 2 — a plain ``ceil(p * n)`` misreads the
+    former (hypothesis found p=nextafter(0.05) doing exactly that)."""
     df = spark.createDataFrame([(v,) for v in vals], "d double")
     got = df.agg(S.kll_init_agg("d", 65535).alias("sk")).select(
         S.kll_quantile("sk", p).alias("q"), S.kll_count("sk").alias("n")
     ).collect()[0]
     srt = sorted(vals)
     assert got["n"] == len(vals)
-    assert got["q"] == srt[max(0, math.ceil(p * len(vals)) - 1)]
+    nr = math.floor(p * len(vals) * 1e7 + 0.5) / 1e7
+    assert got["q"] == srt[max(0, math.ceil(nr) - 1)]
 
 
 @pytest.mark.parametrize("how", ["inner", "left"])
