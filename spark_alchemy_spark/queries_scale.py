@@ -441,9 +441,15 @@ def source_python_stream_datasource(spark, sf_dir):
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
-            if spark.table(sink).count() >= 5000:
+            # driver-side progress poll: a batch's numInputRows is
+            # reported only after the batch COMMITS (memory sink
+            # written), so >= 5000 here implies the sink holds all
+            # rows — unlike the old spark.table(sink).count() poll,
+            # this runs no Spark job per probe (the source caps at n,
+            # so there is no 6th batch to race with q.stop())
+            if sum(p.numInputRows for p in q.recentProgress) >= 5000:
                 break
-            time.sleep(0.3)
+            time.sleep(0.05)
     finally:
         q.stop()
     return (
